@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * One parquet file per table under `/root/testdata/sf{N}/`. Parquet scans
+  * are self-describing (reference pattern S1, `etl.py:154`), so no explicit
+  * schema is needed; Catalyst prunes columns and pushes filters into the
+  * scan automatically.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  def apply(name: String): DataFrame = t(name)
+
+  /** Register every table as a temp view for the SQL surface
+    * (reference exposes both DSL and `spark.sql`, SURVEY.md §3.3). */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

@@ -1,0 +1,69 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Data-quality checks, re-expressed with fixed semantics.
+  *
+  * Reference: `qhi.py` — `data_exists` (row-count check, qhi.py:20-37),
+  * `check_integrity` (FK inner-join counts, qhi.py:39-91), and the
+  * notebook's one-pass 28-column null profile (NB:283-284, cell 12).
+  *
+  * Divergences from the reference, both intentional (SURVEY.md §2.10 B4):
+  *   - `check_integrity` returned the AND of *failure* flags (True meant
+  *     "everything failed"). Here each FK edge yields an unambiguous
+  *     orphan-key count (0 = pass), computed with a left-anti join instead
+  *     of the reference's inverted inner-join-count-==-0 test.
+  *   - results come back as DataFrames so they compose with the rest of a
+  *     plan instead of printing to the console.
+  *
+  * All checks are single-pass distributed aggregates — no driver-side
+  * loops; the null profile is one wide partial+final aggregate regardless
+  * of column count.
+  */
+object Checks {
+
+  /** Per-column null/NaN fraction in ONE pass (reference A3).
+    * `avg(CASE WHEN bad THEN 1 ELSE 0 END)` folds the reference's
+    * `count(when(...))/total` two-step into a single aggregate. `isnan`
+    * only applies to floating columns (it errors on dates/strings). */
+  def nullProfile(df: DataFrame, scale: Int = 6): DataFrame = {
+    val aggs: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c   = col(f.name)
+      val bad = f.dataType match {
+        case DoubleType | FloatType => c.isNull || isnan(c)
+        case _                      => c.isNull
+      }
+      round(avg(when(bad, 1.0).otherwise(0.0)), scale).as(f.name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Row-count per table (reference `data_exists`): (table_name, n_rows). */
+  def rowCounts(spark: SparkSession, tables: Seq[(String, DataFrame)]): DataFrame = {
+    val counted = tables.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+    }
+    counted.reduce(_.union(_)).orderBy("table_name")
+  }
+
+  /** One FK edge: child[fk] must exist in parent[pk]. */
+  final case class FkEdge(name: String, child: DataFrame, fk: String,
+                          parent: DataFrame, pk: String)
+
+  /** FK integrity with fixed semantics: per edge, the count of DISTINCT
+    * child keys with no parent (0 = intact). Distinct-before-join keeps
+    * the anti-join input small (reference's own trick, qhi.py:53), and the
+    * parent side is a key list Catalyst can broadcast. Null FKs are not
+    * orphans (SQL FK semantics). */
+  def fkIntegrity(edges: Seq[FkEdge]): DataFrame = {
+    val perEdge = edges.map { e =>
+      val orphans = e.child.select(col(e.fk).as("k")).na.drop().distinct()
+        .join(e.parent.select(col(e.pk).as("k")).distinct(), Seq("k"), "left_anti")
+      orphans.agg(count(lit(1)).as("orphan_keys"))
+        .select(lit(e.name).as("fk_edge"), col("orphan_keys"))
+    }
+    perEdge.reduce(_.union(_)).orderBy("fk_edge")
+  }
+}

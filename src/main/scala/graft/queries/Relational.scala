@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SasDate
+import graft.quality.Checks
+
+/** Relational operator coverage over the TPC-H-ish testdata.
+  *
+  * Each query exercises one operator family from SURVEY.md §2 (IDs in the
+  * per-query scaladoc refer to that inventory). All floating aggregates
+  * are rounded on BOTH sides (Spark and DuckDB oracle) so partial-agg
+  * ordering differences can't flip the hash compare; every query ends in
+  * a deterministic ORDER BY.
+  */
+object Relational extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir)(name)
+
+  // ---------------------------------------------------------------- q01
+  /** A2/A5/C6 — grouped multi-aggregate (sum/avg/count) with arithmetic,
+    * pricing-summary style. Map-side partial aggregation then a single
+    * 2-key shuffle; at 100 TB this is the canonical scalable shape. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- q02
+  /** F-family + top-k — row predicates (absent from the reference but a
+    * first-class op, SURVEY.md §2.4) with filter/projection pushdown to
+    * the parquet scan, then orderBy+limit (physical TakeOrderedAndProject:
+    * per-partition top-k, no full sort at scale). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.05) && col("l_quantity") < lit(25.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND l_discount > 0.05 AND l_quantity < 25.0
+       ORDER BY l_orderkey, l_linenumber LIMIT 100"""
+
+  // ---------------------------------------------------------------- q03
+  /** J-family — 3-way equi-join (fact⋈fact⋈dim) + grouped agg. `nation`
+    * is broadcast (25 rows); customer⋈orders⋈lineitem shuffle on their
+    * keys and AQE re-plans at runtime. Revenue per nation. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q03Sql =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  // ---------------------------------------------------------------- q04
+  /** J1 — left-outer join with null-preserving aggregation (the
+    * reference's country⋈temperature shape, fixed). count(col) skips
+    * nulls so customers without orders report 0. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q04Sql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q05
+  /** Semi/anti joins (EXISTS / NOT EXISTS) — parts that were vs never
+    * were sold. Broadcast-able key-only right side at any scale. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+    val cond   = p("p_partkey") === l("l_partkey")
+    val sold   = p.join(l, cond, "left_semi")
+      .select(col("p_partkey"), lit("sold").as("status"))
+    val unsold = p.join(l, cond, "left_anti")
+      .select(col("p_partkey"), lit("unsold").as("status"))
+    sold.union(unsold).orderBy(col("p_partkey"))
+  }
+
+  private val q05Sql =
+    """SELECT p_partkey, 'sold' AS status FROM part
+       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+       UNION ALL
+       SELECT p_partkey, 'unsold' AS status FROM part
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+       ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- q06
+  /** F3/A6 — distinct() as hash-aggregate on the key pair. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private val q06Sql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+       ORDER BY c_mktsegment, c_nationkey"""
+
+  // ---------------------------------------------------------------- q07
+  /** F2 — exact dedup, deterministic form. The reference's
+    * `dropDuplicates(subset)` keeps an arbitrary row per key (and its one
+    * use was dead code, B1); here the survivor is pinned as min(doc_id)
+    * per identical text so the result is stable for golden/oracle tests.
+    * Same single-shuffle hash-aggregate physical shape. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  private val q07Sql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY text ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q08
+  /** exceptAll — multiset difference (the reference's dedup audit,
+    * NB:425-427 cell 17). o_custkey minus customer keys leaves each
+    * custkey with multiplicity (orders-1). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      .exceptAll(t(s, dir, "customer").select(col("c_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  private val q08Sql =
+    """SELECT o_custkey AS custkey FROM orders
+       EXCEPT ALL
+       SELECT c_custkey AS custkey FROM customer
+       ORDER BY custkey"""
+
+  // ---------------------------------------------------------------- q09
+  /** A3/F4/F5 — the notebook's one-pass per-column null/NaN profile
+    * (NB:283-284) over lineitem: 11 avg(when(...)) aggregates in a single
+    * partial+final aggregate, no per-column jobs. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Checks.nullProfile(t(s, dir, "lineitem"))
+
+  private val q09Sql = {
+    val doubleCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val otherCols  = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                         "l_returnflag", "l_linestatus", "l_shipdate")
+    val exprs =
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+          "l_linestatus", "l_shipdate").map { c =>
+        val bad = if (doubleCols.contains(c)) s"$c IS NULL OR isnan($c)" else s"$c IS NULL"
+        s"round(avg(CASE WHEN $bad THEN 1.0 ELSE 0.0 END), 6) AS $c"
+      }
+    require(otherCols.nonEmpty)
+    s"SELECT ${exprs.mkString(", ")} FROM lineitem"
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Calendar dim (reference `create_calendar_dim`, etl.py:243-266):
+    * distinct dates → SAS day-offset (U1, via built-ins — no UDF) + C2
+    * date-part extraction (year/month/day/dayofweek/weekofyear). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .select(
+        SasDate.fromDate(col("d")).as("sasdate"),
+        SasDate.toIsoString(SasDate.fromDate(col("d"))).as("iso_date"),
+        year(col("d")).as("year"),
+        month(col("d")).as("month"),
+        dayofmonth(col("d")).as("day"),
+        dayofweek(col("d")).as("day_of_week"),
+        weekofyear(col("d")).as("week_of_year"))
+      .orderBy(col("sasdate"))
+
+  private val q10Sql =
+    """SELECT CAST(datediff('day', DATE '1960-01-01', d) AS INT) AS sasdate,
+       strftime(d, '%Y-%m-%d') AS iso_date,
+       CAST(year(d) AS INT) AS year,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day,
+       CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+       CAST(weekofyear(d) AS INT) AS week_of_year
+       FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+       ORDER BY sasdate"""
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q01_pricing_summary" -> q01 _,
+    "q02_filter_topk"     -> q02 _,
+    "q03_join_revenue"    -> q03 _,
+    "q04_left_join"       -> q04 _,
+    "q05_semi_anti"       -> q05 _,
+    "q06_distinct"        -> q06 _,
+    "q07_dedup_exact"     -> q07 _,
+    "q08_except_all"      -> q08 _,
+    "q09_null_profile"    -> q09 _,
+    "q10_calendar_dim"    -> q10 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_topk"     -> q02Sql,
+    "q03_join_revenue"    -> q03Sql,
+    "q04_left_join"       -> q04Sql,
+    "q05_semi_anti"       -> q05Sql,
+    "q06_distinct"        -> q06Sql,
+    "q07_dedup_exact"     -> q07Sql,
+    "q08_except_all"      -> q08Sql,
+    "q09_null_profile"    -> q09Sql,
+    "q10_calendar_dim"    -> q10Sql)
+}
