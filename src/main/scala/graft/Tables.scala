@@ -13,6 +13,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy nanosAsLong) and
+    * convert with integer division — `ts div 1000` keeps full precision
+    * where a double division of ~1.7e18 ns would lose the low bits
+    * (double mantissa is 53 bits, ulp ≈ 256 ns there). */
+  private def eventsRaw: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -20,11 +30,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  def apply(name: String): DataFrame = t(name)
+  def apply(name: String): DataFrame =
+    if (name == "events") events else t(name)
 
   /** Register every table as a temp view for the SQL surface
     * (reference exposes both DSL and `spark.sql`, SURVEY.md §3.3). */
