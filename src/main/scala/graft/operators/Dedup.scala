@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design (the point of these over a naive pairwise O(n²) compare):
+  *   - exact dedup is one hash-aggregate shuffle on the fingerprint;
+  *   - MinHash+LSH shuffles each doc k·(1/r) band keys, and only
+  *     within-bucket candidates are ever paired — the all-pairs join
+  *     never materializes;
+  *   - SimHash reduces each doc to 64 bits, candidates via band-chunk
+  *     equality, verified by popcount(xor).
+  * All hashing derives from xxhash64 (Spark built-in, deterministic
+  * across runs/partitionings), so results are stable for golden tests.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: survivor = min(id) per
+    * normalized-text hash (deterministic, unlike dropDuplicates —
+    * reference quirk B1/F2, SURVEY.md §2.10). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ MinHash
+
+  /** 2^31-1: Mersenne prime. (a·x+b) mod P stays in a long when
+    * a, b, x < P (product < 2^62) — no mulmod BigInt needed. */
+  private val P = 2147483647L
+
+  /** Deterministic per-permutation coefficients (Knuth multiplicative
+    * constants; no runtime randomness so signatures are reproducible). */
+  private def coef(i: Int): (Long, Long) = {
+    val a = ((2L * i + 1L) * 2654435761L) % P
+    val b = (i.toLong * 40503L + 2166136261L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** k min-hash values over a doc's shingle set.
+    * Input: (id, shingle) exploded rows. Output: (id, sig: array<long>). */
+  def minhashSignatures(shingled: DataFrame, idCol: String,
+                        shingleCol: String, k: Int): DataFrame = {
+    val x = pmod(xxhash64(col(shingleCol)), lit(P))
+    val hashes = (0 until k).map { i =>
+      val (a, b) = coef(i)
+      min(pmod(lit(a) * x + lit(b), lit(P))).as(s"h$i")
+    }
+    shingled
+      .groupBy(col(idCol))
+      .agg(hashes.head, hashes.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band (r consecutive signature
+    * slots) are candidates; est_jaccard = fraction of agreeing slots.
+    * Only `threshold`-passing pairs survive. */
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                        threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandRows = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * lit(r) + lit(1), lit(r)).cast("array<string>")), bnd))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val a = bandRows.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+                            col("band_idx"), col("band_key"))
+    val b = bandRows.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+                            col("band_idx"), col("band_key"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+                          bool => bool)).cast("double") / lit(k.toDouble)
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline over raw documents using char
+    * n-gram shingles. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.2): DataFrame = {
+    val shingled = docs
+      .filter(length(col(textCol)) >= shingleLen)
+      .select(col(idCol),
+              explode(TextFunctions.charShingles(col(textCol), shingleLen)).as("shingle"))
+    val sigs = minhashSignatures(shingled, idCol, "shingle", k)
+    minhashCandidates(sigs, idCol, k, bands, threshold)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash per doc from whitespace tokens: bit b is the sign of
+    * Σ±1 over token-hash bit b. One wide (64-agg) hash-aggregate — no
+    * pairwise work, fully codegen'd. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val simhash = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four
+    * 16-bit chunks, verified with popcount(xor) <= maxHamming.
+    * Pigeonhole guarantees full recall only for hamming <= 3 (chunks-1);
+    * with a larger maxHamming, pairs whose differing bits spread across
+    * all four chunks are missed — an explicit recall/cost trade: finer
+    * chunks would guarantee more but collapse the bucketing (2^w buckets
+    * per w-bit chunk) into near-all-pairs joins at scale. */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val chunked = sigs.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(cix =>
+        shiftrightunsigned(col("simhash"), cix * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_key")
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+                           col("chunk_idx"), col("chunk_key"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+                           col("chunk_idx"), col("chunk_key"))
+    a.join(b, Seq("chunk_idx", "chunk_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

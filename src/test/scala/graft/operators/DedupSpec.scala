@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+/** Semantics of the near-dup operators, pinned on planted duplicates —
+  * the driver's rows-only check can't see inside these, so this spec is
+  * their correctness oracle. */
+class DedupSpec extends GraftTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " * 4
+
+  /** corpus: 0 and 1 identical; 2 a near-dup of 0 (one word changed);
+    * 3 unrelated. */
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("lazy dog", "sleepy dog")),
+    (3L, "completely different content about spark query engines " * 6))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts deterministically (min id survives)") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("survivor_id").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("survivor_id") == 0L)
+  }
+
+  test("exact dedup is whitespace/case-insensitive via normalization") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds planted near-dups with est_jaccard tracking exact jaccard") {
+    val pairs = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: every signature slot agrees
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    // near-dup: high estimated jaccard
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5)
+    assert(pairs.contains((1L, 2L)))
+    // unrelated doc never pairs
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash estimate approximates exact char-5-gram jaccard") {
+    import graft.functions.TextFunctions
+    val sh = corpus.select($"doc_id",
+      TextFunctions.charShingles($"text", 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val exact = sh(0L).intersect(sh(2L)).size.toDouble / sh(0L).union(sh(2L)).size
+    val est = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .apply((0L, 2L))
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, unrelated docs far") {
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(2L)) <= 12)
+    assert(hamming(sigs(0L), sigs(3L)) > 12)
+
+    val pairs = Dedup.simhashDedup(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs (hamming 0) are guaranteed candidates by pigeonhole;
+    // the hamming-12 near-dup is only opportunistically recalled (its
+    // differing bits may spread across all 4 chunks), so not asserted.
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("signatures are stable across repartitioning (deterministic hashing)") {
+    val a = Dedup.minhashSignatures(
+      corpus.select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),
+      "doc_id", "sh", 16).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignatures(
+      corpus.repartition(7).select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),
+      "doc_id", "sh", 16).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
