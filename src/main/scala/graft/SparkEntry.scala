@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QueryPack, Relational, Relational2, Text}
+import graft.queries.{Events, QueryPack, Relational, Relational2, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{QueryPack, Relational, Relational2, Text}
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, Relational2, Text)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, Relational2, Text, Vectors, Events)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

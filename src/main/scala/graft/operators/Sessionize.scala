@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: a new session starts when the time since
+  * the previous event of the same key exceeds `gapSeconds`.
+  *
+  * Classic lag + running-sum window pair — one shuffle on the key, both
+  * windows share the same sort. Timestamps compare in epoch
+  * MICROseconds (the engine's native resolution after the nanos
+  * conversion in Tables.events) so the DuckDB twin can mirror exactly. */
+object Sessionize {
+
+  /** Adds `session_id` (1-based per key, in time order). Ordering ties
+    * break on `tieCol` for determinism. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    val w   = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+    df.withColumn("__new_session",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class SimilaritySpec extends GraftTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Clustered corpus: two tight clusters + noise, so top-k is
+    * predictable: a vector's nearest neighbors are its cluster mates. */
+  private def corpus = {
+    def v(base: Double*)(jitter: Double) =
+      base.toArray.map(x => (x + jitter).toFloat)
+    Seq(
+      (0L, v(1, 0, 0, 0, 1, 0, 0, 0)(0.00)),
+      (1L, v(1, 0, 0, 0, 1, 0, 0, 0)(0.01)),
+      (2L, v(1, 0, 0, 0, 1, 0, 0, 0)(0.02)),
+      (10L, v(0, 1, 0, 1, 0, 0, 1, 0)(0.00)),
+      (11L, v(0, 1, 0, 1, 0, 0, 1, 0)(0.01)),
+      (12L, v(0, 1, 0, 1, 0, 0, 1, 0)(0.02)),
+      (20L, v(0.5, -1, 0.5, 0, -1, 1, 0, 0.5)(0.0)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks cluster mates first") {
+    val q = corpus.filter($"vec_id".isin(0L, 10L))
+    val top = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    assert(Set(top((0L, 1)), top((0L, 2))) == Set(1L, 2L))
+    assert(Set(top((10L, 1)), top((10L, 2))) == Set(11L, 12L))
+  }
+
+  test("srp ANN recalls cluster mates (identical-direction vectors share all bands)") {
+    val q = corpus.filter($"vec_id".isin(0L, 10L))
+    val got = Similarity.srpTopK(corpus, q, "vec_id", "embedding",
+        k = 2, dim = dim, bits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    assert(Set(got((0L, 1)), got((0L, 2))) == Set(1L, 2L))
+  }
+
+  test("srp recall on real embeddings is high at k=5") {
+    val all = graft.Tables(spark, sf001)("embeddings")
+    val q = all.filter(pmod($"vec_id", lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.srpTopK(all, q, "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // The synthetic embeddings are STRUCTURELESS random unit vectors, the
+    // worst case for LSH (true NNs barely beat the average pair), yet
+    // 4x4-bit bands still probe only ~23% of the corpus per query. ~0.48
+    // measured; pinned floor 0.4. Chance at k=5/n=500 would be ~0.05.
+    // On clustered data (test above) recall is exact.
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("near-dup pairs respect the blocking column") {
+    val df = corpus.withColumn("label", (col("vec_id") / 10).cast("int"))
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+}
