@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class MultimodalSpec extends GraftTestBase {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    graft.Tables(spark, sf001)("documents"))
+
+  test("media table has opaque binary payloads + typed metadata struct") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val row = media.orderBy("media_id").select("content").head()
+    assert(row.getAs[Array[Byte]](0).nonEmpty)
+  }
+
+  test("binary payload round-trips: checksum over bytes matches a driver-side recompute") {
+    val doc = graft.Tables(spark, sf001)("documents")
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    var want = 0L
+    bytes.zipWithIndex.foreach { case (b, i) => want += (b & 0xFF).toLong * (i + 1) }
+    val got = Multimodal.extractFeatures(media)
+      .filter(col("media_id") === doc.getLong(0))
+      .head().checksum
+    assert(got == want)
+  }
+
+  test("feature extraction is partition-count invariant (no per-partition state leaks)") {
+    val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val b = Multimodal.extractFeatures(media.repartition(13)).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("resize truncates payloads and reports sizes") {
+    val out = Multimodal.resizePayload(media, maxBytes = 100)
+      .filter(col("orig_bytes") > 100).head()
+    assert(out.getAs[Array[Byte]]("content").length == 100)
+    assert(out.getAs[Int]("new_bytes") == 100)
+  }
+
+  test("frame sampling only emits video rows at the stride") {
+    val frames = Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 6)
+    val byMedia = frames.groupBy("media_id").agg(
+      count(lit(1)).as("n"), first("n_frames").as("nf")).collect()
+    byMedia.foreach { r =>
+      val expect = (0 until r.getAs[Int]("nf") by 6).size
+      assert(r.getAs[Long]("n") == expect)
+    }
+    // video kind only: media_id % 3 == 2
+    assert(frames.filter(pmod(col("media_id"), lit(3)) =!= 2).count() == 0)
+  }
+}
