@@ -51,7 +51,9 @@ object Relational2 extends QueryPack {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .groupBy(upper(trim(col("n_name"))).as("nation_name"))
       .agg(count(lit(1)).as("n_suppliers"))
-    custPerNation.join(suppPerNation, Seq("nation_name"))
+    // the aggregated sides are <=|nation| rows: broadcast instead of
+    // letting the join default to a sort-merge exchange pair
+    custPerNation.join(broadcast(suppPerNation), Seq("nation_name"))
       .orderBy(col("nation_name"))
   }
 
