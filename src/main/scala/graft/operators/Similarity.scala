@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.DotProduct.vecDot
 
 /** Similarity search over embedding columns.
   *
@@ -40,7 +41,7 @@ object Similarity {
                           toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val cos = when(col("qn") * col("cn") === 0.0, 0.0)
-      .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -98,7 +99,7 @@ object Similarity {
               col("qv"), col("cv"), col("qn"), col("cn"))
       .distinct()
     val cos = when(col("qn") * col("cn") === 0.0, 0.0)
-      .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
@@ -120,7 +121,7 @@ object Similarity {
     val b = base.select(col("id").as("id_b"), col("v").as("vb"),
                         col("n").as("nb"), col("blk"))
     val cos = when(col("na") * col("nb") === 0.0, 0.0)
-      .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .otherwise(vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("blk"), col("id_a"), col("id_b"), cos.as("cos"))

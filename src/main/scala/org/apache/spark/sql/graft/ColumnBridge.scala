@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim: Column ⇄ Expression conversions live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]` in Spark 4 — the standard extension-library pattern is
+  * a bridge object inside the sql package namespace (same mechanism
+  * spark-connectors use). Only these two conversions leak through. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

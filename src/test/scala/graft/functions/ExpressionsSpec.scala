@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+import graft.functions.expressions.DotProduct.vecDot
+import graft.functions.expressions.SasToDate.sasToDate
+
+/** Native Catalyst expressions: interpreted eval and codegen paths must
+  * agree with each other and with the composed-built-in forms. */
+class ExpressionsSpec extends GraftTestBase {
+  import spark.implicits._
+
+  test("sas_to_date matches the composed SasDate built-ins over a wide range") {
+    val df = spark.range(-5000, 40000, 371).toDF("sas")
+      .select(
+        sasToDate($"sas").as("native"),
+        SasDate.toDate($"sas").as("composed"))
+    assert(df.filter($"native" =!= $"composed").count() == 0)
+    // pinned anchors: epoch itself and the reference's April-2016 window
+    val anchors = Seq(0, 20545).toDF("sas")
+      .select(sasToDate($"sas").cast("string").as("d")).collect().map(_.getString(0))
+    assert(anchors.toSeq == Seq("1960-01-01", "2016-04-01"))
+  }
+
+  test("sas_to_date is null-intolerant and SQL-registered") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT sas_to_date(CAST(20545 AS INT)) AS d, sas_to_date(CAST(NULL AS INT)) AS n")
+      .collect().head
+    assert(viaSql.getDate(0).toString == "2016-04-01" && viaSql.isNullAt(1))
+  }
+
+  test("vec_dot matches the higher-order fold bit-for-bit on real embeddings") {
+    val e = graft.Tables(spark, sf001)("embeddings").limit(200)
+    val diff = e.select(
+        vecDot($"embedding", $"embedding").as("native"),
+        VectorFunctions.dot($"embedding", $"embedding").as("composed"))
+      .filter($"native" =!= $"composed")
+    assert(diff.count() == 0)
+  }
+
+  test("vec_dot rejects dimension mismatch loudly") {
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(vecDot($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("vec_dot works via SQL surface") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+}
