@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: gap-based sessionization with
+  * `flatMapGroupsWithState` — the arbitrary-state path the batch
+  * Sessionize operator (lag + running sum) can't express incrementally.
+  *
+  * State per user is one open session (start/last/n/sum). A new event
+  * either extends it or closes it (gap exceeded → the closed session is
+  * EMITTED and a fresh one opens). Idle sessions close via EVENT-TIME
+  * timeout: when the watermark passes last-event + gap, the timeout
+  * callback flushes the session — so state is bounded by the number of
+  * concurrently-active users, never by history. Append output mode +
+  * watermark make this the production shape for infinite streams (the
+  * batch twin, q33, is the finite-data oracle).
+  */
+object StatefulSessions {
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Int, sum: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, n_events: Int,
+      sum_value: Double, duration_s: Double)
+
+  private def close(userId: Long, s: OpenSession): SessionOut =
+    SessionOut(userId, new Timestamp(s.startMs), s.n, s.sum,
+               (s.lastMs - s.startMs) / 1000.0)
+
+  def sessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      val closedSessions = Seq.newBuilder[SessionOut]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
+                               sum = s.sum + e.value))
+          case Some(s) =>
+            closedSessions += close(userId, s)
+            open = Some(OpenSession(t, t, 1, e.value))
+          case None =>
+            open = Some(OpenSession(t, t, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      closedSessions.result().iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
