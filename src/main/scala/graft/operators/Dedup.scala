@@ -33,18 +33,18 @@ object Dedup {
 
   /** 2^31-1: Mersenne prime. (a·x+b) mod P stays in a long when
     * a, b, x < P (product < 2^62) — no mulmod BigInt needed. */
-  private val P = 2147483647L
+  private val P = graft.functions.expressions.MinHashSignature.P
 
   /** Deterministic per-permutation coefficients (Knuth multiplicative
-    * constants; no runtime randomness so signatures are reproducible). */
-  private def coef(i: Int): (Long, Long) = {
-    val a = ((2L * i + 1L) * 2654435761L) % P
-    val b = (i.toLong * 40503L + 2166136261L) % P
-    (if (a == 0) 1L else a, b)
-  }
+    * constants; no runtime randomness so signatures are reproducible).
+    * Shared with the native MinHashSignature expression. */
+  private def coef(i: Int): (Long, Long) =
+    graft.functions.expressions.MinHashSignature.coef(i)
 
   /** k min-hash values over a doc's shingle set.
-    * Input: (id, shingle) exploded rows. Output: (id, sig: array<long>). */
+    * Input: (id, shingle) exploded rows. Output: (id, sig: array<long>).
+    * (Shuffles the exploded rows — prefer [[minhashSignaturesLocal]]
+    * when shingles are derivable per row.) */
   def minhashSignatures(shingled: DataFrame, idCol: String,
                         shingleCol: String, k: Int): DataFrame = {
     val x = pmod(xxhash64(col(shingleCol)), lit(P))
@@ -57,6 +57,20 @@ object Dedup {
       .agg(hashes.head, hashes.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** Same signatures with ZERO shuffle: the native MinHashSignature
+    * expression folds all k minima in one fused pass over each doc's
+    * shingle ARRAY. The exploded+groupBy form moves |shingles| rows
+    * through an exchange; a composed array_min∘transform form avoids
+    * the shuffle but allocates k intermediate arrays per row (measured
+    * slower). This one moves nothing and allocates nothing per shingle —
+    * per-doc work, embarrassingly parallel, the 100 TB shape. Identical
+    * output (same hash family), pinned by DedupSpec. */
+  def minhashSignaturesLocal(docs: DataFrame, idCol: String,
+                             shinglesCol: String, k: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.expressions.MinHashSignature
+        .minhashSignature(col(shinglesCol), k).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band (r consecutive signature
     * slots) are candidates; est_jaccard = fraction of agreeing slots.
@@ -91,11 +105,11 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.2): DataFrame = {
-    val shingled = docs
+    val withShingles = docs
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol),
-              explode(TextFunctions.charShingles(col(textCol), shingleLen)).as("shingle"))
-    val sigs = minhashSignatures(shingled, idCol, "shingle", k)
+              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
+    val sigs = minhashSignaturesLocal(withShingles, idCol, "__sh", k)
     minhashCandidates(sigs, idCol, k, bands, threshold)
   }
 

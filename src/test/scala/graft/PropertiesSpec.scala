@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, forAllNoShrink}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SasDate
+import graft.operators.{Dedup, Sessionize}
+
+/** Property-based invariants (SURVEY.md §5 item 4). Each property runs
+  * a batched DataFrame per sample (10 samples — Spark jobs aren't free)
+  * with generator tolerances wide enough that the probabilistic MinHash
+  * bound can't flake (5σ+ at k=64). */
+object PropertiesSpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  property("sasDate roundtrip: fromDate(toDate(d)) == d over ±100y") =
+    forAll(Gen.listOfN(50, Gen.choose(-36524, 36524))) { days =>
+      val df = days.toDF("d")
+        .select($"d", SasDate.fromDate(SasDate.toDate($"d")).as("rt"))
+      df.filter($"d" =!= $"rt").count() == 0
+    }
+
+  property("sasDate toIsoString parses back to the same day") =
+    forAll(Gen.listOfN(20, Gen.choose(0, 30000))) { days =>
+      val df = days.toDF("d").select(
+        $"d", datediff(to_date(SasDate.toIsoString($"d")),
+                       to_date(lit("1960-01-01"))).as("back"))
+      df.filter($"d" =!= $"back").count() == 0
+    }
+
+  property("cast fold int->double->int is identity on int-valued data") =
+    forAll(Gen.listOfN(50, Gen.choose(-1000000, 1000000))) { xs =>
+      val df = xs.toDF("x")
+        .select($"x", $"x".cast("double").cast("int").as("rt"))
+      df.filter($"x" =!= $"rt").count() == 0
+    }
+
+  private val wordGen = Gen.oneOf(
+    "spark", "query", "table", "join", "scan", "sort", "merge", "row", "col")
+
+  // No shrinking on the Spark-job-per-sample properties: a failure would
+  // otherwise trigger hundreds of shrink re-runs, each a Spark pipeline.
+  property("minhash estimate within 0.35 of exact jaccard when a candidate surfaces (k=64, >5 sigma)") =
+    forAllNoShrink(Gen.listOfN(60, wordGen), Gen.listOfN(60, wordGen)) { (w1, w2) =>
+      val t1 = w1.mkString(" "); val t2 = w2.mkString(" ")
+      (t1.length < 5 || t2.length < 5) || {
+        def shingles(t: String) =
+          (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+        val (s1, s2) = (shingles(t1), shingles(t2))
+        val exact = s1.intersect(s2).size.toDouble / s1.union(s2).size
+        val est = Dedup.minhashDedup(
+            Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), "doc_id", "text",
+            threshold = 0.0)
+          .collect().headOption.map(_.getDouble(2))
+        // absence is legitimate LSH non-recall (probabilistic) — the
+        // recall floor lives in DedupSpec; HERE we pin estimate quality.
+        est.forall(e => math.abs(e - exact) <= 0.35)
+      }
+    }
+
+  property("sessionize: session count per user == gap count + 1") =
+    forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
+      val base = 1700000000000L
+      val evs = offsets.distinct.sorted.zipWithIndex.map { case (off, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(base + off * 1000))
+      }
+      evs.isEmpty || {
+        val gapSec = 3600L
+        val expected = 1 + evs.map(_._3.getTime).sliding(2)
+          .count { case Seq(a, b) => b - a > gapSec * 1000; case _ => false }
+        val got = Sessionize.sessionize(
+            evs.toDF("user_id", "event_id", "ts"), "user_id", "ts", "event_id", gapSec)
+          .agg(max("session_id")).collect().head.getLong(0)
+        got == expected
+      }
+    }
+}

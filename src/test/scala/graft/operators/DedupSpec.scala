@@ -79,6 +79,18 @@ class DedupSpec extends GraftTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("local (shuffle-free) signatures equal the exploded+groupBy signatures") {
+    import graft.functions.TextFunctions
+    val withShingles = corpus.select($"doc_id",
+      TextFunctions.charShingles($"text", 5).as("sh"))
+    val local = Dedup.minhashSignaturesLocal(withShingles, "doc_id", "sh", 32)
+      .orderBy("doc_id").collect().map(_.toString)
+    val exploded = Dedup.minhashSignatures(
+      withShingles.select($"doc_id", explode($"sh").as("s")), "doc_id", "s", 32)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(local.toSeq == exploded.toSeq)
+  }
+
   test("signatures are stable across repartitioning (deterministic hashing)") {
     val a = Dedup.minhashSignatures(
       corpus.select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),
