@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, Media, QueryPack, Relational, Relational2, Sql, Text, Vectors}
+import graft.queries.{Events, Extras, Media, QueryPack, Relational, Relational2, Sql, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ import graft.queries.{Events, Media, QueryPack, Relational, Relational2, Sql, Te
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, Relational2, Text, Vectors, Events, Media, Sql)
+    Seq(Relational, Relational2, Text, Vectors, Events, Media, Sql, Extras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
