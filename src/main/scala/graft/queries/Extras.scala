@@ -67,11 +67,63 @@ object Extras extends QueryPack {
        GROUP BY s.user_id, signup_id
        ORDER BY s.user_id, signup_id"""
 
+  // ---------------------------------------------------------------- q41
+  /** Typed Aggregator (UDAF surface): weighted average of price by
+    * quantity. The buffer is two partial sums — associative merge, so
+    * it partial-aggregates like a built-in; the oracle is the algebraic
+    * twin sum(p*q)/sum(q). */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6)
+             .as("wavg_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q41Sql =
+    """SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q42
+  /** JSON column surface: schema'd from_json over the events `props`
+    * string, extracted field aggregated per event type. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("events")
+      .select(col("event_type"),
+              from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+                .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           round(avg(col("k")), 6).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q42Sql =
+    """SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       CAST(max(k) AS INT) AS max_k
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+             FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q39_approx_distinct" -> q39 _,
-    "q40_range_join"      -> q40 _)
+    "q40_range_join"      -> q40 _,
+    "q41_typed_aggregator"-> q41 _,
+    "q42_json_extract"    -> q42 _)
 
   override val oracles: Map[String, String] = Map(
     "q39_approx_distinct" -> q39Sql,
-    "q40_range_join"      -> q40Sql)
+    "q40_range_join"      -> q40Sql,
+    "q41_typed_aggregator"-> q41Sql,
+    "q42_json_extract"    -> q42Sql)
 }
