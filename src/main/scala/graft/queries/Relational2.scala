@@ -97,9 +97,13 @@ object Relational2 extends QueryPack {
   // ---------------------------------------------------------------- q14
   /** Analytic window frame — running sum + lag over a total per-key
     * order. Accumulation order is pinned by the window ordering, so the
-    * running double matches the oracle bit-for-bit after rounding. */
+    * running double matches the oracle bit-for-bit after rounding.
+    * The ordering includes quantity+price tie-breaks: the synthetic
+    * data has duplicate (orderkey, linenumber) pairs at sf0.1, and a
+    * non-total order makes lag() engine-dependent at ties. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
-    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity"), col("l_extendedprice"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
     t(s, dir, "lineitem")
       .select(
@@ -114,11 +118,11 @@ object Relational2 extends QueryPack {
   private val q14Sql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
        lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
-       FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
+       FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
 
   // ---------------------------------------------------------------- q15
   /** Set ops — INTERSECT / EXCEPT (distinct semantics) / UNION distinct
