@@ -30,16 +30,22 @@ object DedupOracles extends QueryPack {
     s"(('0x' || substr(md5('$prefix' || $s), 1, 8))::BIGINT)"
 
   // ---------------------------------------------------------------- q43
-  /** MinHash similarity estimation, oracle-checkable: k=16 md5-family
-    * signature minima over char-5 shingles; positionwise agreement /
-    * k over all same-source pairs of the doc_id%10 subsample. */
+  /** MinHash similarity estimation, oracle-checkable: ONE md5 base hash
+    * per shingle, then the SAME affine permutation family as the
+    * production operator (MinHashSignature.coef over the Mersenne
+    * prime) — so the oracle verifies the production sketch mathematics,
+    * only the base hash differs. Positionwise agreement / k over all
+    * same-source pairs of the doc_id%10 subsample. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.functions.expressions.MinHashSignature.P
     val base = Tables(s, dir)("documents")
       .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
       .select(col("doc_id"), col("source"),
-              TextFunctions.charShingles(col("text"), 5).as("sh"))
+              transform(TextFunctions.charShingles(col("text"), 5),
+                        sh => pmod(mdHash("", sh), lit(P))).as("hx"))
     val sig = array((0 until K).map { i =>
-      array_min(transform(col("sh"), sh => mdHash(s"$i:", sh)))
+      val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+      array_min(transform(col("hx"), x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
     val sigs = base.select(col("doc_id"), col("source"), sig.as("sig"))
     val est = (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
@@ -53,16 +59,22 @@ object DedupOracles extends QueryPack {
   }
 
   private val q43Sql = {
+    val P = graft.functions.expressions.MinHashSignature.P
     val sigList = (0 until K)
-      .map(i => s"list_min(list_transform(sh, s -> ${mdHashSql(s"$i:", "s")}))")
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
       .mkString("[", ", ", "]")
     val agree = (1 to K)
       .map(i => s"CASE WHEN a.sig[$i] = b.sig[$i] THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH d AS (
          SELECT doc_id, source,
-           list_distinct(list_transform(generate_series(1, length(text) - 4),
-             i -> substring(text, i, 5))) AS sh
+           list_transform(
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+               i -> substring(text, i, 5))),
+             s -> ${mdHashSql("", "s")} % $P) AS hx
          FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5),
        sigs AS (SELECT doc_id, source, $sigList AS sig FROM d)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
