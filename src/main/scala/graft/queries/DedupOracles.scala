@@ -122,11 +122,45 @@ object DedupOracles extends QueryPack {
        FROM v ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Karp-Rabin rolling (polynomial) document fingerprint: a sequential
+    * fold h = (h·131 + code(cᵢ)) mod P over the normalized text — the
+    * incremental-hash primitive behind windowed content chunking. Both
+    * engines fold left-to-right, so the oracle is exact. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val norm = TextFunctions.normalize(col("text"))
+    val codes = transform(sequence(lit(1), length(norm)),
+                          i => ascii(norm.substr(i, lit(1))).cast("long"))
+    val rhash = aggregate(codes, lit(0L),
+                          (acc, c) => pmod(acc * lit(131L) + c, lit(P)))
+    Tables(s, dir)("documents")
+      .select(col("doc_id"), rhash.as("rolling_hash"),
+              length(norm).as("n_norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q45Sql = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    s"""WITH n AS (SELECT doc_id, $norm AS t FROM documents)
+       SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(t)),
+               i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % $P) AS rolling_hash,
+         CAST(length(t) AS INT) AS n_norm_chars
+       FROM n ORDER BY doc_id"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q43_minhash_oracle" -> q43 _,
-    "q44_simhash_oracle" -> q44 _)
+    "q44_simhash_oracle" -> q44 _,
+    "q45_rolling_hash"   -> q45 _)
 
   override val oracles: Map[String, String] = Map(
     "q43_minhash_oracle" -> q43Sql,
-    "q44_simhash_oracle" -> q44Sql)
+    "q44_simhash_oracle" -> q44Sql,
+    "q45_rolling_hash"   -> q45Sql)
 }
