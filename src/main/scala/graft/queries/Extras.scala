@@ -115,15 +115,48 @@ object Extras extends QueryPack {
              FROM events)
        GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q46
+  /** CUBE with GROUPING() indicators — all 2^2 aggregation levels of
+    * (segment, nation) in one pass (rollup's sibling; q20 covers the
+    * hierarchical form). Null group keys disambiguated from real nulls
+    * by the grouping flags, labeled 'ALL' for engine-neutral ordering. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir)("customer"); val n = Tables(s, dir)("nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("c_acctbal")), 4).as("avg_acctbal"),
+           grouping(col("c_mktsegment")).cast("int").as("g_segment"),
+           grouping(col("n_name")).cast("int").as("g_nation"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_customers"), col("avg_acctbal"),
+              col("g_segment"), col("g_nation"))
+      .orderBy(col("g_segment"), col("g_nation"), col("segment"), col("nation"))
+  }
+
+  private val q46Sql =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+              coalesce(n_name, 'ALL') AS nation,
+              count(*) AS n_customers,
+              round(avg(c_acctbal), 4) AS avg_acctbal,
+              CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+              CAST(GROUPING(n_name) AS INT) AS g_nation
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY CUBE (c_mktsegment, n_name)
+       ORDER BY g_segment, g_nation, segment, nation"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q39_approx_distinct" -> q39 _,
     "q40_range_join"      -> q40 _,
     "q41_typed_aggregator"-> q41 _,
-    "q42_json_extract"    -> q42 _)
+    "q42_json_extract"    -> q42 _,
+    "q46_cube_grouping"   -> q46 _)
 
   override val oracles: Map[String, String] = Map(
     "q39_approx_distinct" -> q39Sql,
     "q40_range_join"      -> q40Sql,
     "q41_typed_aggregator"-> q41Sql,
-    "q42_json_extract"    -> q42Sql)
+    "q42_json_extract"    -> q42Sql,
+    "q46_cube_grouping"   -> q46Sql)
 }
