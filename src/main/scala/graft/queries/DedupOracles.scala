@@ -126,16 +126,16 @@ object DedupOracles extends QueryPack {
   /** Karp-Rabin rolling (polynomial) document fingerprint: a sequential
     * fold h = (h·131 + code(cᵢ)) mod P over the normalized text — the
     * incremental-hash primitive behind windowed content chunking. Both
-    * engines fold left-to-right, so the oracle is exact. */
+    * engines fold left-to-right, so the oracle is exact. Computed by
+    * the native RollingHash expression: the composable
+    * aggregate∘transform∘substr form is O(n²) per row (each substr
+    * rescans the UTF8 prefix — measured 33 s at sf0.1 vs <1 s fused). */
   private def q45(s: SparkSession, dir: String): DataFrame = {
-    val P = graft.functions.expressions.MinHashSignature.P
     val norm = TextFunctions.normalize(col("text"))
-    val codes = transform(sequence(lit(1), length(norm)),
-                          i => ascii(norm.substr(i, lit(1))).cast("long"))
-    val rhash = aggregate(codes, lit(0L),
-                          (acc, c) => pmod(acc * lit(131L) + c, lit(P)))
     Tables(s, dir)("documents")
-      .select(col("doc_id"), rhash.as("rolling_hash"),
+      .select(col("doc_id"),
+              graft.functions.expressions.RollingHash.rollingHash(norm)
+                .as("rolling_hash"),
               length(norm).as("n_norm_chars"))
       .orderBy(col("doc_id"))
   }

@@ -47,6 +47,19 @@ class ExpressionsSpec extends GraftTestBase {
     assert(e.getMessage != null)
   }
 
+  test("rolling_hash equals the composed O(n²) fold, incl. non-ASCII codepoints") {
+    import graft.functions.expressions.RollingHash.rollingHash
+    val df = Seq("hello world", "", "a", "naïve café — 你好", "x" * 500).toDF("t")
+    val P = graft.functions.expressions.MinHashSignature.P
+    val composed = aggregate(
+      transform(sequence(lit(1), length($"t")),
+                i => ascii($"t".substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * lit(131L) + c, lit(P)))
+    val bad = df.select(rollingHash($"t").as("native"), composed.as("slow"))
+      .filter($"native" =!= $"slow")
+    assert(bad.count() == 0)
+  }
+
   test("vec_dot works via SQL surface") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
