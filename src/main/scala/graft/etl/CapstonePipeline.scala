@@ -173,11 +173,20 @@ object CapstonePipeline {
   /** run_pipeline (etl.py:281-314): build all six tables and stage them
     * as Parquet. Tiny dims coalesce to one file (the reference's 200
     * shuffle partitions wrote 4-row dims as multi-part output); the fact
-    * can partition by (i94yr, i94mon) for scale-out pruning. */
+    * can partition by (i94yr, i94mon) for scale-out pruning.
+    *
+    * `parallel = true` stages the six writes CONCURRENTLY from the
+    * driver — the step dependency analysis in SURVEY.md §3.1 shows only
+    * calendar depends on another step's plan (and lazily, through
+    * lineage), so independent Spark jobs can overlap: the scheduler
+    * interleaves the small dim jobs with the big fact write instead of
+    * idling the cluster between them. Outputs are identical either way
+    * (each write is an isolated job). */
   def run(spark: SparkSession, dataRoot: String, outputRoot: String,
           temperatureCsvPath: Option[String] = None,
           compat: CompatConfig = CompatConfig.fixed,
-          partitionFactByMonth: Boolean = false): StagedTables = {
+          partitionFactByMonth: Boolean = false,
+          parallel: Boolean = false): StagedTables = {
     val transMode = transModeDim(spark)
     val visa      = visaDim(spark)
     val demo      = demographicsDim(spark, join(dataRoot, "us-cities-demographics.csv"))
@@ -192,15 +201,26 @@ object CapstonePipeline {
       val coalesced = if (one) df.coalesce(1) else df
       coalesced.write.mode(SaveMode.Overwrite).parquet(join(outputRoot, leaf))
     }
-    write(transMode, "i94mode.parquet", one = true)
-    write(visa, "i94visa.parquet", one = true)
-    write(demo, "us_cities_demographics.parquet", one = true)
-    if (partitionFactByMonth)
-      fact.write.mode(SaveMode.Overwrite).partitionBy("i94yr", "i94mon")
-        .parquet(join(outputRoot, "immigration.parquet"))
-    else write(fact, "immigration.parquet", one = false)
-    write(country, "country.parquet", one = true)
-    write(calendar, "i94date.parquet", one = true)
+    def writeFact(): Unit =
+      if (partitionFactByMonth)
+        fact.write.mode(SaveMode.Overwrite).partitionBy("i94yr", "i94mon")
+          .parquet(join(outputRoot, "immigration.parquet"))
+      else write(fact, "immigration.parquet", one = false)
+
+    val steps: Seq[() => Unit] = Seq(
+      () => write(transMode, "i94mode.parquet", one = true),
+      () => write(visa, "i94visa.parquet", one = true),
+      () => write(demo, "us_cities_demographics.parquet", one = true),
+      () => writeFact(),
+      () => write(country, "country.parquet", one = true),
+      () => write(calendar, "i94date.parquet", one = true))
+
+    if (parallel) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(steps.map(s => Future(s()))), Duration.Inf)
+    } else steps.foreach(_())
 
     StagedTables(fact, visa, transMode, demo, country, calendar)
   }
