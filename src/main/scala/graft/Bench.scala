@@ -41,11 +41,13 @@ object Bench {
     runOnce("q01_pricing_summary")
 
     // min of two runs per query: second run reuses compiled codegen and
-    // cached footers, so the minimum reflects plan cost, not JVM noise
+    // cached footers, so the minimum reflects plan cost, not JVM noise.
+    // A failure in EITHER run marks the query failed (-1) — one flaky
+    // crash must not hide behind the other run's time.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
       val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

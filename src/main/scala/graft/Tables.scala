@@ -41,9 +41,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     if (name == "events") events else t(name)
 
   /** Register every table as a temp view for the SQL surface
-    * (reference exposes both DSL and `spark.sql`, SURVEY.md §3.3). */
-  def registerAll(): Unit =
-    Tables.names.foreach(n => t(n).createOrReplaceTempView(n))
+    * (reference exposes both DSL and `spark.sql`, SURVEY.md §3.3).
+    * Routes through `apply` so the events view carries the same
+    * micros-timestamp `ts` as the DataFrame surface (not raw BIGINT
+    * nanos), and sets the nanosAsLong conf up front so a fresh session
+    * doesn't trip on the eager TIMESTAMP(NANOS) footer read. */
+  def registerAll(): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach(n => apply(n).createOrReplaceTempView(n))
+  }
 }
 
 object Tables {

@@ -19,27 +19,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * so results are bit-identical to the composed form and the DuckDB
   * oracle.
   *
-  * Input contract: array<double> (builders cast float arrays up front).
-  * Null if either side is null (nullIntolerant); mismatched lengths
-  * raise — vectors in one table share a dimension, and failing loudly
-  * beats a silently-truncated dot.
+  * Null semantics mirror the composed form exactly, so the
+  * RewriteDotProduct optimizer rule is a pure performance rewrite:
+  * `zip_with` pads mismatched lengths with null and a null product
+  * poisons the fold, so mismatched lengths → NULL; any null element →
+  * NULL; either side NULL → NULL. The per-element null check is only
+  * emitted when an input's ArrayType admits nulls — clean
+  * containsNull=false columns keep the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  private def sideMayHaveNullElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    require(b.numElements() == n,
-      s"vec_dot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    if (b.numElements() != n) return null // zip_with pads with null → null fold
+    val checkNulls =
+      sideMayHaveNullElements(left) || sideMayHaveNullElements(right)
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -48,17 +62,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n   = ctx.freshName("n")
       val i   = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (sideMayHaveNullElements(left) || sideMayHaveNullElements(right))
+          s"""
+             |if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           """.stripMargin
+        else ""
       s"""
-         |int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
-         |  throw new IllegalArgumentException(
-         |    "vec_dot: dimension mismatch " + $n + " vs " + $b.numElements());
+         |if ($b.numElements() != $a.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

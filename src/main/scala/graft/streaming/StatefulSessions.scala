@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark make this the production shape for infinite streams (the
   * batch twin, q33, is the finite-data oracle).
   */
-object StatefulSessions {
+object StatefulSessions extends Serializable {
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
@@ -32,6 +32,45 @@ object StatefulSessions {
     SessionOut(userId, new Timestamp(s.startMs), s.n, s.sum,
                (s.lastMs - s.startMs) / 1000.0)
 
+  /** Pure per-group transition: fold one micro-batch of events into the
+    * open-session state. Returns (new open state, sessions closed by
+    * this batch). Split out of the streaming wiring so the out-of-order
+    * policies are unit-testable without a stream:
+    *   - late-but-in-gap events (above watermark, earlier than the open
+    *     session's start) extend the session BACKWARD — startMs clamps
+    *     with min() so session_start/duration stay correct;
+    *   - a straggler older than the open session by more than the gap
+    *     belongs to an earlier, already-flushed session — it is emitted
+    *     as its own single-event session rather than silently folded
+    *     into (and corrupting) the open one. (With watermark delay ==
+    *     gap this branch is reachable only in the one-batch watermark
+    *     lag window; it is the safety net for that window.)
+    */
+  private[streaming] def processEvents(
+      userId: Long, evs: Seq[Ev], openState: Option[OpenSession],
+      gapMs: Long): (Option[OpenSession], Seq[SessionOut]) = {
+    val sorted = evs.sortBy(_.ts.getTime)
+    val closedSessions = Seq.newBuilder[SessionOut]
+    var open = openState
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+          open = Some(s.copy(startMs = math.min(s.startMs, t),
+                             lastMs = math.max(s.lastMs, t), n = s.n + 1,
+                             sum = s.sum + e.value))
+        case Some(s) if t < s.startMs - gapMs =>
+          closedSessions += SessionOut(userId, new Timestamp(t), 1, e.value, 0.0)
+        case Some(s) =>
+          closedSessions += close(userId, s)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    (open, closedSessions.result())
+  }
+
   def sessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -44,27 +83,13 @@ object StatefulSessions {
         state.remove()
         return out
       }
-      val sorted = evs.toSeq.sortBy(_.ts.getTime)
-      val closedSessions = Seq.newBuilder[SessionOut]
-      var open = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        open match {
-          case Some(s) if t - s.lastMs <= gapMs =>
-            open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
-                               sum = s.sum + e.value))
-          case Some(s) =>
-            closedSessions += close(userId, s)
-            open = Some(OpenSession(t, t, 1, e.value))
-          case None =>
-            open = Some(OpenSession(t, t, 1, e.value))
-        }
-      }
+      val (open, closedSessions) =
+        processEvents(userId, evs.toSeq, state.getOption, gapMs)
       open.foreach { s =>
         state.update(s)
         state.setTimeoutTimestamp(s.lastMs + gapMs)
       }
-      closedSessions.result().iterator
+      closedSessions.iterator
     }
 
     events

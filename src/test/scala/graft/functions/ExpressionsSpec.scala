@@ -39,12 +39,23 @@ class ExpressionsSpec extends GraftTestBase {
     assert(diff.count() == 0)
   }
 
-  test("vec_dot rejects dimension mismatch loudly") {
-    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
-    val e = intercept[Exception] {
-      bad.select(vecDot($"a", $"b")).collect()
-    }
-    assert(e.getMessage != null)
+  test("vec_dot null semantics mirror the zip_with∘aggregate fold") {
+    // mismatch → null (zip_with pads with null, which poisons the fold)
+    val mism = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val both = mism.select(
+      vecDot($"a", $"b").as("native"),
+      VectorFunctions.dot($"a", $"b").as("composed")).collect().head
+    assert(both.isNullAt(0) && both.isNullAt(1))
+    // null element → null, matching the composed form
+    val withNull =
+      spark.sql("SELECT array(1.0d, CAST(NULL AS double)) a, array(3.0d, 4.0d) b")
+    val r = withNull.select(
+      vecDot($"a", $"b").as("native"),
+      VectorFunctions.dot($"a", $"b").as("composed")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // null input → null
+    val nin = spark.sql("SELECT CAST(NULL AS array<double>) a, array(1.0d) b")
+    assert(nin.select(vecDot($"a", $"b")).collect().head.isNullAt(0))
   }
 
   test("rolling_hash equals the composed O(n²) fold, incl. non-ASCII codepoints") {

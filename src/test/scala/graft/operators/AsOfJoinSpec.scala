@@ -30,6 +30,23 @@ class AsOfJoinSpec extends GraftTestBase {
     assert(out("p3").isEmpty)        // left-outer: unmatched left survives with null
   }
 
+  test("null payload fields stay with their own row (no cross-row mixing)") {
+    // right row at 11:00 has a NULL v; a per-column fill would carry v
+    // from the 09:00 row while rid comes from 11:00 — the struct fill
+    // must keep both fields from the 11:00 row.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "p"))
+      .toDF("user_id", "t", "pid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), java.lang.Long.valueOf(1L), java.lang.Double.valueOf(9.9)),
+      (1L, ts("2024-01-01 11:00:00"), java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "t", "rid", "v")
+
+    val r = AsOfJoin.backward(left, right, Seq("user_id"), "t", "t", Seq("rid", "v"))
+      .collect().head
+    assert(r.getAs[java.lang.Long]("asof_rid") == 2L)
+    assert(r.isNullAt(r.fieldIndex("asof_v")), "null v must NOT be backfilled from the 09:00 row")
+  }
+
   test("as-of query q34 matches per-row recompute on sf0.001") {
     val rows = graft.queries.Events.queries("q34_asof_join")(spark, sf001).collect()
     val ev = graft.Tables(spark, sf001)("events")

@@ -50,4 +50,57 @@ class StatefulSessionsSpec extends GraftTestBase {
     assert(user1Sessions.length == 2)
     assert(user1Sessions(1).n_events == 1 && user1Sessions(1).sum_value == 5.0)
   }
+
+  test("late in-gap event extends the session backward (start/duration clamp)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = StatefulSessions.sessionize(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("stateful_late")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    // batch 1 opens a session at t=60min
+    input.addData(Ev(1L, ts(60), 1.0))
+    q.processAllAvailable()
+    // batch 2 delivers an EARLIER event (t=50min, within gap, above
+    // watermark): session must now start at 50 and span 10 minutes
+    input.addData(Ev(1L, ts(50), 2.0))
+    q.processAllAvailable()
+    // close it via gap
+    input.addData(Ev(1L, ts(300), 9.0))
+    q.processAllAvailable()
+    val done = spark.table("stateful_late").as[StatefulSessions.SessionOut].collect()
+    q.stop()
+    assert(done.length == 1)
+    val s = done.head
+    assert(s.session_start == ts(50), s"start must clamp to the late event, got ${s.session_start}")
+    assert(s.n_events == 2 && s.sum_value == 3.0 && s.duration_s == 600.0)
+  }
+
+  test("processEvents: straggler older than start-gap never corrupts the open session") {
+    // Direct unit test: with watermark delay == gap this input reaches
+    // the state function only inside the one-batch watermark lag window,
+    // so the policy is pinned here rather than through a stream.
+    val gapMs = 1800 * 1000L
+    val open = Some(StatefulSessions.OpenSession(
+      startMs = ts(600).getTime, lastMs = ts(610).getTime, n = 2, sum = 3.0))
+    val (after, closed) = StatefulSessions.processEvents(
+      1L, Seq(Ev(1L, ts(300), 7.0)), open, gapMs)
+    assert(closed.length == 1, "straggler must be emitted, not merged")
+    assert(closed.head.n_events == 1 && closed.head.sum_value == 7.0
+      && closed.head.session_start == ts(300))
+    assert(after == open, "open session must be untouched by the straggler")
+  }
+
+  test("processEvents: late in-gap event clamps startMs backward") {
+    val gapMs = 1800 * 1000L
+    val open = Some(StatefulSessions.OpenSession(
+      startMs = ts(60).getTime, lastMs = ts(60).getTime, n = 1, sum = 1.0))
+    val (after, closed) = StatefulSessions.processEvents(
+      1L, Seq(Ev(1L, ts(50), 2.0)), open, gapMs)
+    assert(closed.isEmpty)
+    assert(after.get.startMs == ts(50).getTime && after.get.lastMs == ts(60).getTime)
+    assert(after.get.n == 2 && after.get.sum == 3.0)
+  }
 }
