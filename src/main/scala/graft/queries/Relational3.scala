@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational coverage, part 3 (round 2) — ordered-set aggregates,
+  * moment statistics, arg-max/min, histogram binning, grouping sets,
+  * generator (explode/posexplode) surface, string/datetime/conditional
+  * scalar-function families, array aggregation, and native pivot +
+  * unpivot. All extensions beyond the reference's surface (SURVEY.md
+  * §2.6/§2.7 "absent" rows), each with a DuckDB oracle.
+  */
+object Relational3 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir)(name)
+
+  // ---------------------------------------------------------------- q47
+  /** Exact percentiles (ordered-set aggregate family, absent from the
+    * reference — SURVEY.md §2.6). Spark's percentile() uses the same
+    * linear interpolation as DuckDB's quantile_cont. One shuffle, sorted
+    * per group inside the aggregate. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  private val q47Sql =
+    """SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q48
+  /** Moment statistics: corr / covariance / stddev / variance, sample
+    * and population forms. Distributed one-pass central-moment merge on
+    * both engines; rounding absorbs merge-order float noise. */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar_pop"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        round(var_samp(col("l_extendedprice")), 2).as("price_var"),
+        round(var_pop(col("l_extendedprice")), 2).as("price_var_pop"))
+      .orderBy(col("l_linestatus"))
+
+  private val q48Sql =
+    """SELECT l_linestatus,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_extendedprice), 2) AS price_var,
+       round(var_pop(l_extendedprice), 2) AS price_var_pop
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  // ---------------------------------------------------------------- q49
+  /** arg-max / arg-min: richest and poorest customer per nation via
+    * max_by/min_by over a struct ordering key — the struct's
+    * (acctbal, custkey) lexicographic comparison makes ties
+    * deterministic, which a bare max_by(name, acctbal) is not. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_customer"),
+        round(max(col("c_acctbal")), 4).as("top_acctbal"),
+        min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("bottom_customer"),
+        round(min(col("c_acctbal")), 4).as("bottom_acctbal"))
+      .orderBy(col("c_nationkey"))
+
+  private val q49Sql =
+    """WITH ranked AS (
+         SELECT c_nationkey, c_name, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+         FROM customer)
+       SELECT c_nationkey,
+         max(CASE WHEN rmax = 1 THEN c_name END) AS top_customer,
+         round(max(c_acctbal), 4) AS top_acctbal,
+         max(CASE WHEN rmin = 1 THEN c_name END) AS bottom_customer,
+         round(min(c_acctbal), 4) AS bottom_acctbal
+       FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  // ---------------------------------------------------------------- q50
+  /** Fixed-width histogram as a single hash-aggregate pass (the
+    * scale-safe shape: bucket key is computed per row, no global
+    * min/max pre-pass, no sort). */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("sum_price"),
+           round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("bucket"))
+
+  private val q50Sql =
+    """SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price
+       FROM orders GROUP BY 1 ORDER BY bucket"""
+
+  // ---------------------------------------------------------------- q51
+  /** Explicit GROUPING SETS (beyond q20's rollup / q46's cube): two
+    * independent one-dimension slices plus the grand total in ONE
+    * aggregate — Spark expands to a single Expand+Aggregate, not three
+    * scans. Uses the Spark 4 Dataset.groupingSets DSL. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q51Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY status, priority"""
+
+  // ---------------------------------------------------------------- q52
+  /** Generator / UDTF surface (SURVEY.md §2.8 "no UDTFs" row):
+    * posexplode(sequence(...)) fans each order into one row per day of
+    * a 4-day span — the lateral-view shape used for date spines. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(300)) === 0)
+      .select(col("o_orderkey"),
+        posexplode(expr(
+          "sequence(o_orderdate, o_orderdate + interval 3 day, interval 1 day)")))
+      .select(col("o_orderkey"), col("pos").cast("int").as("pos"),
+              col("col").as("day"))
+      .orderBy(col("o_orderkey"), col("pos"))
+
+  private val q52Sql =
+    """SELECT o_orderkey,
+       CAST(datediff('day', o_orderdate, day) AS INT) AS pos, day
+       FROM (SELECT o_orderkey, o_orderdate,
+               unnest(generate_series(o_orderdate,
+                 o_orderdate + INTERVAL 3 DAY, INTERVAL 1 DAY)) AS day
+             FROM orders WHERE o_orderkey % 300 = 0)
+       ORDER BY o_orderkey, pos"""
+
+  // ---------------------------------------------------------------- q53
+  /** String-function family (absent from the reference beyond case
+    * mapping — SURVEY.md §2.7): length/substr/pad/concat/reverse/split
+    * plus levenshtein edit distance, all codegen'd built-ins. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(30)) === 0)
+      .select(
+        col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_head"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_brand")).as("brand_rev"),
+        levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+        size(split(col("p_name"), " ")).as("n_tokens"))
+      .orderBy(col("p_partkey"))
+
+  private val q53Sql =
+    """SELECT p_partkey,
+       CAST(length(p_name) AS INT) AS name_len,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 5) AS type_head,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       reverse(p_brand) AS brand_rev,
+       CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens
+       FROM part WHERE p_partkey % 30 = 0 ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- q54
+  /** Datetime-function family beyond q10's date parts: truncation,
+    * month arithmetic (add_months end-of-month clamp), last_day,
+    * day-diff, epoch seconds. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        add_months(col("o_orderdate"), 1).as("next_month"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  private val q54Sql =
+    """SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+       FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------- q55
+  /** Conditional-function family: nullif / coalesce / greatest / least
+    * composed inside aggregates (one pass, codegen'd). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(nullif(col("l_discount"), lit(0.0)).isNull, 1).otherwise(0))
+          .as("n_zero_discount"),
+        round(sum(greatest(col("l_tax"), col("l_discount"))), 4).as("sum_max_rate"),
+        round(sum(least(col("l_tax"), col("l_discount"))), 4).as("sum_min_rate"),
+        round(sum(coalesce(nullif(col("l_tax"), lit(0.0)), lit(0.5))), 4)
+          .as("sum_tax_defaulted"))
+      .orderBy(col("l_returnflag"))
+
+  private val q55Sql =
+    """SELECT l_returnflag,
+       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_discount,
+       round(sum(greatest(l_tax, l_discount)), 4) AS sum_max_rate,
+       round(sum(least(l_tax, l_discount)), 4) AS sum_min_rate,
+       round(sum(coalesce(nullif(l_tax, 0.0), 0.5)), 4) AS sum_tax_defaulted
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q56
+  /** Array aggregation: collect_set/collect_list → sort_array → slice,
+    * serialized with concat_ws so the hash compare sees a stable scalar
+    * (array column hashing is engine-dependent). */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        size(collect_set(col("c_mktsegment"))).as("n_segments"),
+        concat_ws(",", slice(sort_array(collect_list(col("c_name"))), 1, 3))
+          .as("first_names"))
+      .orderBy(col("c_nationkey"))
+
+  private val q56Sql =
+    """SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       CAST(count(DISTINCT c_mktsegment) AS INT) AS n_segments,
+       array_to_string(list_sort(list(c_name))[1:3], ',') AS first_names
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  // ---------------------------------------------------------------- q57
+  /** Native DataFrame.pivot (explicit value list — no extra distinct
+    * pass) immediately unpivoted back: exercises both reshape
+    * directions; zero-fill makes the round trip total. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val pivoted = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .count()
+      .na.fill(0L, priorities)
+    pivoted
+      .unpivot(Array(col("o_orderstatus")), priorities.map(col).toArray,
+               "priority", "n_orders")
+      .orderBy(col("o_orderstatus"), col("priority"))
+  }
+
+  private val q57Sql =
+    """WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
+       pri AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']) AS priority),
+       cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+               FROM orders GROUP BY 1, 2)
+       SELECT st.o_orderstatus, pri.priority, coalesce(cnt.n, 0) AS n_orders
+       FROM st CROSS JOIN pri
+       LEFT JOIN cnt ON cnt.o_orderstatus = st.o_orderstatus
+                    AND cnt.o_orderpriority = pri.priority
+       ORDER BY st.o_orderstatus, pri.priority"""
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q47_percentiles"     -> q47 _,
+    "q48_stats_moments"   -> q48 _,
+    "q49_argmax"          -> q49 _,
+    "q50_histogram"       -> q50 _,
+    "q51_grouping_sets"   -> q51 _,
+    "q52_explode_days"    -> q52 _,
+    "q53_string_funcs"    -> q53 _,
+    "q54_datetime_funcs"  -> q54 _,
+    "q55_conditional"     -> q55 _,
+    "q56_array_agg"       -> q56 _,
+    "q57_pivot_unpivot"   -> q57 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q47_percentiles"     -> q47Sql,
+    "q48_stats_moments"   -> q48Sql,
+    "q49_argmax"          -> q49Sql,
+    "q50_histogram"       -> q50Sql,
+    "q51_grouping_sets"   -> q51Sql,
+    "q52_explode_days"    -> q52Sql,
+    "q53_string_funcs"    -> q53Sql,
+    "q54_datetime_funcs"  -> q54Sql,
+    "q55_conditional"     -> q55Sql,
+    "q56_array_agg"       -> q56Sql,
+    "q57_pivot_unpivot"   -> q57Sql)
+}
