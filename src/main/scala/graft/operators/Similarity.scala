@@ -108,6 +108,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the third rung of the ANN
+    * scale ladder: partition the corpus into centroid buckets once
+    * (assignment is O(|C|·K·d) with the centroid table broadcast), then
+    * each query probes only its `nprobe` nearest buckets. At 100 TB the
+    * corpus never shuffles for assignment (map-side cross with a
+    * broadcast centroid list) and the candidate join touches ~nprobe/K
+    * of the data. Centroids are caller-supplied (here: a deterministic
+    * subset standing in for a k-means fit, which would be offline state
+    * in production). Output matches bruteForceTopK so recall is
+    * directly measurable.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: DataFrame,
+              centroidIdCol: String, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+                                toDoubleVec(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv")))
+
+    // nearest `keep` centroids per row; ties broken on centroid_id so
+    // bucketing is engine-independent
+    def nearestCentroids(df: DataFrame, id: String, vecOut: String,
+                         normOut: String, keep: Int): DataFrame = {
+      val base = df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut))
+        .withColumn(normOut, norm(col(vecOut)))
+      val ccos = when(col(normOut) * col("centn") === 0.0, 0.0)
+        .otherwise(vecDot(col(vecOut), col("centv")) /
+                   (col(normOut) * col("centn")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      base.crossJoin(broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+    }
+
+    val assigned = nearestCentroids(corpus, "neighbor_id", "cv", "cn", keep = 1)
+      .select(col("centroid_id").as("bucket"), col("neighbor_id"),
+              col("cv"), col("cn"))
+    val probes = nearestCentroids(queries, "query_id", "qv", "qn", keep = nprobe)
+      .select(col("centroid_id").as("bucket"), col("query_id"),
+              col("qv"), col("qn"))
+
+    val cos = when(col("qn") * col("cn") === 0.0, 0.0)
+      .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // each corpus vector lives in exactly one bucket, so probe fan-out
+    // cannot duplicate candidates — no distinct needed
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: same-`blockCol` blocking (no all-pairs
     * blowup), exact cosine >= threshold. Norms precomputed per side,
     * not per pair (see bruteForceTopK). */

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Event-stream coverage, part 2 (round 2): stream-stream interval
+  * join and watermark-TTL streaming dedup — the two remaining
+  * Structured-Streaming operator families after round 1's windowed agg
+  * (q35) and custom state (StatefulSessionsSpec). Both drain a finite
+  * file stream, so batch SQL is an exact oracle.
+  */
+object Events2 extends QueryPack {
+
+  // ---------------------------------------------------------------- q61
+  /** Stream-stream inner join: each purchase matched to every same-user
+    * click in the 30 minutes before it, both sides watermarked (bounded
+    * join state). Oracle is the equivalent batch interval join. */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamStreamJoinToMemory(s, dir, queryName = "q61_ssjoin_out")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+
+  private val q61Sql =
+    """WITH p AS (
+         SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+         FROM events WHERE event_type = 'click')
+       SELECT p.user_id, p.purchase_id, c.click_id,
+         round((epoch_us(p_ts) - epoch_us(c_ts)) * 1.0 / 1e6, 6) AS gap_s
+       FROM p JOIN c ON p.user_id = c.user_id
+         AND c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
+       ORDER BY p.user_id, p.purchase_id, c.click_id"""
+
+  // ---------------------------------------------------------------- q62
+  /** Streaming dedup with state TTL (dropDuplicatesWithinWatermark) on
+    * (user_id, event_type); the drained sink aggregated per type equals
+    * batch count(DISTINCT user_id). */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamDedupToMemory(s, dir, queryName = "q62_dedup_out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy(col("event_type"))
+
+  private val q62Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q61_stream_stream_join" -> q61 _,
+    "q62_stream_dedup"       -> q62 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q61_stream_stream_join" -> q61Sql,
+    "q62_stream_dedup"       -> q62Sql)
+}

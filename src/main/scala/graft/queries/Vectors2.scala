@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding coverage, part 2 (round 2): IVF approximate
+  * nearest-neighbor — the bucketed scale path the brief calls for
+  * alongside brute force (q29) and SRP-LSH (q30). Unlike SRP, the whole
+  * IVF pipeline (centroid assignment → probe → re-rank) is plain
+  * relational algebra, so DuckDB can replay it exactly and the query is
+  * fully hash-checked, not just rows-only.
+  */
+object Vectors2 extends QueryPack {
+
+  private val Dim = 64
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+
+  // ---------------------------------------------------------------- q60
+  /** IVF ANN: 16 deterministic centroids (vec_id < 16 stand in for a
+    * k-means fit), every vector assigned to its nearest centroid, each
+    * query probing its 2 nearest buckets, exact cosine re-rank top-5.
+    * Same query set and output shape as q29, so recall is measurable
+    * (SimilaritySpec). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val centroids = all.filter(col("vec_id") < 16)
+    Similarity.ivfTopK(all, queries, "vec_id", "embedding", k = 5,
+        centroids = centroids, centroidIdCol = "vec_id", nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+              round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q60Sql =
+    s"""WITH cent AS (
+         SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < 16),
+       acand AS (
+         SELECT e.vec_id, e.embedding, c.centroid_id,
+           ${dotSql("e.embedding", "c.centv")} /
+             (${normSql("e.embedding")} * ${normSql("c.centv")}) AS ccos
+         FROM embeddings e CROSS JOIN cent c),
+       arank AS (
+         SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY ccos DESC, centroid_id) AS crk
+         FROM acand),
+       assigned AS (
+         SELECT centroid_id AS bucket, vec_id AS neighbor_id, embedding AS cv
+         FROM arank WHERE crk = 1),
+       probes AS (
+         SELECT centroid_id AS bucket, vec_id AS query_id, embedding AS qv
+         FROM arank WHERE crk <= 2 AND vec_id % 50 = 0),
+       cand AS (
+         SELECT p.query_id, a.neighbor_id,
+           ${dotSql("p.qv", "a.cv")} /
+             (${normSql("p.qv")} * ${normSql("a.cv")}) AS cos
+         FROM probes p JOIN assigned a USING (bucket)
+         WHERE p.query_id <> a.neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank
+         FROM cand)
+       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         round(cos, 6) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q60_ivf_ann" -> q60 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q60_ivf_ann" -> q60Sql)
+}

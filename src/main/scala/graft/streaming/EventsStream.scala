@@ -56,6 +56,59 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream inner join with an event-time range condition:
+    * purchases matched to same-user clicks in the preceding 30 minutes.
+    * Both sides carry watermarks so the join state is bounded — Spark
+    * retains each side only until the watermark passes the range bound,
+    * which is what makes the operator viable on an infinite stream.
+    * Inner-join matches emit as soon as both rows arrive (append mode);
+    * draining the finite file stream therefore yields exactly the batch
+    * join, which is the DuckDB oracle (q61). */
+  def streamStreamJoinToMemory(spark: SparkSession, dir: String,
+                               queryName: String): DataFrame = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+              col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              round((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                      .cast("double") / 1e6, 6).as("gap_s"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Streaming deduplication with state TTL:
+    * dropDuplicatesWithinWatermark keeps one row per (user_id,
+    * event_type) while expiring key state once the watermark passes —
+    * bounded memory on an infinite stream, unlike plain dropDuplicates.
+    * Over the finite file stream every event falls inside the watermark
+    * window, so the result equals a global batch distinct (q62's
+    * oracle aggregates the sink table). */
+  def streamDedupToMemory(spark: SparkSession, dir: String,
+                          queryName: String): DataFrame = {
+    val deduped = readEvents(spark, dir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked append-mode variant (the production streaming shape:
     * bounded state, late data dropped past the watermark). Used by
     * StreamingSpec; a finite file stream in append mode only emits

@@ -12,6 +12,38 @@ class StreamingSpec extends GraftTestBase {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStream.streamStreamJoinToMemory(spark, sf001, "spec_ssjoin")
+      .orderBy("user_id", "purchase_id", "click_id").collect().map(_.toString)
+    val e = graft.Tables(spark, sf001)("events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              round((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                      .cast("double") / 1e6, 6).as("gap_s"))
+      .orderBy("user_id", "purchase_id", "click_id").collect().map(_.toString)
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
+  }
+
+  test("streaming dedup within watermark equals batch distinct") {
+    val deduped = EventsStream.streamDedupToMemory(spark, sf001, "spec_dedup")
+    val streamPairs = deduped.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchPairs = graft.Tables(spark, sf001)("events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(streamPairs.length == streamPairs.toSet.size, "sink must hold no duplicates")
+    assert(streamPairs.toSet == batchPairs.toSet)
+  }
+
   test("watermarked append-mode agg runs and bounds state (emits only closed windows)") {
     val q = EventsStream.watermarkedWindowAgg(spark, sf001)
       .writeStream.outputMode("append").format("memory")
