@@ -20,16 +20,20 @@ object Relational3 extends QueryPack {
   // ---------------------------------------------------------------- q47
   /** Exact percentiles (ordered-set aggregate family, absent from the
     * reference — SURVEY.md §2.6). Spark's percentile() uses the same
-    * linear interpolation as DuckDB's quantile_cont. One shuffle, sorted
-    * per group inside the aggregate. */
+    * linear interpolation as DuckDB's quantile_cont. ONE array-form
+    * aggregate — four scalar percentile() calls would each keep their
+    * own copy of every group's values (4× buffer + 4× sort; measured
+    * 9 s vs ~1 s at sf0.1). */
   private def q47(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p90"))
       .orderBy(col("l_returnflag"))
 
   private val q47Sql =

@@ -33,6 +33,28 @@ class ScaleOpsSpec extends GraftTestBase {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("bloom-pruned join equals plain join and actually prunes the probe side") {
+    val lineitem = graft.Tables(spark, sf001)("lineitem")
+    // selective build side: 10% of suppliers
+    val build = graft.Tables(spark, sf001)("supplier")
+      .filter($"s_suppkey" % 10 === 0)
+      .select($"s_suppkey", $"s_name")
+    val plain = lineitem.join(build, $"l_suppkey" === $"s_suppkey")
+      .select("l_orderkey", "l_linenumber", "s_name")
+      .collect().map(_.toString).sorted
+    val bloomed = BloomJoin.bloomPrunedJoin(lineitem, build,
+        "l_suppkey", "s_suppkey", expectedItems = 1000)
+      .select("l_orderkey", "l_linenumber", "s_name")
+      .collect().map(_.toString).sorted
+    assert(bloomed.toSeq == plain.toSeq)
+
+    // the filter itself must drop (most of) the 90% non-matching rows
+    val bf = build.stat.bloomFilter("s_suppkey", 1000, 0.01)
+    val kept = BloomJoin.prune(lineitem, "l_suppkey", bf).count()
+    val total = lineitem.count()
+    assert(kept < total * 0.2, s"bloom kept $kept of $total — no pruning happened")
+  }
+
   test("bucketed join plans without a shuffle exchange and matches plain join") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     val orders   = graft.Tables(spark, sf001)("orders")
