@@ -48,6 +48,21 @@ object Checks {
     counted.reduce(_.union(_)).orderBy("table_name")
   }
 
+  /** Zero-cost pipeline observability: attach named metrics to a
+    * DataFrame with `observe()` — Spark's CollectMetrics operator
+    * accumulates them DURING whatever action runs the plan, so quality
+    * numbers (row count, null count, value bounds) cost no extra pass
+    * over the data, unlike rowCounts/nullProfile which are their own
+    * jobs. Read the result from the returned observation after the
+    * action completes. At 100 TB "free metrics on the write job" vs "a
+    * second full scan" is the whole game for pipeline QA. */
+  def observed(df: DataFrame, name: String, metrics: Map[String, Column])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val exprs = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
+  }
+
   /** One FK edge: child[fk] must exist in parent[pk]. */
   final case class FkEdge(name: String, child: DataFrame, fk: String,
                           parent: DataFrame, pk: String)

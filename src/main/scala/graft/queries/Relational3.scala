@@ -301,6 +301,34 @@ object Relational3 extends QueryPack {
                     AND cnt.o_orderpriority = pri.priority
        ORDER BY st.o_orderstatus, pri.priority"""
 
+  // ---------------------------------------------------------------- q63
+  /** Per-group top-k via the typed bounded-heap Aggregator (TopK) —
+    * q13's semantics without q13's window sort: partial buffers carry
+    * at most k entries per group, so the shuffle moves k·partitions
+    * rows instead of the whole table and nothing is fully sorted
+    * (O(n log k), the at-scale shape for top-k). Same oracle SQL as
+    * the window form — both must agree exactly. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(3))
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col._2").as("o_orderkey"),
+              round(col("col._1"), 4).as("o_totalprice"),
+              (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val q63Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+       CAST(rk AS INT) AS rk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             FROM orders)
+       WHERE rk <= 3 ORDER BY o_custkey, rk"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q47_percentiles"     -> q47 _,
     "q48_stats_moments"   -> q48 _,
@@ -312,7 +340,8 @@ object Relational3 extends QueryPack {
     "q54_datetime_funcs"  -> q54 _,
     "q55_conditional"     -> q55 _,
     "q56_array_agg"       -> q56 _,
-    "q57_pivot_unpivot"   -> q57 _)
+    "q57_pivot_unpivot"   -> q57 _,
+    "q63_topk_heap"       -> q63 _)
 
   override val oracles: Map[String, String] = Map(
     "q47_percentiles"     -> q47Sql,
@@ -325,5 +354,6 @@ object Relational3 extends QueryPack {
     "q54_datetime_funcs"  -> q54Sql,
     "q55_conditional"     -> q55Sql,
     "q56_array_agg"       -> q56Sql,
-    "q57_pivot_unpivot"   -> q57Sql)
+    "q57_pivot_unpivot"   -> q57Sql,
+    "q63_topk_heap"       -> q63Sql)
 }

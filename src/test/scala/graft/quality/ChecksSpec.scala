@@ -24,6 +24,21 @@ class ChecksSpec extends GraftTestBase {
     assert(row.getDouble(1) == 0.5) // null counted
   }
 
+  test("observed metrics accumulate during the action, no extra pass") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sf001)("lineitem")
+    val (df, obs) = Checks.observed(li, "li_quality", Map(
+      "n_rows"    -> count(lit(1)),
+      "n_null_qty"-> sum(when($"l_quantity".isNull, 1L).otherwise(0L)),
+      "max_price" -> max($"l_extendedprice")))
+    val written = df.filter($"l_quantity" > 0).count() // the one action
+    val m = obs.get
+    assert(m("n_rows") == li.count())
+    assert(m("n_null_qty") == 0L)
+    assert(m("max_price").asInstanceOf[Double] > 0.0)
+    assert(written > 0)
+  }
+
   test("rowCounts reports every table") {
     val out = Checks.rowCounts(spark, Seq(
         "a" -> Seq(1, 2, 3).toDF("x"), "b" -> Seq.empty[Int].toDF("x")))
