@@ -329,6 +329,44 @@ object Relational3 extends QueryPack {
              FROM orders)
        WHERE rk <= 3 ORDER BY o_custkey, rk"""
 
+  // ---------------------------------------------------------------- q66
+  /** Analytic window family beyond q13/q14's rank/lag: ntile,
+    * percent_rank, cume_dist, nth_value/first/last over an explicit
+    * full-partition frame. Total ordering (price, key) kills ties so
+    * every function is engine-deterministic. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(50)) === 0)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sampled.select(
+        col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_orderkey")).over(full).as("cheapest_key"),
+        last_value(col("o_orderkey")).over(full).as("priciest_key"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  private val q66Sql =
+    """SELECT o_orderstatus, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER wf AS cheapest_key,
+       last_value(o_orderkey) OVER wf AS priciest_key,
+       nth_value(o_orderkey, 3) OVER wf AS third_key
+       FROM orders WHERE o_orderkey % 50 = 0
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey),
+              wf AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderstatus, o_orderkey"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q47_percentiles"     -> q47 _,
     "q48_stats_moments"   -> q48 _,
@@ -341,7 +379,8 @@ object Relational3 extends QueryPack {
     "q55_conditional"     -> q55 _,
     "q56_array_agg"       -> q56 _,
     "q57_pivot_unpivot"   -> q57 _,
-    "q63_topk_heap"       -> q63 _)
+    "q63_topk_heap"       -> q63 _,
+    "q66_window_analytics"-> q66 _)
 
   override val oracles: Map[String, String] = Map(
     "q47_percentiles"     -> q47Sql,
@@ -355,5 +394,6 @@ object Relational3 extends QueryPack {
     "q55_conditional"     -> q55Sql,
     "q56_array_agg"       -> q56Sql,
     "q57_pivot_unpivot"   -> q57Sql,
-    "q63_topk_heap"       -> q63Sql)
+    "q63_topk_heap"       -> q63Sql,
+    "q66_window_analytics"-> q66Sql)
 }
