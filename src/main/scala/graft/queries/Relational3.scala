@@ -367,6 +367,44 @@ object Relational3 extends QueryPack {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_orderstatus, o_orderkey"""
 
+  // ---------------------------------------------------------------- q67
+  /** Array higher-order functions (transform / filter / exists /
+    * aggregate / zip_with) over per-order quantity arrays — the lambda
+    * surface the vector ops build on, exercised as first-class API.
+    * Arrays are sorted on build so contents are deterministic. */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        round(aggregate(col("qs"), lit(0.0), (a, x) => a + x), 4).as("total_qty"),
+        size(filter(col("qs"), x => x > 25)).as("n_big"),
+        exists(col("qs"), x => x >= 49).as("any_big"),
+        (element_at(col("qs"), 1) * 2).as("doubled_min"),
+        round(aggregate(
+          zip_with(col("qs"),
+                   sequence(size(col("qs")), lit(1), lit(-1)).cast("array<double>"),
+                   (x, w) => x * w),
+          lit(0.0), (a, x) => a + x), 4).as("weighted"))
+      .orderBy(col("l_orderkey"))
+
+  private val q67Sql =
+    """WITH arr AS (
+         SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+         FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1)
+       SELECT l_orderkey,
+         CAST(len(qs) AS INT) AS n_items,
+         round(list_sum(qs), 4) AS total_qty,
+         CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+         (len(list_filter(qs, x -> x >= 49)) > 0) AS any_big,
+         qs[1] * 2 AS doubled_min,
+         round(list_sum(list_transform(generate_series(1, len(qs)),
+           i -> qs[i] * (len(qs) - i + 1))), 4) AS weighted
+       FROM arr ORDER BY l_orderkey"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q47_percentiles"     -> q47 _,
     "q48_stats_moments"   -> q48 _,
@@ -380,7 +418,8 @@ object Relational3 extends QueryPack {
     "q56_array_agg"       -> q56 _,
     "q57_pivot_unpivot"   -> q57 _,
     "q63_topk_heap"       -> q63 _,
-    "q66_window_analytics"-> q66 _)
+    "q66_window_analytics"-> q66 _,
+    "q67_array_hof"       -> q67 _)
 
   override val oracles: Map[String, String] = Map(
     "q47_percentiles"     -> q47Sql,
@@ -395,5 +434,6 @@ object Relational3 extends QueryPack {
     "q56_array_agg"       -> q56Sql,
     "q57_pivot_unpivot"   -> q57Sql,
     "q63_topk_heap"       -> q63Sql,
-    "q66_window_analytics"-> q66Sql)
+    "q66_window_analytics"-> q66Sql,
+    "q67_array_hof"       -> q67Sql)
 }

@@ -39,6 +39,22 @@ class ChecksSpec extends GraftTestBase {
     assert(written > 0)
   }
 
+  test("approxQuantile (GK sketch) honors its rank-error guarantee vs exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sf001)("lineitem")
+    val n = li.count().toDouble
+    val eps = 0.01
+    val probs = Array(0.25, 0.5, 0.75)
+    val approx = li.stat.approxQuantile("l_extendedprice", probs, eps)
+    probs.zip(approx).foreach { case (p, a) =>
+      // the guarantee is on RANK: the returned value's true rank must
+      // lie within eps*n of the target rank
+      val frac = li.filter(col("l_extendedprice") <= a).count() / n
+      assert(frac >= p - eps - 1e-9 && frac <= p + eps + 1.0 / n,
+        s"p=$p approx=$a landed at rank-fraction $frac")
+    }
+  }
+
   test("rowCounts reports every table") {
     val out = Checks.rowCounts(spark, Seq(
         "a" -> Seq(1, 2, 3).toDF("x"), "b" -> Seq.empty[Int].toDF("x")))
