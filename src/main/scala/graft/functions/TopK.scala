@@ -29,7 +29,13 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
 
   override def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
     if (b.length == k && ord.lteq(b.last, in)) b // below the current floor
-    else ((b :+ in).sorted(ord)).take(k)
+    else {
+      // the buffer is already sorted: O(k) positional insert, no re-sort
+      val pos = b.indexWhere(e => ord.gt(e, in))
+      val at = if (pos < 0) b.length else pos
+      val inserted = (b.take(at) :+ in) ++ b.drop(at)
+      if (inserted.length > k) inserted.take(k) else inserted
+    }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (a ++ b).sorted(ord).take(k)

@@ -35,7 +35,14 @@ object BloomJoin {
 
   /** The probe-side filter alone (composable into larger pipelines).
     * The sketch travels once per executor as a broadcast variable; the
-    * membership test is a per-row hash, no shuffle, narrow. */
+    * membership test is a per-row hash, no shuffle, narrow.
+    *
+    * Broadcast lifetime is caller-managed: each call registers a new
+    * broadcast that lives until the returned DataFrame becomes
+    * unreachable and the ContextCleaner reclaims it. Long-running
+    * drivers looping over many multi-MB sketches should hold the
+    * filter, reuse `prune`, and let each result go out of scope
+    * promptly (or build fewer, coarser filters). */
   def prune(probe: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

@@ -110,14 +110,15 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the third rung of the ANN
     * scale ladder: partition the corpus into centroid buckets once
-    * (assignment is O(|C|·K·d) with the centroid table broadcast), then
-    * each query probes only its `nprobe` nearest buckets. At 100 TB the
-    * corpus never shuffles for assignment (map-side cross with a
-    * broadcast centroid list) and the candidate join touches ~nprobe/K
-    * of the data. Centroids are caller-supplied (here: a deterministic
-    * subset standing in for a k-means fit, which would be offline state
-    * in production). Output matches bruteForceTopK so recall is
-    * directly measurable.
+    * (assignment is O(|C|·K·d)), then each query probes only its
+    * `nprobe` nearest buckets. The K centroids are collected once and
+    * inlined as plan literals, so at 100 TB the corpus assignment is a
+    * NARROW projection — no shuffle, no join, K codegen'd dot products
+    * per row — and the candidate join touches ~nprobe/K of the data.
+    * Centroids are caller-supplied (here: a deterministic subset
+    * standing in for a k-means fit, which would be offline state in
+    * production). Output matches bruteForceTopK so recall is directly
+    * measurable.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,
@@ -126,29 +127,55 @@ object Similarity {
                                 toDoubleVec(col(vecCol)).as("centv"))
       .withColumn("centn", norm(col("centv")))
 
-    // nearest `keep` centroids per row; ties broken on centroid_id so
-    // bucketing is engine-independent
-    def nearestCentroids(df: DataFrame, id: String, vecOut: String,
-                         normOut: String, keep: Int): DataFrame = {
-      val base = df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut))
-        .withColumn(normOut, norm(col(vecOut)))
-      val ccos = when(col(normOut) * col("centn") === 0.0, 0.0)
-        .otherwise(vecDot(col(vecOut), col("centv")) /
-                   (col(normOut) * col("centn")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      base.crossJoin(broadcast(cent))
-        .withColumn("ccos", ccos)
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
+    // Centroids are fitted state, small by contract (K vectors) — pull
+    // them to the driver ONCE and inline them as literals, so corpus
+    // assignment becomes a NARROW per-row argmax expression: zero
+    // shuffle, zero join, K fused dot products per row inside codegen.
+    // (A window rank here would shuffle and sort the |corpus|×K cross
+    // product; even an argmax aggregate still exchanges one row per
+    // vector.) Ties break to the lowest centroid_id via the negated id
+    // in the ordering struct, matching the oracle.
+    val centLocal: Array[(Long, Array[Double], Double)] = cent.collect().map { r =>
+      val id = r.getLong(0)
+      val v  = r.getSeq[Double](1).toArray
+      (id, v, r.getDouble(2))
+    }
+    require(centLocal.nonEmpty, "ivfTopK needs at least one centroid")
+
+    def argmaxBucket(vecOut: String, normOut: String): Column = {
+      val scoredStructs = centLocal.map { case (id, v, cn) =>
+        val cvLit = array(v.map(lit): _*)
+        val ccos =
+          if (cn == 0.0) lit(0.0)
+          else when(col(normOut) === 0.0, 0.0)
+            .otherwise(vecDot(col(vecOut), cvLit) / (col(normOut) * lit(cn)))
+        struct(ccos.as("s"), lit(-id).as("nid"), lit(id).as("id"))
+      }
+      array_max(array(scoredStructs: _*)).getField("id")
     }
 
-    val assigned = nearestCentroids(corpus, "neighbor_id", "cv", "cn", keep = 1)
-      .select(col("centroid_id").as("bucket"), col("neighbor_id"),
-              col("cv"), col("cn"))
-    val probes = nearestCentroids(queries, "query_id", "qv", "qn", keep = nprobe)
-      .select(col("centroid_id").as("bucket"), col("query_id"),
-              col("qv"), col("qn"))
+    def withVec(df: DataFrame, id: String, vecOut: String, normOut: String) =
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut))
+        .withColumn(normOut, norm(col(vecOut)))
+
+    val assigned = withVec(corpus, "neighbor_id", "cv", "cn")
+      .withColumn("bucket", argmaxBucket("cv", "cn"))
+
+    // The probe side needs the top `nprobe` centroids per query; the
+    // query set is small by contract, so a bucket-explode via the same
+    // literal centroid scores stays driver-free and narrow too: score
+    // all K, sort, slice nprobe, explode.
+    val probes = withVec(queries, "query_id", "qv", "qn")
+      .withColumn("bucket", explode(slice(transform(
+        sort_array(array(centLocal.map { case (id, v, cn) =>
+          val cvLit = array(v.map(lit): _*)
+          val ccos =
+            if (cn == 0.0) lit(0.0)
+            else when(col("qn") === 0.0, 0.0)
+              .otherwise(vecDot(col("qv"), cvLit) / (col("qn") * lit(cn)))
+          struct(ccos.as("s"), lit(-id).as("nid"), lit(id).as("id"))
+        }: _*), asc = false),
+        s => s.getField("id")), 1, nprobe)))
 
     val cos = when(col("qn") * col("cn") === 0.0, 0.0)
       .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))

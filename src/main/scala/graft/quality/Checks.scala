@@ -58,6 +58,7 @@ object Checks {
     * second full scan" is the whole game for pipeline QA. */
   def observed(df: DataFrame, name: String, metrics: Map[String, Column])
       : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed() needs at least one metric column")
     val obs = org.apache.spark.sql.Observation(name)
     val exprs = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
     (df.observe(obs, exprs.head, exprs.tail: _*), obs)

@@ -39,28 +39,46 @@ object StatefulSessions extends Serializable {
     *   - late-but-in-gap events (above watermark, earlier than the open
     *     session's start) extend the session BACKWARD — startMs clamps
     *     with min() so session_start/duration stay correct;
-    *   - a straggler older than the open session by more than the gap
-    *     belongs to an earlier, already-flushed session — it is emitted
-    *     as its own single-event session rather than silently folded
-    *     into (and corrupting) the open one. (With watermark delay ==
-    *     gap this branch is reachable only in the one-batch watermark
-    *     lag window; it is the safety net for that window.)
+    *   - stragglers older than the open session by more than the gap
+    *     belong to earlier, already-flushed sessions — they are
+    *     gap-sessionized among themselves and emitted closed rather
+    *     than silently folded into (and corrupting) the open session.
+    *     (With watermark delay == gap this path is reachable only in
+    *     the one-batch watermark lag window; it is the safety net for
+    *     that window.)
     */
   private[streaming] def processEvents(
       userId: Long, evs: Seq[Ev], openState: Option[OpenSession],
       gapMs: Long): (Option[OpenSession], Seq[SessionOut]) = {
     val sorted = evs.sortBy(_.ts.getTime)
     val closedSessions = Seq.newBuilder[SessionOut]
+
+    // Stragglers older than the open session by more than the gap belong
+    // to earlier, already-flushed sessions. Gap-sessionize them among
+    // THEMSELVES (two in-gap stragglers form one session, matching the
+    // batch twin's semantics) and emit everything closed — their last
+    // session is by construction > gap away from the open session's
+    // start, so it can never merge forward.
+    val (stragglers, current) = openState match {
+      case Some(s) => sorted.partition(_.ts.getTime < s.startMs - gapMs)
+      case None    => (Seq.empty[Ev], sorted)
+    }
+    if (stragglers.nonEmpty) {
+      val (lastOld, oldClosed) = processEvents(userId, stragglers, None, gapMs)
+      closedSessions ++= oldClosed
+      lastOld.foreach(s => closedSessions += close(userId, s))
+    }
+
     var open = openState
-    sorted.foreach { e =>
+    current.foreach { e =>
       val t = e.ts.getTime
       open match {
+        // Late-but-in-gap events extend the session BACKWARD: clamp
+        // startMs so session_start/duration stay correct.
         case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
           open = Some(s.copy(startMs = math.min(s.startMs, t),
                              lastMs = math.max(s.lastMs, t), n = s.n + 1,
                              sum = s.sum + e.value))
-        case Some(s) if t < s.startMs - gapMs =>
-          closedSessions += SessionOut(userId, new Timestamp(t), 1, e.value, 0.0)
         case Some(s) =>
           closedSessions += close(userId, s)
           open = Some(OpenSession(t, t, 1, e.value))

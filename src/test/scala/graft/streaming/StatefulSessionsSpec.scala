@@ -93,6 +93,24 @@ class StatefulSessionsSpec extends GraftTestBase {
     assert(after == open, "open session must be untouched by the straggler")
   }
 
+  test("processEvents: multiple in-gap stragglers sessionize together, not one-by-one") {
+    // Two stragglers 10 min apart (inside the gap) must form ONE
+    // two-event session — matching batch gap-sessionization — and a
+    // third straggler past the gap from them forms its own.
+    val gapMs = 1800 * 1000L
+    val open = Some(StatefulSessions.OpenSession(
+      startMs = ts(600).getTime, lastMs = ts(610).getTime, n = 2, sum = 3.0))
+    val (after, closed) = StatefulSessions.processEvents(
+      1L, Seq(Ev(1L, ts(300), 7.0), Ev(1L, ts(310), 2.0), Ev(1L, ts(60), 5.0)),
+      open, gapMs)
+    assert(after == open, "open session must be untouched")
+    val bySum = closed.map(s => s.sum_value -> s).toMap
+    assert(closed.length == 2, s"got $closed")
+    assert(bySum(5.0).n_events == 1 && bySum(5.0).session_start == ts(60))
+    assert(bySum(9.0).n_events == 2 && bySum(9.0).session_start == ts(300)
+      && bySum(9.0).duration_s == 600.0)
+  }
+
   test("processEvents: late in-gap event clamps startMs backward") {
     val gapMs = 1800 * 1000L
     val open = Some(StatefulSessions.OpenSession(
