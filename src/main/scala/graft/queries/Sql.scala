@@ -35,6 +35,39 @@ object Sql extends QueryPack {
        GROUP BY "nation name"
        ORDER BY n_orders DESC, "nation name""""
 
-  override val queries: Map[String, QueryFn] = Map("q38_sql_surface" -> q38 _)
-  override val oracles: Map[String, String]  = Map("q38_sql_surface" -> q38Sql)
+  /** Subquery surface: scalar subquery (WHERE), correlated scalar
+    * subquery (SELECT list), and correlated EXISTS in one statement —
+    * Catalyst decorrelates all three into joins (RewriteCorrelated
+    * ScalarSubquery / RewritePredicateSubquery), which is what makes
+    * the nested form safe at scale: no per-row subquery execution
+    * exists in the physical plan. The oracle is near-identical ANSI
+    * text run by DuckDB. */
+  private val subquerySql = """
+      WITH big_cust AS (
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)),
+      per_nation AS (
+        SELECT n_name, n.n_nationkey AS nk, count(*) AS n_big_customers
+        FROM big_cust b
+        JOIN nation n ON b.c_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey)
+        GROUP BY n_name, n.n_nationkey)
+      SELECT n_name, n_big_customers,
+             (SELECT count(*) FROM supplier s
+              WHERE s.s_nationkey = per_nation.nk) AS n_suppliers
+      FROM per_nation
+      ORDER BY n_name
+    """
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).registerAll()
+    s.sql(subquerySql)
+  }
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q38_sql_surface"    -> q38 _,
+    "q68_sql_subqueries" -> q68 _)
+  override val oracles: Map[String, String]  = Map(
+    "q38_sql_surface"    -> q38Sql,
+    "q68_sql_subqueries" -> subquerySql)
 }
