@@ -36,6 +36,16 @@ object ConnectedComponents {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant instead of a per-round
+    // diff join: labels are monotone non-increasing (min propagation
+    // and halving only ever lower them), so the total label sum
+    // strictly decreases until fixpoint — sum unchanged ⟺ converged.
+    // One cheap aggregate replaces a join per round. Decimal sum so a
+    // trillion-vertex graph can't overflow the check.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -53,10 +63,9 @@ object ConnectedComponents {
         .join(mapping, col("component") === col("cid"))
         .select(col("id"), col("ccomp").as("component"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -65,6 +65,21 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  property("TopK buffer algebra: any reduce/merge split == global sort-take") =
+    forAllNoShrink(
+      Gen.listOf(Gen.zip(Gen.choose(-1e6, 1e6), Gen.choose(0L, 50L))),
+      Gen.choose(1, 6), Gen.choose(1, 5)) { (items, k, nChunks) =>
+      // pure aggregator-contract test (no Spark job): fold each chunk
+      // with reduce, combine buffers with merge in arbitrary order —
+      // must equal the top-k of a full sort regardless of the split
+      val agg = new graft.functions.TopK(k)
+      val ord = Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+      val chunks = items.grouped(math.max(1, items.length / nChunks)).toSeq
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == items.sorted(ord).take(k)
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
