@@ -405,6 +405,33 @@ object Relational3 extends QueryPack {
            i -> qs[i] * (len(qs) - i + 1))), 4) AS weighted
        FROM arr ORDER BY l_orderkey"""
 
+  // ---------------------------------------------------------------- q69
+  /** rank() vs dense_rank() under REAL ties (quantities repeat heavily):
+    * gap semantics vs dense numbering, same window. The window orders by
+    * the tie-laden key only — ranks must agree across engines because
+    * ties share a rank — while the OUTPUT ordering adds unique
+    * tie-breakers so row order is total. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(500)) === 0)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"),
+              rank().over(w).as("rnk"),
+              dense_rank().over(w).as("drnk"))
+      .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+               col("l_linenumber"), col("rnk"))
+  }
+
+  private val q69Sql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+       FROM lineitem WHERE l_orderkey % 500 = 0
+       WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+       ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber, rnk"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q47_percentiles"     -> q47 _,
     "q48_stats_moments"   -> q48 _,
@@ -419,7 +446,8 @@ object Relational3 extends QueryPack {
     "q57_pivot_unpivot"   -> q57 _,
     "q63_topk_heap"       -> q63 _,
     "q66_window_analytics"-> q66 _,
-    "q67_array_hof"       -> q67 _)
+    "q67_array_hof"       -> q67 _,
+    "q69_rank_dense"      -> q69 _)
 
   override val oracles: Map[String, String] = Map(
     "q47_percentiles"     -> q47Sql,
@@ -435,5 +463,6 @@ object Relational3 extends QueryPack {
     "q57_pivot_unpivot"   -> q57Sql,
     "q63_topk_heap"       -> q63Sql,
     "q66_window_analytics"-> q66Sql,
-    "q67_array_hof"       -> q67Sql)
+    "q67_array_hof"       -> q67Sql,
+    "q69_rank_dense"      -> q69Sql)
 }

@@ -49,6 +49,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("rewrite preserves null semantics: mismatched lengths and null elements") {
+    import spark.implicits._
+    // the rewritten vec_dot must return NULL exactly where the composed
+    // zip_with∘aggregate form does — mismatch pads with null, a null
+    // element poisons the fold, a null input propagates. Built over a
+    // parquet scan because local relations are evaluated away by the
+    // optimizer (ConvertToLocalRelation) before the plan can be
+    // inspected.
+    import org.apache.spark.sql.functions.expr
+    val e = graft.Tables(spark, "/root/testdata/sf0.001")("embeddings").limit(5)
+    val df = e.select(
+      VectorFunctions.dot($"embedding", expr("slice(embedding, 1, 63)")).as("mism"),
+      VectorFunctions.dot(
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))"),
+        $"embedding").as("nelem"),
+      VectorFunctions.dot(expr("IF(vec_id < 0, embedding, NULL)"), $"embedding")
+        .as("ninput"),
+      VectorFunctions.dot($"embedding", $"embedding").as("ok"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "rule must fire on these inputs")
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0), "length mismatch must be NULL")
+      assert(r.isNullAt(1), "null element must be NULL")
+      assert(r.isNullAt(2), "null input must be NULL")
+      assert(!r.isNullAt(3) && r.getDouble(3) > 0.0, "clean row must score")
+    }
+  }
+
   test("non-matching aggregates are left alone") {
     import spark.implicits._
     // sum-of-elements (not a product zip) must NOT be rewritten
