@@ -91,11 +91,37 @@ object Text2 extends QueryPack {
          AS devoweled_head
        FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q70
+  /** Binary-column scalar family — the byte-level plumbing multimodal
+    * columns ride on: utf8 encode, base64/hex render, byte length, and
+    * a base64 round trip back to text. All codegen'd built-ins. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(
+        col("doc_id"),
+        base64(encode(substring(col("text"), 1, 16), "UTF-8")).as("b64_head"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("hex_head"),
+        length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        decode(unbase64(base64(encode(substring(col("text"), 1, 16), "UTF-8"))),
+               "UTF-8").as("roundtrip"))
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """SELECT doc_id,
+       to_base64(encode(substring(text, 1, 16))) AS b64_head,
+       hex(encode(substring(text, 1, 8))) AS hex_head,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       decode(from_base64(to_base64(encode(substring(text, 1, 16))))) AS roundtrip
+       FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q58_tfidf"         -> q58 _,
-    "q59_regex_extract" -> q59 _)
+    "q59_regex_extract" -> q59 _,
+    "q70_binary_funcs"  -> q70 _)
 
   override val oracles: Map[String, String] = Map(
     "q58_tfidf"         -> q58Sql,
-    "q59_regex_extract" -> q59Sql)
+    "q59_regex_extract" -> q59Sql,
+    "q70_binary_funcs"  -> q70Sql)
 }
