@@ -36,6 +36,9 @@ object ConnectedComponents {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // empty edge set → empty vertex set: already at fixpoint (the sum
+    // check below would read a NULL aggregate)
+    if (labels.isEmpty) return labels
     // Convergence via the label-sum invariant instead of a per-round
     // diff join: labels are monotone non-increasing (min propagation
     // and halving only ever lower them), so the total label sum

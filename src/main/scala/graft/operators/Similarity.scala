@@ -123,7 +123,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,
               centroidIdCol: String, nprobe: Int): DataFrame = {
-    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+    // id cast to long up front so the literal extraction below accepts
+    // any integral centroid-id column, not just LongType
+    val cent = centroids.select(col(centroidIdCol).cast("long").as("centroid_id"),
                                 toDoubleVec(col(vecCol)).as("centv"))
       .withColumn("centn", norm(col("centv")))
 
@@ -142,8 +144,11 @@ object Similarity {
     }
     require(centLocal.nonEmpty, "ivfTopK needs at least one centroid")
 
-    def argmaxBucket(vecOut: String, normOut: String): Column = {
-      val scoredStructs = centLocal.map { case (id, v, cn) =>
+    // One (ccos, -id, id) struct per centroid — the SINGLE place the
+    // scoring + tie-break live, shared by argmax (assignment) and
+    // sort-slice (probing) so they can't drift from the oracle.
+    def scoredStructs(vecOut: String, normOut: String): Seq[Column] =
+      centLocal.toSeq.map { case (id, v, cn) =>
         val cvLit = array(v.map(lit): _*)
         val ccos =
           if (cn == 0.0) lit(0.0)
@@ -151,15 +156,14 @@ object Similarity {
             .otherwise(vecDot(col(vecOut), cvLit) / (col(normOut) * lit(cn)))
         struct(ccos.as("s"), lit(-id).as("nid"), lit(id).as("id"))
       }
-      array_max(array(scoredStructs: _*)).getField("id")
-    }
 
     def withVec(df: DataFrame, id: String, vecOut: String, normOut: String) =
       df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut))
         .withColumn(normOut, norm(col(vecOut)))
 
     val assigned = withVec(corpus, "neighbor_id", "cv", "cn")
-      .withColumn("bucket", argmaxBucket("cv", "cn"))
+      .withColumn("bucket",
+        array_max(array(scoredStructs("cv", "cn"): _*)).getField("id"))
 
     // The probe side needs the top `nprobe` centroids per query; the
     // query set is small by contract, so a bucket-explode via the same
@@ -167,14 +171,7 @@ object Similarity {
     // all K, sort, slice nprobe, explode.
     val probes = withVec(queries, "query_id", "qv", "qn")
       .withColumn("bucket", explode(slice(transform(
-        sort_array(array(centLocal.map { case (id, v, cn) =>
-          val cvLit = array(v.map(lit): _*)
-          val ccos =
-            if (cn == 0.0) lit(0.0)
-            else when(col("qn") === 0.0, 0.0)
-              .otherwise(vecDot(col("qv"), cvLit) / (col("qn") * lit(cn)))
-          struct(ccos.as("s"), lit(-id).as("nid"), lit(id).as("id"))
-        }: _*), asc = false),
+        sort_array(array(scoredStructs("qv", "qn"): _*), asc = false),
         s => s.getField("id")), 1, nprobe)))
 
     val cos = when(col("qn") * col("cn") === 0.0, 0.0)

@@ -17,6 +17,11 @@ class ConnectedComponentsSpec extends GraftTestBase {
                      20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("empty edge set returns an empty labeling (no NPE from the sum check)") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.components(edges, "a", "b").count() == 0)
+  }
+
   test("a long path needs multiple propagation rounds and still converges") {
     val n = 40 // diameter 40 path: well past one or two join rounds
     val edges = (0L until n).map(i => (i, i + 1)).toDF("a", "b")

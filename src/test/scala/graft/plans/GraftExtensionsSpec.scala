@@ -67,8 +67,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       VectorFunctions.dot(expr("IF(vec_id < 0, embedding, NULL)"), $"embedding")
         .as("ninput"),
       VectorFunctions.dot($"embedding", $"embedding").as("ok"))
-    assert(df.queryExecution.optimizedPlan.toString.contains("vec_dot"),
-      "rule must fire on these inputs")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("vec_dot".r.findAllIn(optimized).size >= 4,
+      s"rule must fire on ALL FOUR columns (else the composed form, which is\n" +
+      s"null-correct anyway, would mask an untested native path):\n$optimized")
     df.collect().foreach { r =>
       assert(r.isNullAt(0), "length mismatch must be NULL")
       assert(r.isNullAt(1), "null element must be NULL")
