@@ -109,6 +109,27 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** foreachBatch sink — the production pattern for sinks Structured
+    * Streaming doesn't ship natively (JDBC, multi-table fan-out,
+    * merge/upsert): each micro-batch arrives as a plain DataFrame plus
+    * a monotonically increasing batchId. Writing to a batchId-named
+    * directory makes the write IDEMPOTENT — on failure/replay the same
+    * batch overwrites the same path instead of duplicating, which is
+    * exactly-once delivery for object-store sinks. */
+  def foreachBatchToParquet(spark: SparkSession, dir: String,
+                            outDir: String): Unit = {
+    val q = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Watermarked append-mode variant (the production streaming shape:
     * bounded state, late data dropped past the watermark). Used by
     * StreamingSpec; a finite file stream in append mode only emits

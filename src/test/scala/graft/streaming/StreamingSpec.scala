@@ -44,6 +44,18 @@ class StreamingSpec extends GraftTestBase {
     assert(streamPairs.toSet == batchPairs.toSet)
   }
 
+  test("foreachBatch parquet sink captures exactly the batch-side rows") {
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    EventsStream.foreachBatchToParquet(spark, sf001, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val batch = graft.Tables(spark, sf001)("events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("watermarked append-mode agg runs and bounds state (emits only closed windows)") {
     val q = EventsStream.watermarkedWindowAgg(spark, sf001)
       .writeStream.outputMode("append").format("memory")
