@@ -80,6 +80,29 @@ object PropertiesSpec extends Properties("graft") {
       agg.finish(merged) == items.sorted(ord).take(k)
     }
 
+  property("connected components == driver union-find on random graphs") =
+    forAllNoShrink(Gen.listOf(
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))) { edges =>
+      edges.isEmpty || {
+        // reference: plain union-find with min-id canonicalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val want = verts.map(v => v -> find(v)).toMap
+        val got = graft.operators.ConnectedComponents
+          .components(edges.toDF("a", "b"), "a", "b", maxIters = 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
