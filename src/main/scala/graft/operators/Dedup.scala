@@ -116,22 +116,19 @@ object Dedup {
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per doc from whitespace tokens: bit b is the sign of
-    * Σ±1 over token-hash bit b. One wide (64-agg) hash-aggregate — no
-    * pairwise work, fully codegen'd. */
+    * Σ±1 over token-hash bit b. The signature is row-local, so it's ONE
+    * narrow pass through the fused native expression
+    * ([[graft.functions.expressions.SimHash64]]) — the earlier
+    * generation (explode → xxhash64 → 64-column sign-sum aggregate)
+    * shuffled every token row for a value each row can compute alone;
+    * same xxhash64/seed-42 hashes, bit-identical signatures. Empty-token
+    * docs are filtered (the explode form dropped them implicitly). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(
-      col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val simhash = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    tok.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), simhash.as("simhash"))
+    import graft.functions.expressions.SimHash64.simhash64
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol), simhash64(toks).as("simhash"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .drop("__n")
   }
 
   /** SimHash near-dup pairs: candidates share at least one of four

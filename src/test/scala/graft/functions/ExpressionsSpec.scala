@@ -71,6 +71,28 @@ class ExpressionsSpec extends GraftTestBase {
     assert(bad.count() == 0)
   }
 
+  test("simhash64 equals the explode + 64-agg sign-sum form bit-for-bit") {
+    import graft.functions.expressions.SimHash64.simhash64
+    val docs = graft.Tables(spark, sf001)("documents").limit(100)
+    val native = docs.select($"doc_id",
+        simhash64(TextFunctions.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the previous operator generation, inlined as the reference
+    val tok = docs.select($"doc_id",
+        explode(TextFunctions.tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val composed = tok.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", sig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+  }
+
   test("vec_dot works via SQL surface") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
