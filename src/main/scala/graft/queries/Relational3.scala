@@ -432,6 +432,41 @@ object Relational3 extends QueryPack {
        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
        ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber, rnk"""
 
+  // ---------------------------------------------------------------- q71
+  /** INTERSECT ALL — the one set operation q08/q15 left uncovered:
+    * multiset intersection keeps each value min(countL, countR) times
+    * (Spark plans a left-semi-style hash agg, no row explosion). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.intersectAll(sn)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q71Sql =
+    """SELECT nationkey, count(*) AS n_copies
+       FROM (SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT ALL
+             SELECT s_nationkey FROM supplier)
+       GROUP BY nationkey ORDER BY nationkey"""
+
+  // ---------------------------------------------------------------- q72
+  /** LIMIT/OFFSET pagination over a total order — offset() is the
+    * Spark-side page cursor (driver still fetches only the page; the
+    * sort is a TakeOrderedAndProject, not a full global sort). */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+      .offset(40)
+      .limit(20)
+
+  private val q72Sql =
+    """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 20 OFFSET 40"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q47_percentiles"     -> q47 _,
     "q48_stats_moments"   -> q48 _,
@@ -447,7 +482,9 @@ object Relational3 extends QueryPack {
     "q63_topk_heap"       -> q63 _,
     "q66_window_analytics"-> q66 _,
     "q67_array_hof"       -> q67 _,
-    "q69_rank_dense"      -> q69 _)
+    "q69_rank_dense"      -> q69 _,
+    "q71_intersect_all"   -> q71 _,
+    "q72_pagination"      -> q72 _)
 
   override val oracles: Map[String, String] = Map(
     "q47_percentiles"     -> q47Sql,
@@ -464,5 +501,7 @@ object Relational3 extends QueryPack {
     "q63_topk_heap"       -> q63Sql,
     "q66_window_analytics"-> q66Sql,
     "q67_array_hof"       -> q67Sql,
-    "q69_rank_dense"      -> q69Sql)
+    "q69_rank_dense"      -> q69Sql,
+    "q71_intersect_all"   -> q71Sql,
+    "q72_pagination"      -> q72Sql)
 }
