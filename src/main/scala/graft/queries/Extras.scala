@@ -10,6 +10,38 @@ import graft.operators.RangeJoin
   * §7.2 slice 5): HLL approximate distinct and a bucketed range join. */
 object Extras extends QueryPack {
 
+  // ---------------------------------------------------------------- q73
+  /** VariantType (Spark 4's semi-structured column type): parse once
+    * into the binary variant encoding, then typed variant_get paths —
+    * unlike q42's from_json there is NO fixed schema; the shredded
+    * variant carries whatever fields each row has, the 100 TB answer
+    * to schema-drifting event properties. Oracle via DuckDB's JSON
+    * extraction (same values, different encoding). */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+              expr("variant_get(v, '$.k', 'int')").as("k"),
+              expr("variant_get(v, '$.tag', 'string')").as("tag"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           count(col("tag")).as("n_with_tag"),
+           min(col("tag")).as("min_tag"))
+      .orderBy(col("event_type"))
+
+  private val q73Sql =
+    """SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(tag) AS n_with_tag,
+       min(tag) AS min_tag
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               json_extract_string(props, '$.tag') AS tag
+             FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
   // ---------------------------------------------------------------- q39
   /** approx_count_distinct (HLL++) against the exact count. Spark's and
     * DuckDB's sketches differ, so the oracle-stable output is the exact
@@ -151,12 +183,14 @@ object Extras extends QueryPack {
     "q40_range_join"      -> q40 _,
     "q41_typed_aggregator"-> q41 _,
     "q42_json_extract"    -> q42 _,
-    "q46_cube_grouping"   -> q46 _)
+    "q46_cube_grouping"   -> q46 _,
+    "q73_variant"         -> q73 _)
 
   override val oracles: Map[String, String] = Map(
     "q39_approx_distinct" -> q39Sql,
     "q40_range_join"      -> q40Sql,
     "q41_typed_aggregator"-> q41Sql,
     "q42_json_extract"    -> q42Sql,
-    "q46_cube_grouping"   -> q46Sql)
+    "q46_cube_grouping"   -> q46Sql,
+    "q73_variant"         -> q73Sql)
 }

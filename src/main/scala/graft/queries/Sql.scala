@@ -64,10 +64,34 @@ object Sql extends QueryPack {
     s.sql(subquerySql)
   }
 
+  /** Correlated LATERAL subquery — top-2 customers PER nation without a
+    * window function: the lateral body re-evaluates per outer row and
+    * Catalyst decorrelates it (DecorrelateInnerQuery) into a ranked
+    * join, so the nested form plans set-based, not nested-loop. Same
+    * ANSI text runs in DuckDB. */
+  private val lateralSql = """
+      SELECT n_name, c_name, round(c_acctbal, 4) AS acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+      ) top2
+      ORDER BY n_name, acctbal DESC, c_name
+    """
+
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).registerAll()
+    s.sql(lateralSql)
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q38_sql_surface"    -> q38 _,
-    "q68_sql_subqueries" -> q68 _)
+    "q68_sql_subqueries" -> q68 _,
+    "q74_lateral_join"   -> q74 _)
   override val oracles: Map[String, String]  = Map(
     "q38_sql_surface"    -> q38Sql,
-    "q68_sql_subqueries" -> subquerySql)
+    "q68_sql_subqueries" -> subquerySql,
+    "q74_lateral_join"   -> lateralSql)
 }
