@@ -1,12 +1,16 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
-import graft.functions.expressions.{DotProduct, SasToDate}
+import graft.functions.expressions.{DotProduct, MinHashSignature, RollingHash, SasToDate, SimHash64}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT sas_to_date(arrdate) ...")` works alongside the
-  * Column API (the reference exposes both surfaces, SURVEY.md §3.3). */
+  * Column API (the reference exposes both surfaces, SURVEY.md §3.3).
+  * Every custom Expression the engine ships is reachable from SQL:
+  * sas_to_date, vec_dot, simhash64, minhash_signature, rolling_hash. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -14,5 +18,24 @@ object GraftFunctions {
       "sas_to_date", exprs => SasToDate.fromAny(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct.fromAny(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimHash64(Cast(exprs.head, ArrayType(StringType))), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(
+        Cast(exprs.head, ArrayType(StringType)), intLit(exprs(1), "minhash_signature k")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "rolling_hash",
+      exprs => RollingHash(Cast(exprs.head, StringType),
+                           base = 131L, mod = MinHashSignature.P), "scala_udf")
+  }
+
+  /** Static-int argument (k): must be a foldable int literal. */
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"$what must be an INT literal")
+    e.eval().asInstanceOf[Int]
   }
 }

@@ -99,4 +99,22 @@ class ExpressionsSpec extends GraftTestBase {
       .collect().head.getDouble(0)
     assert(got == 11.0)
   }
+
+  test("every native expression is reachable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT simhash64(array('a', 'b')) AS sh,
+             minhash_signature(array('a', 'b'), 4) AS mh,
+             rolling_hash('abc') AS rh
+    """).collect().head
+    // values themselves are pinned by the per-expression equivalence
+    // tests; here we pin SQL reachability + shape
+    assert(r.getSeq[Long](1).length == 4)
+    assert(r.getLong(2) > 0)
+    // and the SQL result matches the Column API result
+    import graft.functions.expressions.SimHash64.simhash64
+    val viaCol = spark.sql("SELECT array('a','b') AS t")
+      .select(simhash64($"t")).collect().head.getLong(0)
+    assert(r.getLong(0) == viaCol)
+  }
 }
