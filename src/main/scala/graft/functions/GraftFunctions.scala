@@ -32,10 +32,14 @@ object GraftFunctions {
                            base = 131L, mod = MinHashSignature.P), "scala_udf")
   }
 
-  /** Static-int argument (k): must be a foldable int literal. */
+  /** Static-int argument (k): must be a foldable, NON-NULL int literal
+    * (a null literal would unbox to k=0 and silently produce empty
+    * signatures). */
   private def intLit(e: Expression, what: String): Int = {
     require(e.foldable && e.dataType == IntegerType,
       s"$what must be an INT literal")
-    e.eval().asInstanceOf[Int]
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.asInstanceOf[Int]
   }
 }

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * at 100 TB.
   *
   * Ties (counter == 0) produce a 0 bit, matching the aggregate form's
-  * `sum > 0` test. An EMPTY token array yields signature 0 (callers
-  * that relied on explode dropping empty docs must filter on
-  * size(tokens) > 0, as Dedup.simhashSignatures does).
+  * `sum > 0` test. Two documented edge divergences from the composed
+  * form (unreachable via TextFunctions.tokens, which yields non-null,
+  * non-empty-or-filtered arrays): an EMPTY token array yields
+  * signature 0 where explode dropped the doc (Dedup.simhashSignatures
+  * filters size > 0 to preserve the old row set), and NULL array
+  * elements are SKIPPED where the composed form hashed them as the
+  * seed value — skipping is the defensible semantic (a null token
+  * carries no content).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 

@@ -117,8 +117,11 @@ object Similarity {
     * per row — and the candidate join touches ~nprobe/K of the data.
     * Centroids are caller-supplied (here: a deterministic subset
     * standing in for a k-means fit, which would be offline state in
-    * production). Output matches bruteForceTopK so recall is directly
-    * measurable.
+    * production). NOTE: collecting the centroids is an EAGER "fit
+    * materialization" job at plan-build time (cache the centroid
+    * DataFrame if calling repeatedly), and an empty centroid set fails
+    * fast rather than returning a silently empty result. Output matches
+    * bruteForceTopK so recall is directly measurable.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,

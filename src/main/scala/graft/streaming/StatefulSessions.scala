@@ -34,59 +34,56 @@ object StatefulSessions extends Serializable {
 
   /** Pure per-group transition: fold one micro-batch of events into the
     * open-session state. Returns (new open state, sessions closed by
-    * this batch). Split out of the streaming wiring so the out-of-order
-    * policies are unit-testable without a stream:
-    *   - late-but-in-gap events (above watermark, earlier than the open
-    *     session's start) extend the session BACKWARD — startMs clamps
-    *     with min() so session_start/duration stay correct;
-    *   - stragglers older than the open session by more than the gap
-    *     belong to earlier, already-flushed sessions — they are
-    *     gap-sessionized among themselves and emitted closed rather
-    *     than silently folded into (and corrupting) the open session.
-    *     (With watermark delay == gap this path is reachable only in
-    *     the one-batch watermark lag window; it is the safety net for
-    *     that window.)
+    * this batch). Split out of the streaming wiring so out-of-order
+    * handling is unit-testable without a stream.
+    *
+    * Algorithm — exactly batch gap-sessionization over interval
+    * summaries: (1) gap-chain the incoming (sorted) events among
+    * themselves; (2) sweep-merge those chains together with the open
+    * session's own interval on the time axis, clamping start/end as
+    * intervals coalesce. Late in-gap events therefore extend the open
+    * session BACKWARD (start clamps), stragglers older than the gap
+    * close as their own sessions, and a late chain that bridges a
+    * straggler to within the gap of the open session merges the whole
+    * chain — the case a per-event fold against a fixed session start
+    * gets wrong. Everything but the latest merged interval is emitted
+    * closed; the latest stays open. (With watermark delay == gap the
+    * out-of-order paths are reachable only in the one-batch watermark
+    * lag window; they are the safety net for that window.)
     */
   private[streaming] def processEvents(
       userId: Long, evs: Seq[Ev], openState: Option[OpenSession],
       gapMs: Long): (Option[OpenSession], Seq[SessionOut]) = {
     val sorted = evs.sortBy(_.ts.getTime)
-    val closedSessions = Seq.newBuilder[SessionOut]
 
-    // Stragglers older than the open session by more than the gap belong
-    // to earlier, already-flushed sessions. Gap-sessionize them among
-    // THEMSELVES (two in-gap stragglers form one session, matching the
-    // batch twin's semantics) and emit everything closed — their last
-    // session is by construction > gap away from the open session's
-    // start, so it can never merge forward.
-    val (stragglers, current) = openState match {
-      case Some(s) => sorted.partition(_.ts.getTime < s.startMs - gapMs)
-      case None    => (Seq.empty[Ev], sorted)
-    }
-    if (stragglers.nonEmpty) {
-      val (lastOld, oldClosed) = processEvents(userId, stragglers, None, gapMs)
-      closedSessions ++= oldClosed
-      lastOld.foreach(s => closedSessions += close(userId, s))
-    }
-
-    var open = openState
-    current.foreach { e =>
+    // (1) gap-chains over the incoming events
+    val chains = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    sorted.foreach { e =>
       val t = e.ts.getTime
-      open match {
-        // Late-but-in-gap events extend the session BACKWARD: clamp
-        // startMs so session_start/duration stay correct.
-        case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
-          open = Some(s.copy(startMs = math.min(s.startMs, t),
-                             lastMs = math.max(s.lastMs, t), n = s.n + 1,
-                             sum = s.sum + e.value))
-        case Some(s) =>
-          closedSessions += close(userId, s)
-          open = Some(OpenSession(t, t, 1, e.value))
-        case None =>
-          open = Some(OpenSession(t, t, 1, e.value))
+      chains.lastOption match {
+        case Some(c) if t - c.lastMs <= gapMs =>
+          chains(chains.length - 1) = c.copy(
+            lastMs = math.max(c.lastMs, t), n = c.n + 1, sum = c.sum + e.value)
+        case _ =>
+          chains += OpenSession(t, t, 1, e.value)
       }
     }
-    (open, closedSessions.result())
+
+    // (2) sweep-merge chains + the open session's interval summary
+    val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    (chains ++ openState).sortBy(_.startMs).foreach { c =>
+      merged.lastOption match {
+        case Some(m) if c.startMs - m.lastMs <= gapMs =>
+          merged(merged.length - 1) = OpenSession(
+            math.min(m.startMs, c.startMs), math.max(m.lastMs, c.lastMs),
+            m.n + c.n, m.sum + c.sum)
+        case _ =>
+          merged += c
+      }
+    }
+
+    if (merged.isEmpty) (None, Seq.empty)
+    else (Some(merged.last), merged.init.toSeq.map(close(userId, _)))
   }
 
   def sessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[SessionOut] = {

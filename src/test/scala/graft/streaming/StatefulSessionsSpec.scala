@@ -111,6 +111,21 @@ class StatefulSessionsSpec extends GraftTestBase {
       && bySum(9.0).duration_s == 600.0)
   }
 
+  test("processEvents: a bridging late event merges an otherwise-too-old straggler") {
+    // gap=30min; open session starts at t=600. e1 at 560 is > gap from
+    // 600 alone, but e2 at 580 chains e1 within the gap AND reaches the
+    // session — batch sessionization makes this ONE session starting at
+    // 560, and the interval sweep must agree.
+    val gapMs = 1800 * 1000L
+    val open = Some(StatefulSessions.OpenSession(
+      startMs = ts(600).getTime, lastMs = ts(610).getTime, n = 2, sum = 3.0))
+    val (after, closed) = StatefulSessions.processEvents(
+      1L, Seq(Ev(1L, ts(560), 4.0), Ev(1L, ts(580), 5.0)), open, gapMs)
+    assert(closed.isEmpty, s"nothing should close, got $closed")
+    assert(after.get.startMs == ts(560).getTime && after.get.lastMs == ts(610).getTime)
+    assert(after.get.n == 4 && after.get.sum == 12.0)
+  }
+
   test("processEvents: late in-gap event clamps startMs backward") {
     val gapMs = 1800 * 1000L
     val open = Some(StatefulSessions.OpenSession(
