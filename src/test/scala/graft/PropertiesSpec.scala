@@ -80,6 +80,33 @@ object PropertiesSpec extends Properties("graft") {
       agg.finish(merged) == items.sorted(ord).take(k)
     }
 
+  property("as-of join == per-row latest-prior scan on random event times") =
+    forAllNoShrink(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 1000L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 1000L)))) {
+      (leftRaw, rightRaw) =>
+        val base = 1700000000000L
+        val left = leftRaw.zipWithIndex.map { case ((u, off), i) =>
+          (u, i.toLong, new java.sql.Timestamp(base + off * 1000)) }
+        // right timestamps made unique (+i ms): equal right times have
+        // no deterministic winner in EITHER engine's as-of semantics
+        val right = rightRaw.zipWithIndex.map { case ((u, off), i) =>
+          (u, 1000L + i, new java.sql.Timestamp(base + off * 1000 + i)) }
+        val out = graft.operators.AsOfJoin.backward(
+            left.toDF("u", "lid", "t"), right.toDF("u", "rid", "t"),
+            Seq("u"), "t", "t", Seq("rid"))
+          .collect()
+          .map(r => r.getLong(1) ->
+            Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+        left.forall { case (u, lid, lt) =>
+          // expected: the rid of the latest right row at or before lt
+          // for the same key (right times unique, so no tie ambiguity)
+          val expect = right.filter(r => r._1 == u && !r._3.after(lt))
+            .sortBy(_._3.getTime).lastOption.map(_._2)
+          out(lid) == expect
+        }
+    }
+
   property("connected components == driver union-find on random graphs") =
     forAllNoShrink(Gen.listOf(
       Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))) { edges =>
