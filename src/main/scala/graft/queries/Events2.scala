@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, TransformWithStateOps}
 
 /** Event-stream coverage, part 2 (round 2): stream-stream interval
   * join and watermark-TTL streaming dedup — the two remaining
@@ -48,11 +48,27 @@ object Events2 extends QueryPack {
     """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q84
+  /** Spark 4 transformWithState (RocksDB state store, typed ValueState +
+    * MapState): per-user running profile; the drained final emission
+    * equals the batch per-user aggregate — the oracle. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    TransformWithStateOps.runningUserProfileToMemory(s, dir,
+      queryName = "q84_tws_out")
+
+  private val q84Sql =
+    """SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT event_type) AS INT) AS n_types
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q61_stream_stream_join" -> q61 _,
-    "q62_stream_dedup"       -> q62 _)
+    "q62_stream_dedup"       -> q62 _,
+    "q84_tws_profile"        -> q84 _)
 
   override val oracles: Map[String, String] = Map(
     "q61_stream_stream_join" -> q61Sql,
-    "q62_stream_dedup"       -> q62Sql)
+    "q62_stream_dedup"       -> q62Sql,
+    "q84_tws_profile"        -> q84Sql)
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Spark 4 `transformWithState` surface — the arbitrary-state API that
+  * replaces flatMapGroupsWithState (SPARK-46815): typed ValueState /
+  * MapState handles backed by the RocksDB state store, per-state TTL,
+  * and timers, all declared inside a [[StatefulProcessor]].
+  *
+  * The operator here keeps a per-user running profile: a ValueState
+  * with (count, sum) plus a MapState of per-event-type counts — the
+  * canonical "billions of keys, bounded per-key state" streaming shape
+  * (RocksDB spills state off-heap; TTL would bound it in production —
+  * the finite drain here uses TTLConfig.NONE so the final emission
+  * equals the batch aggregate, which is the DuckDB oracle).
+  */
+object TransformWithStateOps extends Serializable {
+
+  final case class EventIn(user_id: Long, event_type: String, value: Double)
+  final case class UserAgg(n: Long, sum: Double)
+  final case class UserOut(user_id: Long, n_events: Long, sum_value: Double,
+                           n_types: Int)
+
+  /** Per-user running (count, sum, distinct-type-count). Emits the
+    * updated profile once per key per micro-batch it received data in —
+    * emissions are monotone in n_events, so the final profile is the
+    * max-n_events row per key however the input is micro-batched. */
+  class RunningUserProfile extends StatefulProcessor[Long, EventIn, UserOut] {
+    @transient private var agg: ValueState[UserAgg]        = _
+    @transient private var types: MapState[String, Long]   = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserAgg]("agg",
+        Encoders.product[UserAgg], TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long]("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timers: TimerValues): Iterator[UserOut] = {
+      var a = if (agg.exists()) agg.get() else UserAgg(0L, 0.0)
+      rows.foreach { r =>
+        a = UserAgg(a.n + 1, a.sum + r.value)
+        val prev = if (types.containsKey(r.event_type)) types.getValue(r.event_type) else 0L
+        types.updateValue(r.event_type, prev + 1)
+      }
+      agg.update(a)
+      Iterator.single(UserOut(key, a.n, a.sum, types.keys().size))
+    }
+  }
+
+  /** Drain the finite events file-stream through the processor and
+    * return the FINAL per-user profile (max-n_events emission per key),
+    * matching `SELECT user_id, count(*), sum(value),
+    * count(DISTINCT event_type) … GROUP BY user_id`. */
+  def runningUserProfileToMemory(spark: SparkSession, dir: String,
+                                 queryName: String): DataFrame = {
+    // transformWithState requires the RocksDB state store provider.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val out = EventsStream.readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserProfile,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserOut])
+    val q = out.writeStream
+      .outputMode("update").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("sum_value"), col("n_types")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+              round(col("f.sum_value"), 4).as("sum_value"),
+              col("f.n_types").as("n_types"))
+      .orderBy(col("user_id"))
+  }
+}
