@@ -52,7 +52,7 @@ object Curation extends QueryPack {
 
   // ---------------------------------------------------------------- q65
   /** Near-dup clustering: q31's embedding near-dup pairs promoted to
-    * components via distributed min-label propagation — transitive
+    * components via distributed spanning-forest contraction — transitive
     * links collapse into one cluster with the min vec_id as canonical
     * representative. The oracle replays the same clustering as a
     * recursive transitive-closure CTE. */
