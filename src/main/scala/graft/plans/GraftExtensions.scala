@@ -77,6 +77,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 /** Session extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectPlannerStrategy(_ => AsOfJoinPlan.AsOfJoinStrategy)
+  }
 }
