@@ -41,7 +41,7 @@ object AsOfJoinPlan {
       left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
-      rightPayload: Seq[Attribute]) extends BinaryNode {
+      rightPayload: Seq[Attribute], forward: Boolean) extends BinaryNode {
     override def output: Seq[Attribute] = outputFor(left.output, rightPayload)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -50,8 +50,8 @@ object AsOfJoinPlan {
 
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, fwd) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
       case _ => Nil
     }
   }
@@ -60,7 +60,7 @@ object AsOfJoinPlan {
       left: SparkPlan, right: SparkPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
-      rightPayload: Seq[Attribute]) extends BinaryExecNode {
+      rightPayload: Seq[Attribute], forward: Boolean) extends BinaryExecNode {
 
     override def output: Seq[Attribute] = outputFor(left.output, rightPayload)
 
@@ -93,6 +93,7 @@ object AsOfJoinPlan {
       val outAttrs = output
       val keyTypes = leftKeys.map(_.dataType)
       val timeType = leftTime.dataType
+      val fwd = forward
 
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
         // (key ++ time) projected to one row per side: a single ordering
@@ -117,8 +118,12 @@ object AsOfJoinPlan {
         val joined = new JoinedRow
 
         new Iterator[InternalRow] {
-          // carried candidate: payload + key of the latest right row
-          // consumed so far (valid only while the left key matches)
+          // BACKWARD: consume right rows at/before (lKey, lTime),
+          // remembering the last same-key payload — the carried
+          // candidate answers successive left rows.
+          // FORWARD: discard right rows strictly before (lKey, lTime);
+          // the first surviving right row is the match and is NOT
+          // consumed (later left rows may share it).
           private var candPayload: InternalRow = _
           private var candKey: InternalRow = _
           private var rCur: InternalRow = _ // next unconsumed right row
@@ -128,23 +133,34 @@ object AsOfJoinPlan {
           override def next(): InternalRow = {
             val lRow = lIt.next()
             val lKt = lKtProj(lRow)
-            // consume right rows at/before (lKey, lTime); remember the
-            // last one whose key equals the left key
             var advancing = true
             while (advancing) {
               if (rCur == null && rIt.hasNext) rCur = rIt.next()
-              if (rCur != null && ord.compare(rKtProj(rCur), lKt) <= 0) {
-                val rKey = rKeyProj(rCur)
-                if (keyOrd.compare(rKey, lKeyProj(lRow)) == 0) {
-                  candPayload = payloadProj(rCur).copy()
-                  candKey = rKey.copy()
-                }
-                rCur = null
-              } else advancing = false
+              if (rCur == null) advancing = false
+              else if (fwd) {
+                if (ord.compare(rKtProj(rCur), lKt) < 0) rCur = null
+                else advancing = false
+              } else {
+                if (ord.compare(rKtProj(rCur), lKt) <= 0) {
+                  val rKey = rKeyProj(rCur)
+                  if (keyOrd.compare(rKey, lKeyProj(lRow)) == 0) {
+                    candPayload = payloadProj(rCur).copy()
+                    candKey = rKey.copy()
+                  }
+                  rCur = null
+                } else advancing = false
+              }
             }
-            val matched = candKey != null &&
-              keyOrd.compare(candKey, lKeyProj(lRow)) == 0
-            outProj(joined(lRow, if (matched) candPayload else nullPayload))
+            val matched =
+              if (fwd) rCur != null &&
+                keyOrd.compare(rKeyProj(rCur), lKeyProj(lRow)) == 0
+              else candKey != null &&
+                keyOrd.compare(candKey, lKeyProj(lRow)) == 0
+            val payload =
+              if (!matched) nullPayload
+              else if (fwd) payloadProj(rCur)
+              else candPayload
+            outProj(joined(lRow, payload))
           }
         }
       }
@@ -157,7 +173,20 @@ object AsOfJoinPlan {
     * table) can't carry conflicting attribute ids. */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    join(left, right, keyCols, leftTime, rightTime, rightCols, forward = false)
+
+  /** Forward variant: for each left row, the EARLIEST right row with
+    * `right.time >= left.time` on the same key (kdb-style forward
+    * as-of). Same merge scan, opposite consumption rule. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String,
+              rightCols: Seq[String]): DataFrame =
+    join(left, right, keyCols, leftTime, rightTime, rightCols, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightCols: Seq[String], forward: Boolean): DataFrame = {
     val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rFresh.queryExecution.analyzed
@@ -168,7 +197,7 @@ object AsOfJoinPlan {
     val node = AsOfJoinNode(lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightCols.map(attr(rPlan, _)))
+      rightCols.map(attr(rPlan, _)), forward)
     require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
       "as-of join key types must match")
     require(node.leftTime.dataType == node.rightTime.dataType,

@@ -94,15 +94,50 @@ object Events2 extends QueryPack {
        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
        ORDER BY p.user_id, purchase_id"""
 
+  // --------------------------------------------------------------- q100
+  /** Forward as-of through the native operator: each purchase matched
+    * to the EARLIEST same-user click at-or-after it (follow-on click
+    * attribution). DuckDB ASOF with the inequality flipped is the
+    * oracle. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(s, dir)("events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"), col("ts"))
+    graft.plans.AsOfJoinPlan.forward(purchases, clicks, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("click_id", "click_ts"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("asof_click_id").as("click_id"),
+              round((unix_micros(col("asof_click_ts")) - unix_micros(col("ts")))
+                      .cast("double") / 1e6, 6).as("gap_s"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  private val q100Sql =
+    """WITH p AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS ts
+         FROM events WHERE event_type = 'click')
+       SELECT p.user_id, p.event_id AS purchase_id, c.click_id,
+         round((epoch_us(c.ts) - epoch_us(p.ts)) * 1.0 / 1e6, 6) AS gap_s
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+       ORDER BY p.user_id, purchase_id"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q61_stream_stream_join" -> q61 _,
     "q62_stream_dedup"       -> q62 _,
     "q84_tws_profile"        -> q84 _,
-    "q91_asof_native"        -> q91 _)
+    "q91_asof_native"        -> q91 _,
+    "q100_asof_forward"      -> q100 _)
 
   override val oracles: Map[String, String] = Map(
     "q61_stream_stream_join" -> q61Sql,
     "q62_stream_dedup"       -> q62Sql,
     "q84_tws_profile"        -> q84Sql,
-    "q91_asof_native"        -> q91Sql)
+    "q91_asof_native"        -> q91Sql,
+    "q100_asof_forward"      -> q100Sql)
 }

@@ -75,6 +75,38 @@ class AsOfJoinPlanSpec extends GraftTestBase {
     assert(b.count() == 0)
   }
 
+  test("forward direction: earliest at-or-after match per key") {
+    val out = AsOfJoinPlan.forward(left, right, Seq("k"), "t", "t",
+        Seq("rpay", "rv"))
+      .select("k", "t", "lpay", "asof_rpay", "asof_rv")
+      .orderBy("k", "t").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(1L, 5L, "p0", "c10", 1.0),   // earliest >= 5 is 10
+      Seq(1L, 10L, "p1", "c10", 1.0),  // inclusive at equal ts
+      Seq(1L, 20L, "p2", null, null),  // nothing at/after 20
+      Seq(2L, 7L, "p3", "c8", 4.0),
+      Seq(3L, 100L, "p4", null, null))
+    )
+  }
+
+  test("forward on random data == backward on negated times") {
+    val r = new scala.util.Random(11)
+    val l = (1 to 1500).map(i =>
+      (r.nextInt(30).toLong, r.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val rr = (1 to 2000).map(i =>
+      (r.nextInt(35).toLong, r.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "t", "rid")
+      .groupBy("k", "t").agg(max("rid").as("rid"))
+    val fwd = AsOfJoinPlan.forward(l, rr, Seq("k"), "t", "t", Seq("rid"))
+      .select("k", "t", "lid", "asof_rid")
+    val viaNeg = AsOfJoinPlan.backward(
+        l.withColumn("nt", -col("t")), rr.withColumn("nt", -col("t")),
+        Seq("k"), "nt", "nt", Seq("rid"))
+      .select("k", "t", "lid", "asof_rid")
+    assert(fwd.exceptAll(viaNeg).isEmpty && viaNeg.exceptAll(fwd).isEmpty)
+  }
+
   test("multi-column keys and same-source self as-of join resolve") {
     val e = left.withColumn("k2", col("k") % 2)
     val out = AsOfJoinPlan.backward(e, e, Seq("k", "k2"), "t", "t", Seq("lpay"))
