@@ -206,6 +206,61 @@ object Extras4 extends QueryPack {
          CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
        FROM j GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q101
+  /** CDC merge (apply-changes / MERGE INTO shape): a deterministic
+    * change feed — deletes (key%10=0), updates (key%10∈{1,2}), inserts
+    * (new keys), plus a LATER delete for key%20=1 so latest-change-wins
+    * is exercised — applied to the customer snapshot through
+    * [[graft.operators.CdcMerge]] (argmax dedup + one full-outer
+    * join). */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir)("customer")
+    val base = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val k = col("c_custkey")
+    val changes =
+      c.filter(pmod(k, lit(10)) === 0)
+        .select(k, lit("D").as("op"), lit(1).as("seq"), col("c_name"), col("c_acctbal"))
+      .unionByName(c.filter(pmod(k, lit(10)).isin(1, 2))
+        .select(k, lit("U").as("op"), lit(1).as("seq"),
+                concat(lit("upd_"), k.cast("string")).as("c_name"),
+                (col("c_acctbal") + 100).as("c_acctbal")))
+      .unionByName(c.filter(pmod(k, lit(10)) === 7)
+        .select((k + 1000000).as("c_custkey"), lit("I").as("op"), lit(1).as("seq"),
+                concat(lit("new_"), k.cast("string")).as("c_name"),
+                lit(1.0).as("c_acctbal")))
+      .unionByName(c.filter(pmod(k, lit(20)) === 1)
+        .select(k, lit("D").as("op"), lit(2).as("seq"),
+                lit(null).cast("string").as("c_name"),
+                lit(null).cast("double").as("c_acctbal")))
+    graft.operators.CdcMerge(base, changes, "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q101Sql =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+       changes AS (
+         SELECT c_custkey, 'D' AS op, 1 AS seq, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'U', 1, 'upd_' || c_custkey, c_acctbal + 100
+         FROM customer WHERE c_custkey % 10 IN (1, 2)
+         UNION ALL
+         SELECT c_custkey + 1000000, 'I', 1, 'new_' || c_custkey, 1.0
+         FROM customer WHERE c_custkey % 10 = 7
+         UNION ALL
+         SELECT c_custkey, 'D', 2, NULL, NULL
+         FROM customer WHERE c_custkey % 20 = 1),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+           FROM changes) WHERE rn = 1)
+       SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+         CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+         CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+       FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+       WHERE l.op IS NULL OR l.op <> 'D'
+       ORDER BY c_custkey"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q92_try_arith"     -> q92 _,
     "q93_collation"     -> q93 _,
@@ -214,7 +269,8 @@ object Extras4 extends QueryPack {
     "q96_crosstab"      -> q96 _,
     "q97_explode_outer" -> q97 _,
     "q98_from_xml"      -> q98 _,
-    "q99_json_extract"  -> q99 _)
+    "q99_json_extract"  -> q99 _,
+    "q101_cdc_merge"    -> q101 _)
 
   override def oracles: Map[String, String] = Map(
     "q92_try_arith"     -> q92Sql,
@@ -224,5 +280,6 @@ object Extras4 extends QueryPack {
     "q96_crosstab"      -> q96Sql,
     "q97_explode_outer" -> q97Sql,
     "q98_from_xml"      -> q98Sql,
-    "q99_json_extract"  -> q99Sql)
+    "q99_json_extract"  -> q99Sql,
+    "q101_cdc_merge"    -> q101Sql)
 }
