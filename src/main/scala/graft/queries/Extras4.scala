@@ -261,6 +261,35 @@ object Extras4 extends QueryPack {
        WHERE l.op IS NULL OR l.op <> 'D'
        ORDER BY c_custkey"""
 
+  // --------------------------------------------------------------- q102
+  /** HLL sketches as mergeable distinct-count STATE (DataSketches,
+    * Spark 3.5+): per-status sketches built with hll_sketch_agg, then
+    * re-merged with hll_union_agg — the two-level rollup every
+    * pre-aggregated dashboard pipeline runs (sketch once per segment,
+    * union on demand; sketches shuffle as ~KB binaries). At the test
+    * cardinality (≤ 200 distinct) the sketch is in its exact coupon
+    * regime, so plain count(DISTINCT) is a valid oracle — the
+    * approximate regime is covered by q39's approx_count_distinct. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir)("orders")
+    val perStatus = o
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(pmod(col("o_custkey"), lit(200)), lit(14)).as("sk"))
+    val statusRows = perStatus.select(col("o_orderstatus"),
+      hll_sketch_estimate(col("sk")).as("n_distinct"))
+    val unionRow = perStatus.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("n_distinct"))
+      .select(lit("ALL").as("o_orderstatus"), col("n_distinct"))
+    statusRows.unionByName(unionRow).orderBy(col("o_orderstatus"))
+  }
+
+  private val q102Sql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey % 200) AS n_distinct
+       FROM orders GROUP BY o_orderstatus
+       UNION ALL
+       SELECT 'ALL', count(DISTINCT o_custkey % 200) FROM orders
+       ORDER BY o_orderstatus"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q92_try_arith"     -> q92 _,
     "q93_collation"     -> q93 _,
@@ -270,7 +299,8 @@ object Extras4 extends QueryPack {
     "q97_explode_outer" -> q97 _,
     "q98_from_xml"      -> q98 _,
     "q99_json_extract"  -> q99 _,
-    "q101_cdc_merge"    -> q101 _)
+    "q101_cdc_merge"    -> q101 _,
+    "q102_hll_sketch"   -> q102 _)
 
   override def oracles: Map[String, String] = Map(
     "q92_try_arith"     -> q92Sql,
@@ -281,5 +311,6 @@ object Extras4 extends QueryPack {
     "q97_explode_outer" -> q97Sql,
     "q98_from_xml"      -> q98Sql,
     "q99_json_extract"  -> q99Sql,
-    "q101_cdc_merge"    -> q101Sql)
+    "q101_cdc_merge"    -> q101Sql,
+    "q102_hll_sketch"   -> q102Sql)
 }
