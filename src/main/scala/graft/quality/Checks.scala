@@ -72,7 +72,14 @@ object Checks {
     * child keys with no parent (0 = intact). Distinct-before-join keeps
     * the anti-join input small (reference's own trick, qhi.py:53), and the
     * parent side is a key list Catalyst can broadcast. Null FKs are not
-    * orphans (SQL FK semantics). */
+    * orphans (SQL FK semantics).
+    *
+    * Deliberately NOT fused into one pass per child table: each edge's
+    * scan prunes to a single FK column (columnar IO ≈ free per edge)
+    * and the distinct compresses map-side before any join, whereas a
+    * fused multi-edge aggregate needs an Expand over the full fact
+    * (k× the rows, no pre-join compression) — measured 2x slower at
+    * sf0.1, and the same argument holds on columnar storage at scale. */
   def fkIntegrity(edges: Seq[FkEdge]): DataFrame = {
     val perEdge = edges.map { e =>
       val orphans = e.child.select(col(e.fk).as("k")).na.drop().distinct()
