@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -70,7 +71,7 @@ class GraftRangeTable(start: Long, end: Long, slices: Int)
 
 class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var lo: Long = start
   private var hi: Long = end // exclusive
@@ -97,13 +98,81 @@ class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    // Shard granularity is fixed by the ORIGINAL range (like parquet
-    // row groups): pushdown then PRUNES shards instead of re-splitting
-    // the narrowed range, so a narrow predicate plans fewer partitions.
-    val shard = math.max(1L, (math.max(1L, end - start) + slices - 1) / slices)
-    new GraftRangeScan(lo, hi, shard, schema)
+  // Ungrouped COUNT(*) / MIN(id) / MAX(id) are answerable from the
+  // (already filter-narrowed) range bounds in O(1) — COMPLETE pushdown:
+  // the scan returns one final row and no range is ever enumerated.
+  // Spark only offers aggregates here after every filter was accepted,
+  // so the bounds are final. Anything else (grouping, val aggregates)
+  // is declined and executes as a normal scan.
+  private var aggFuncs: Option[Seq[String]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("id"))
+      case _                 => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min       => isId(m.column)
+      case m: Max       => isId(m.column)
+      case _            => false
+    }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggFuncs = Some(agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => "count"
+        case _: Min       => "min"
+        case _: Max       => "max"
+      })
+      true
+    }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new GraftRangeAggScan(lo, hi, funcs)
+    case None =>
+      // Shard granularity is fixed by the ORIGINAL range (like parquet
+      // row groups): pushdown then PRUNES shards instead of re-splitting
+      // the narrowed range, so a narrow predicate plans fewer partitions.
+      val shard = math.max(1L, (math.max(1L, end - start) + slices - 1) / slices)
+      new GraftRangeScan(lo, hi, shard, schema)
   }
+}
+
+/** Completely-pushed aggregate scan: one partition, one O(1) row. */
+class GraftRangeAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  private val n = math.max(0L, hi - lo)
+  override def readSchema(): StructType = StructType(
+    funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i", LongType, nullable = f != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftrange-agg [$lo, $hi) ${funcs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangePartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = InternalRow.fromSeq(funcs.map {
+      case "count" => n
+      case "min"   => if (n == 0) null else lo
+      case "max"   => if (n == 0) null else hi - 1
+    })
+    new GraftRangeSingleRowFactory(row)
+  }
+}
+
+class GraftRangeSingleRowFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 case class GraftRangePartition(from: Long, until: Long) extends InputPartition

@@ -63,4 +63,27 @@ class GraftRangeSourceSpec extends GraftTestBase {
     val df = read(1000, 4).filter(col("id") > 5000)
     assert(df.count() == 0)
   }
+
+  test("ungrouped count/min/max push COMPLETELY into the connector (O(1) over a trillion rows)") {
+    // A scan this size could never enumerate; only O(1) bound
+    // arithmetic can answer it in time.
+    val trillion = 1000000000000L
+    val df = read(trillion, 8)
+      .filter(col("id") >= 17 && col("id") < trillion - 3)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val r = df.collect().head
+    assert(r.getLong(0) == trillion - 3 - 17)
+    assert(r.getLong(1) == 17L && r.getLong(2) == trillion - 4)
+    assert(batchScan(df).scan.description().contains("graftrange-agg"))
+  }
+
+  test("grouped or non-id aggregates decline pushdown and still answer correctly") {
+    // grouped/val-typed plans go adaptive, so inspect the plan string
+    val df = read(1000, 4).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("graftrange-agg"))
+    assert(df.agg(sum("n")).collect().head.getLong(0) == 1000L)
+    val v = read(1000, 4).agg(min("val"))
+    assert(!v.queryExecution.executedPlan.toString.contains("graftrange-agg"))
+    assert(v.collect().head.getDouble(0) >= 0.0)
+  }
 }
