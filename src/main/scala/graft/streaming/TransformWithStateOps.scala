@@ -52,6 +52,53 @@ object TransformWithStateOps extends Serializable {
     }
   }
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSess(startMs: Long, lastMs: Long, n: Int)
+  final case class SessClosed(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Int, closed_by: String)
+
+  /** Timer-closed gap sessions — the [[StatefulProcessor]] TIMER
+    * surface (TimeMode.EventTime): each batch extends the open session
+    * and re-arms an event-time timer at lastSeen + gap; when the
+    * WATERMARK passes that point with no new events,
+    * [[StatefulProcessor.handleExpiredTimer]] fires, emits the closed
+    * session, and clears state — the idle-key cleanup path that
+    * input-driven processors can't express (a key that stops sending
+    * events never enters handleInputRows again, but its timer still
+    * fires). */
+  class TimerSessions(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, SessClosed] {
+    @transient private var sess: ValueState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[OpenSess]("sess",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                                 timers: TimerValues): Iterator[SessClosed] = {
+      var s = if (sess.exists()) sess.get() else OpenSess(Long.MaxValue, Long.MinValue, 0)
+      var last = s.lastMs
+      rows.foreach { r =>
+        val t = r.ts.getTime
+        s = OpenSess(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1)
+      }
+      sess.update(s)
+      if (last != Long.MinValue) getHandle.deleteTimer(last + gapMs)
+      getHandle.registerTimer(s.lastMs + gapMs)
+      Iterator.empty // sessions emit only when the timer closes them
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessClosed] = {
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
+      sess.clear()
+      Iterator.single(SessClosed(key, new java.sql.Timestamp(s.startMs),
+        s.n, "timer"))
+    }
+  }
+
   /** Drain the finite events file-stream through the processor and
     * return the FINAL per-user profile (max-n_events emission per key),
     * matching `SELECT user_id, count(*), sum(value),
