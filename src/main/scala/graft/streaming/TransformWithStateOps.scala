@@ -52,6 +52,34 @@ object TransformWithStateOps extends Serializable {
     }
   }
 
+  /** [[RunningUserProfile]] with BATCH-BOOTSTRAPPED state
+    * (StatefulProcessorWithInitialState): production streams rarely
+    * start cold — yesterday's batch aggregate seeds per-key state via
+    * handleInitialState before the first micro-batch, and the stream
+    * continues from there (the lambda-architecture handoff, state-native).
+    * Initial rows arrive as (user_id, n_events, sum_value) tuples. */
+  class SeededUserProfile
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, EventIn, UserOut, (Long, Long, Double)] {
+    @transient private var agg: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg",
+        Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: (Long, Long, Double),
+                                    timers: TimerValues): Unit =
+      agg.update(UserAgg(initial._2, initial._3))
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timers: TimerValues): Iterator[UserOut] = {
+      var a = if (agg.exists()) agg.get() else UserAgg(0L, 0.0)
+      rows.foreach(r => a = UserAgg(a.n + 1, a.sum + r.value))
+      agg.update(a)
+      Iterator.single(UserOut(key, a.n, a.sum, 0))
+    }
+  }
+
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSess(startMs: Long, lastMs: Long, n: Int)
   final case class SessClosed(user_id: Long, session_start: java.sql.Timestamp,

@@ -73,4 +73,51 @@ class TransformWithStateSpec extends GraftTestBase {
            expected.exceptAll(finalRows).isEmpty,
       "final TWS state differs from batch aggregate")
   }
+
+  test("initial-state bootstrap: batch seed + streamed delta == full batch aggregate") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val raw = spark.read.schema(EventsStream.rawSchema)
+      .parquet(s"$sf001/events.parquet")
+
+    // Seed state = batch aggregate of the EVEN half; stream the ODD half.
+    val seed = raw.filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+
+    val dir = java.nio.file.Files.createTempDirectory("tws_seed").toFile.getAbsolutePath
+    raw.filter(col("event_id") % 2 === 1).write.parquet(s"$dir/odd")
+
+    val out = spark.readStream.schema(EventsStream.rawSchema).parquet(s"$dir/odd")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[TransformWithStateOps.EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransformWithStateOps.SeededUserProfile,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(), seed,
+        org.apache.spark.sql.Encoders.product[TransformWithStateOps.UserOut],
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("tws_seed_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tws_seed_out")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+              round(col("f.sum_value"), 4).as("sum_value"))
+    // Streamed keys must carry seed + delta. (Keys with no odd events
+    // never emit — initial state alone doesn't produce output.)
+    val expected = raw.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .join(raw.filter(col("event_id") % 2 === 1).select("user_id").distinct(),
+        Seq("user_id"), "left_semi")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "seeded stream state diverged from the full batch aggregate")
+  }
 }
