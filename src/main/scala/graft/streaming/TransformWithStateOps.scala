@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Spark 4 `transformWithState` surface — the arbitrary-state API that
   * replaces flatMapGroupsWithState (SPARK-46815): typed ValueState /
@@ -77,6 +77,30 @@ object TransformWithStateOps extends Serializable {
       rows.foreach(r => a = UserAgg(a.n + 1, a.sum + r.value))
       agg.update(a)
       Iterator.single(UserOut(key, a.n, a.sum, 0))
+    }
+  }
+
+  final case class TopOut(user_id: Long, rank: Int, value: Double)
+
+  /** Streaming per-key top-k via [[ListState]] (the third state type,
+    * after ValueState and MapState): the retained list is CAPPED at k
+    * — put() replaces it with the merged-and-truncated top-k each
+    * batch, so state stays O(k) per key on an infinite stream (the
+    * streaming twin of the batch TopK Aggregator). Emits the current
+    * ranking per key per batch; last emission is the final answer. */
+  class TopKPerUser(k: Int) extends StatefulProcessor[Long, EventIn, TopOut] {
+    @transient private var top: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Double]("top",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timers: TimerValues): Iterator[TopOut] = {
+      val merged = (top.get().toSeq ++ rows.map(_.value))
+        .sorted(Ordering[Double].reverse).take(k)
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (v, i) => TopOut(key, i + 1, v) }
     }
   }
 

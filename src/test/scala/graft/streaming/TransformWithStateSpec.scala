@@ -74,6 +74,56 @@ class TransformWithStateSpec extends GraftTestBase {
       "final TWS state differs from batch aggregate")
   }
 
+  test("ListState top-k per user across micro-batches == batch top-k") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val raw = spark.read.schema(EventsStream.rawSchema)
+      .parquet(s"$sf001/events.parquet")
+
+    val dir = Files.createTempDirectory("tws_topk").toFile.getAbsolutePath
+    Seq("a" -> 0, "b" -> 1).foreach { case (name, par) =>
+      val stage = s"$dir/_stage_$name"
+      raw.filter(col("event_id") % 2 === par).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(s"$dir/$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+
+    val k = 3
+    val out = spark.readStream.schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[TransformWithStateOps.EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransformWithStateOps.TopKPerUser(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[TransformWithStateOps.TopOut])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("tws_topk_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // Final ranking per user = the LAST batch's emission = min value
+    // per (user, rank) since rank-r values only improve (grow) —
+    // take max value per (user, rank) instead: values at a given rank
+    // are monotone non-decreasing across batches.
+    val got = spark.table("tws_topk_out")
+      .groupBy(col("user_id"), col("rank"))
+      .agg(max(col("value")).as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val expected = raw
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_id"), col("rank").cast("int").as("rank"), col("value"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streaming ListState top-k differs from batch top-k")
+  }
+
   test("initial-state bootstrap: batch seed + streamed delta == full batch aggregate") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
