@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +47,8 @@ class GraftRangeSource extends TableProvider {
     new GraftRangeTable(
       properties.asScala.getOrElse("start", "0").toLong,
       properties.asScala.getOrElse("end", "1000").toLong,
-      properties.asScala.getOrElse("slices", "8").toInt)
+      properties.asScala.getOrElse("slices", "8").toInt,
+      properties.asScala.getOrElse("partitionBy", "range") == "bucket")
 }
 
 object GraftRangeSource {
@@ -59,17 +61,19 @@ object GraftRangeSource {
   def bucketOf(id: Long): Int = (id % 32L).toInt
 }
 
-class GraftRangeTable(start: Long, end: Long, slices: Int)
+class GraftRangeTable(start: Long, end: Long, slices: Int,
+                      bucketed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graftrange($start,$end)"
   override def schema(): StructType = GraftRangeSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(start, end, slices)
+    new GraftRangeScanBuilder(start, end, slices, bucketed)
 }
 
-class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
+class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
+                            bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -132,6 +136,7 @@ class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new GraftRangeAggScan(lo, hi, funcs)
+    case None if bucketed => new GraftRangeBucketedScan(lo, hi, schema)
     case None =>
       // Shard granularity is fixed by the ORIGINAL range (like parquet
       // row groups): pushdown then PRUNES shards instead of re-splitting
@@ -176,6 +181,63 @@ class GraftRangeSingleRowFactory(row: InternalRow)
 }
 
 case class GraftRangePartition(from: Long, until: Long) extends InputPartition
+
+/** One input partition per `bucket` value (id ≡ bucket mod 32), carrying
+  * its partition key for storage-partitioned joins. */
+case class GraftBucketPartition(bucket: Int, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+/** Bucket-partitioned scan (`partitionBy=bucket`): reports
+  * KeyGroupedPartitioning(identity(bucket)) so Spark's storage-partitioned
+  * join machinery (spark.sql.sources.v2.bucketing.enabled) can co-locate
+  * two such scans and plan an equi-join on `bucket` (+ more keys) with NO
+  * shuffle on either side — the DSv2 successor to Hive bucketing, and the
+  * contract a 100 TB sharded store implements so that fact-fact joins
+  * never re-shuffle. Filter pushdown still narrows [lo, hi) inside every
+  * bucket; column pruning applies unchanged.
+  */
+class GraftRangeBucketedScan(lo: Long, hi: Long, schema: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  private val nb = 32
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftrange-bucketed [$lo, $hi) buckets=$nb cols=${schema.fieldNames.mkString(",")}"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), nb)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(nb)(b => GraftBucketPartition(b, lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBucketReaderFactory(schema, nb)
+}
+
+class GraftBucketReaderFactory(schema: StructType, nb: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftBucketPartition]
+    val gens: Array[Long => Any] = schema.fieldNames.map {
+      case "id"     => (id: Long) => id
+      case "val"    => (id: Long) => GraftRangeSource.valOf(id)
+      case "bucket" => (id: Long) => GraftRangeSource.bucketOf(id)
+    }
+    // First id >= lo with id mod nb == bucket, then stride by nb.
+    val first = {
+      val r = ((part.bucket - part.lo) % nb + nb) % nb
+      part.lo + r
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = first - nb
+      override def next(): Boolean = { cur += nb; cur < part.hi }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(cur)))
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class GraftRangeScan(lo: Long, hi: Long, shard: Long, schema: StructType)
     extends Scan with Batch {
