@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 SINK connector ("graftmem"): the full batch write
+  * contract — WriteBuilder → BatchWrite → DataWriterFactory →
+  * DataWriter — over a named in-memory table, plus read-back.
+  *
+  * The commit protocol is the point: every write TASK buffers its rows
+  * and ships them to the driver inside its WriterCommitMessage; nothing
+  * becomes visible until the driver-side BatchWrite.commit installs ALL
+  * task outputs in one atomic swap. A failed job calls abort() and the
+  * table is untouched — the same all-or-nothing semantics a production
+  * sink implements with staged files + a commit manifest at 100 TB
+  * (this sink just keeps the staging in the message itself).
+  *
+  * SupportsTruncate maps SaveMode.Overwrite onto truncate-then-commit,
+  * still atomically: the truncation happens inside commit(), never
+  * before, so a failed overwrite leaves the previous table intact.
+  *
+  * Options: name (required) — the store key.
+  */
+class GraftMemorySink extends TableProvider {
+  // Write-path-first source: schema comes from the written data or the
+  // already-stored table on read-back.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftMemoryStore.schemaOf(options.get("name")).getOrElse(new StructType())
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val name = properties.asScala.getOrElse("name",
+      throw new IllegalArgumentException("graftmem requires option 'name'"))
+    new GraftMemoryTable(name, schema)
+  }
+}
+
+/** Driver-side store: table name → (schema, committed rows). Rows are
+  * catalyst values (UTF8String etc.), grouped by writing task so tests
+  * can also observe task granularity. */
+object GraftMemoryStore {
+  private val tables = TrieMap.empty[String, (StructType, Vector[Seq[Any]])]
+
+  def schemaOf(name: String): Option[StructType] =
+    Option(name).flatMap(tables.get).map(_._1)
+
+  def rowsOf(name: String): Vector[Seq[Any]] =
+    tables.get(name).map(_._2).getOrElse(Vector.empty)
+
+  def drop(name: String): Unit = tables.remove(name)
+
+  private[sources] def install(name: String, schema: StructType,
+                               rows: Vector[Seq[Any]], truncate: Boolean): Unit =
+    tables.synchronized {
+      val prior =
+        if (truncate) Vector.empty
+        else tables.get(name).map(_._2).getOrElse(Vector.empty)
+      tables.put(name, (schema, prior ++ rows))
+    }
+}
+
+class GraftMemoryTable(name: String, writeSchema: StructType)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graftmem($name)"
+  override def schema(): StructType =
+    GraftMemoryStore.schemaOf(name).getOrElse(writeSchema)
+  // ACCEPT_ANY_SCHEMA: the table takes its schema from each write (the
+  // store is write-first); without it Spark validates against the
+  // pre-write inferred schema, which is empty for a fresh table.
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftMemoryWriteBuilder(name, info.schema(), truncateFirst = false)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftMemoryScan(name)
+}
+
+class GraftMemoryWriteBuilder(name: String, schema: StructType,
+                              truncateFirst: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new GraftMemoryWriteBuilder(name, schema, truncateFirst = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftMemoryBatchWrite(name, schema, truncateFirst)
+  }
+}
+
+/** Commit message = the task's buffered rows (the "staged files"). */
+case class GraftMemoryCommit(rows: Vector[Seq[Any]]) extends WriterCommitMessage
+
+class GraftMemoryBatchWrite(name: String, schema: StructType,
+                            truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftMemoryWriterFactory(schema)
+
+  // Atomic install of every task's staged rows; truncate (overwrite)
+  // only takes effect here, inside the commit.
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftMemoryStore.install(name, schema,
+      messages.iterator.flatMap {
+        case GraftMemoryCommit(rows) => rows
+      }.toVector, truncateFirst)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftMemoryWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[Seq[Any]]
+      override def write(row: InternalRow): Unit =
+        buf += schema.fields.indices.map(i => row.get(i, schema(i).dataType))
+      override def commit(): WriterCommitMessage = GraftMemoryCommit(buf.result())
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
+
+class GraftMemoryScan(name: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    GraftMemoryStore.schemaOf(name).getOrElse(new StructType())
+  override def toBatch: Batch = this
+  override def description(): String = s"graftmem-scan $name"
+
+  // Single partition: the store is driver-memory-backed by design (a
+  // test/staging sink); a real store would shard here.
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangePartition(0, 0))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rows = GraftMemoryStore.rowsOf(name)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = rows.iterator
+          private var cur: Seq[Any] = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = InternalRow.fromSeq(cur)
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
