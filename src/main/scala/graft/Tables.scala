@@ -10,8 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan automatically.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Schema inference (parquet footer read + file listing) costs ~100 ms
+  // per table; a benchmark or SQL query that touches all ten tables pays
+  // >1 s per invocation without this. The plan object is immutable, so
+  // caching per (session, path) is safe; keying on the session keeps
+  // plans from leaking across sessions.
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.dfCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw nanos (legacy nanosAsLong) and
@@ -46,14 +52,22 @@ final case class Tables(spark: SparkSession, dir: String) {
     * micros-timestamp `ts` as the DataFrame surface (not raw BIGINT
     * nanos), and sets the nanosAsLong conf up front so a fresh session
     * doesn't trip on the eager TIMESTAMP(NANOS) footer read. */
-  def registerAll(): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.names.foreach(n => apply(n).createOrReplaceTempView(n))
-  }
+  def registerAll(): Unit =
+    if (!Tables.registered.get(spark).contains(dir)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.names.foreach(n => apply(n).createOrReplaceTempView(n))
+      Tables.registered.put(spark, dir)
+    }
 }
 
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Which sf-dir each session's temp views currently point at. */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 }

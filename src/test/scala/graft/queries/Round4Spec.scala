@@ -13,16 +13,20 @@ class Round4Spec extends GraftTestBase {
     // the purchase rows themselves: prev must be a DIFFERENT earlier row's
     // value (lag ignoreNulls skips the current row by construction)
     val e = graft.Tables(spark, sf001)("events")
+    // fresh-alias projections: Tables caches the plan, so both sides of
+    // this self-join would otherwise share attribute ids
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), round(col("value"), 2).as("v"))
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+              round(col("value"), 2).as("p_v"))
     // for every event with a prev_purchase, some strictly-earlier purchase
     // by the same user carries exactly that value
     val withPrev = df.filter(col("prev_purchase").isNotNull)
-      .join(e.select(col("event_id"), col("user_id").as("u"), col("ts").as("t")), "event_id")
+      .join(e.select(col("event_id").as("event_id"), col("user_id").as("u"),
+                     col("ts").as("t")), "event_id")
     val bad = withPrev.join(purchases,
-        withPrev("u") === purchases("user_id") &&
-        purchases("ts") < withPrev("t") &&
-        purchases("v") === withPrev("prev_purchase"), "left_anti")
+        col("u") === col("p_uid") &&
+        col("p_ts") < col("t") &&
+        col("p_v") === col("prev_purchase"), "left_anti")
     assert(bad.count() == 0)
   }
 
