@@ -135,15 +135,36 @@ object Extras6 extends QueryPack {
     """SELECT event_type, count(*) AS n
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q117
+  /** Stream-static join (see EventsStream.streamStaticEnrichToMemory):
+    * clicks enriched with the broadcast per-user purchase profile; the
+    * drained finite stream equals the batch join, which is the oracle. */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream
+      .streamStaticEnrichToMemory(s, dir, queryName = "q117_enrich_out")
+      .orderBy(col("event_id"))
+
+  private val q117Sql =
+    """WITH s AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                round(sum(round(value * 100)) / 100, 2) AS total_purchase
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT e.event_id, e.user_id, s.n_purchases, s.total_purchase
+       FROM events e JOIN s USING (user_id)
+       WHERE e.event_type = 'click'
+       ORDER BY e.event_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q109_regr_family" -> q109,
     "q110_mode_listagg" -> q110,
     "q111_gap_fill" -> q111,
-    "q116_cms_probe" -> q116)
+    "q116_cms_probe" -> q116,
+    "q117_stream_static_join" -> q117)
 
   override def oracles: Map[String, String] = Map(
     "q109_regr_family" -> q109Sql,
     "q110_mode_listagg" -> q110Sql,
     "q111_gap_fill" -> q111Sql,
-    "q116_cms_probe" -> q116Sql)
+    "q116_cms_probe" -> q116Sql,
+    "q117_stream_static_join" -> q117Sql)
 }

@@ -90,6 +90,37 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-STATIC join — enrich a stream with a batch dimension. The
+    * static side is planned once and re-executed per micro-batch with
+    * no streaming state at all (unlike stream-stream joins there is no
+    * watermark bookkeeping): at scale the dim is broadcast and the
+    * stream never shuffles. Here the dim is the per-user purchase
+    * profile computed batch-side from the same events table, so the
+    * drained stream equals the batch join and shares a DuckDB oracle
+    * (q117). */
+  def streamStaticEnrichToMemory(spark: SparkSession, dir: String,
+                                 queryName: String): DataFrame = {
+    val static = graft.Tables(spark, dir)("events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("s_user_id"))
+      // snap to integer cents and total them: integer-valued doubles sum
+      // exactly in any order, so the profile is bit-identical across
+      // engines (an avg would land on .5 rounding ties that Spark and
+      // DuckDB break differently)
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(round(col("value") * 100)) / 100, 2).as("total_purchase"))
+    val joined = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .join(broadcast(static), col("user_id") === col("s_user_id"))
+      .select(col("event_id"), col("user_id"),
+              col("n_purchases"), col("total_purchase"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming deduplication with state TTL:
     * dropDuplicatesWithinWatermark keeps one row per (user_id,
     * event_type) while expiring key state once the watermark passes —
