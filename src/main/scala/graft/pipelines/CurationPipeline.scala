@@ -23,9 +23,17 @@ import graft.operators.Dedup
   *      the benchmark set (tiny by construction → broadcast join).
   *   4. QUALITY GATE — length window + stopword-ratio floor per
   *      language (pure map-side).
-  *   5. DETERMINISTIC SAMPLE — md5-bucket per-language keep rates
+  *   5. REPETITION GATE — drop documents whose duplicate word-2-gram
+  *      fraction exceeds the threshold (the Gopher/MassiveText rule).
+  *      Computed per-row with array_distinct — map-side, NO shuffle;
+  *      the per-gram-count formulation (q112) is for reporting, not
+  *      gating.
+  *   6. DOMAIN CAP — keep at most `domainCap` documents per source in
+  *      deterministic hash order (one window per source; caps crawl
+  *      skew so no single domain dominates the mix).
+  *   7. DETERMINISTIC SAMPLE — md5-bucket per-language keep rates
   *      (reproducible under retries; map-side).
-  *   6. SEQUENCE PACKING — cumsum token bins per language, 512-token
+  *   8. SEQUENCE PACKING — cumsum token bins per language, 512-token
   *      budget (one window pass).
   *
   * Returns the packed corpus plus a per-stage funnel report (how many
@@ -39,7 +47,9 @@ object CurationPipeline {
   def run(spark: SparkSession, docs: DataFrame,
           benchmarkIds: Column => Column = _ % 97 === 0,
           tokenBudget: Int = 512,
-          nearDupThreshold: Double = 0.7): (DataFrame, Seq[Report]) = {
+          nearDupThreshold: Double = 0.7,
+          maxDupGramFrac: Double = 0.6,
+          domainCap: Long = Long.MaxValue): (DataFrame, Seq[Report]) = {
     val funnel = Seq.newBuilder[Report]
     def count(stage: String, df: DataFrame): DataFrame = {
       funnel += Report(stage, df.count()); df
@@ -86,17 +96,42 @@ object CurationPipeline {
         .filter(size(toks) >= 8)
     })
 
-    // 5. deterministic per-language sample
+    // 5. repetition gate: duplicate-2-gram fraction, computed per-row
+    val repGated = count("repetition_gate", {
+      val ws = split(col("text"), " ")
+      val grams = expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
+      quality
+        .withColumn("ws", ws)
+        .withColumn("__dup_frac",
+          lit(1.0) - size(array_distinct(grams)).cast("double") /
+            size(grams).cast("double"))
+        .filter(col("__dup_frac") <= maxDupGramFrac)
+        .drop("ws", "__dup_frac")
+    })
+
+    // 6. per-source (domain) cap in deterministic hash order
+    val capped = count("domain_cap",
+      if (domainCap == Long.MaxValue) repGated
+      else {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+                   col("doc_id"))
+        repGated.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= domainCap).drop("__rk")
+      })
+
+    // 7. deterministic per-language sample
     val sampled = count("hash_sample", {
       val bucket = pmod(
         conv(substring(md5(encode(concat(lit("smp:"),
           col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10)
           .cast("long"), lit(1000))
       val rate = when(col("lang") === "en", 800).otherwise(900)
-      quality.filter(bucket < rate)
+      capped.filter(bucket < rate)
     })
 
-    // 6. sequence packing
+    // 8. sequence packing
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = sampled
