@@ -154,17 +154,58 @@ object Extras6 extends QueryPack {
        WHERE e.event_type = 'click'
        ORDER BY e.event_id"""
 
+  // --------------------------------------------------------------- q121
+  /** Typed KeyValueGroupedDataset.cogroup — per-key access to BOTH
+    * sides' rows as iterators, the typed escape hatch when per-group
+    * logic won't express relationally (custom merges, sequence
+    * alignment). Semantics are full-outer grouped: keys present on
+    * either side emit. The oracle spells the same result as a full
+    * outer join of per-key aggregates; prices snap to integer cents so
+    * the per-group imperative sum matches the SQL sum exactly. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val cust = t("customer")
+      .select(col("c_custkey").as[Long], col("c_name").as[String])
+    val ords = t("orders")
+      .select(col("o_custkey").as[Long],
+              round(col("o_totalprice") * 100).cast("long").as[Long])
+    cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) {
+      (k, cs, os) =>
+        val orderCents = os.map(_._2).toSeq
+        Iterator((k, cs.size, orderCents.size.toLong, orderCents.sum))
+    }.toDF("custkey", "n_cust_rows", "n_orders", "total_cents")
+      .select(col("custkey"), col("n_cust_rows").cast("int").as("n_cust_rows"),
+              col("n_orders"), col("total_cents"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q121Sql =
+    """WITH o AS (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders GROUP BY o_custkey)
+       SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+              CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS n_cust_rows,
+              COALESCE(o.n_orders, 0) AS n_orders,
+              COALESCE(o.total_cents, 0) AS total_cents
+       FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+       ORDER BY custkey"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q109_regr_family" -> q109,
     "q110_mode_listagg" -> q110,
     "q111_gap_fill" -> q111,
     "q116_cms_probe" -> q116,
-    "q117_stream_static_join" -> q117)
+    "q117_stream_static_join" -> q117,
+    "q121_typed_cogroup" -> q121)
 
   override def oracles: Map[String, String] = Map(
     "q109_regr_family" -> q109Sql,
     "q110_mode_listagg" -> q110Sql,
     "q111_gap_fill" -> q111Sql,
     "q116_cms_probe" -> q116Sql,
-    "q117_stream_static_join" -> q117Sql)
+    "q117_stream_static_join" -> q117Sql,
+    "q121_typed_cogroup" -> q121Sql)
 }
