@@ -193,13 +193,45 @@ object Extras6 extends QueryPack {
        FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
        ORDER BY custkey"""
 
+  // --------------------------------------------------------------- q122
+  /** Distribution-rank window family — ntile quartiles, cume_dist,
+    * percent_rank, first_value and nth_value over a unique-key order.
+    * One shuffle+sort per partition key serves all five functions (a
+    * single Window node); the ratios are exact small-integer fractions
+    * so no rounding tolerance is needed. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir)("orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"),
+        first_value(col("o_orderkey")).over(w).as("top_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy(col("o_orderpriority"), col("pr"), col("o_orderkey"))
+  }
+
+  private val q122Sql =
+    """SELECT o_orderpriority, o_orderkey,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         round(cume_dist() OVER w, 6) AS cd,
+         round(percent_rank() OVER w, 6) AS pr,
+         first_value(o_orderkey) OVER w AS top_key,
+         nth_value(o_orderkey, 2) OVER w AS second_key
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_orderpriority, pr, o_orderkey"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q109_regr_family" -> q109,
     "q110_mode_listagg" -> q110,
     "q111_gap_fill" -> q111,
     "q116_cms_probe" -> q116,
     "q117_stream_static_join" -> q117,
-    "q121_typed_cogroup" -> q121)
+    "q121_typed_cogroup" -> q121,
+    "q122_rank_distribution" -> q122)
 
   override def oracles: Map[String, String] = Map(
     "q109_regr_family" -> q109Sql,
@@ -207,5 +239,6 @@ object Extras6 extends QueryPack {
     "q111_gap_fill" -> q111Sql,
     "q116_cms_probe" -> q116Sql,
     "q117_stream_static_join" -> q117Sql,
-    "q121_typed_cogroup" -> q121Sql)
+    "q121_typed_cogroup" -> q121Sql,
+    "q122_rank_distribution" -> q122Sql)
 }
