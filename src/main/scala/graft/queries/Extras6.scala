@@ -224,6 +224,40 @@ object Extras6 extends QueryPack {
                     ORDER BY o_totalprice DESC, o_orderkey)
        ORDER BY o_orderpriority, pr, o_orderkey"""
 
+  // --------------------------------------------------------------- q123
+  /** Timezone conversion — UTC event times shifted to IANA zones
+    * (from_utc_timestamp) and bucketed by local hour: the
+    * activity-by-local-time rollup every global product computes. The
+    * three zones fan out through one explode(map(...)) so the input
+    * scans once; both engines resolve DST through the same IANA tzdata. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir)("events")
+    e.select(explode(map(
+        lit("asia_tokyo"), hour(from_utc_timestamp(col("ts"), "Asia/Tokyo")),
+        lit("america_ny"), hour(from_utc_timestamp(col("ts"), "America/New_York")),
+        lit("utc"), hour(col("ts")))).as(Seq("zone", "h")))
+      .groupBy(col("zone"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("zone"), col("h"))
+  }
+
+  private val q123Sql =
+    """WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+       u AS (
+         SELECT 'asia_tokyo' AS zone,
+                EXTRACT(hour FROM (t AT TIME ZONE 'UTC'
+                                     AT TIME ZONE 'Asia/Tokyo')) AS h
+         FROM b
+         UNION ALL
+         SELECT 'america_ny',
+                EXTRACT(hour FROM (t AT TIME ZONE 'UTC'
+                                     AT TIME ZONE 'America/New_York'))
+         FROM b
+         UNION ALL
+         SELECT 'utc', EXTRACT(hour FROM t) FROM b)
+       SELECT zone, CAST(h AS INT) AS h, count(*) AS n
+       FROM u GROUP BY zone, h ORDER BY zone, h"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q109_regr_family" -> q109,
     "q110_mode_listagg" -> q110,
@@ -231,7 +265,8 @@ object Extras6 extends QueryPack {
     "q116_cms_probe" -> q116,
     "q117_stream_static_join" -> q117,
     "q121_typed_cogroup" -> q121,
-    "q122_rank_distribution" -> q122)
+    "q122_rank_distribution" -> q122,
+    "q123_timezones" -> q123)
 
   override def oracles: Map[String, String] = Map(
     "q109_regr_family" -> q109Sql,
@@ -240,5 +275,6 @@ object Extras6 extends QueryPack {
     "q116_cms_probe" -> q116Sql,
     "q117_stream_static_join" -> q117Sql,
     "q121_typed_cogroup" -> q121Sql,
-    "q122_rank_distribution" -> q122Sql)
+    "q122_rank_distribution" -> q122Sql,
+    "q123_timezones" -> q123Sql)
 }
