@@ -30,6 +30,10 @@ object GraftFunctions {
       "rolling_hash",
       exprs => RollingHash(Cast(exprs.head, StringType),
                            base = 131L, mod = MinHashSignature.P), "scala_udf")
+    // typed Aggregator surfaced as a SQL UDAF: partial-aggregating,
+    // map-side-combinable like any built-in agg
+    spark.udf.register("weighted_avg",
+      org.apache.spark.sql.functions.udaf(WeightedAvg))
   }
 
   /** Static-int argument (k): must be a foldable, NON-NULL int literal

@@ -117,4 +117,16 @@ class ExpressionsSpec extends GraftTestBase {
       .select(simhash64($"t")).collect().head.getLong(0)
     assert(r.getLong(0) == viaCol)
   }
+
+  test("weighted_avg UDAF is reachable from SQL and partial-aggregates") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("""
+      SELECT k, weighted_avg(v, w) AS wa
+      FROM VALUES (1, 10.0d, 1.0d), (1, 20.0d, 3.0d), (2, 5.0d, 2.0d)
+        AS t(k, v, w)
+      GROUP BY k ORDER BY k
+    """).collect()
+    assert(got(0).getDouble(1) == (10.0 * 1 + 20.0 * 3) / 4)
+    assert(got(1).getDouble(1) == 5.0)
+  }
 }
