@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.expressions.DotProduct.vecDot
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer
+  * for [[Similarity.ivfTopK]]'s centroid table (IVF coarse quantizer).
+  *
+  * Spark-shaped iteration:
+  *   - centroids live driver-side between iterations (k × dim doubles —
+  *     trivially small) and enter each step as a broadcast literal
+  *     table, so the corpus NEVER shuffles for assignment;
+  *   - assignment = crossJoin(corpus, broadcast centroids) scoring
+  *     −2·v·c + |c|² with the codegen'd [[vecDot]] (the |v|² term is
+  *     constant per vector, added back only for inertia), argmin via
+  *     min(struct(dist, cid)) so ties break to the lowest id
+  *     deterministically;
+  *   - update = posexplode of assigned vectors → per-(cluster, dim)
+  *     mean → per-cluster mean vector: two map-side-combinable
+  *     aggregates, state bounded by k × dim, not corpus size;
+  *   - empty clusters keep their previous centroid (full-outer
+  *     coalesce), so k never silently shrinks.
+  *
+  * Initialization is deterministic: the k vectors with the smallest
+  * md5(id) — reproducible under retries, no RNG state to ship.
+  * Returns (centroids DataFrame (centroid_id, centroid), inertia per
+  * iteration — the training curve, non-increasing by Lloyd's
+  * guarantee).
+  */
+object KMeans {
+
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val spark = df.sparkSession
+    val vecs = df
+      .select(col(idCol).cast("long").as("vid"),
+              col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vnorm2", vecDot(col("v"), col("v")))
+
+    // deterministic seed: k smallest md5(vid)
+    var centroids: Seq[(Long, Seq[Double])] = vecs
+      .withColumn("h", md5(col("vid").cast("string")))
+      .orderBy(col("h"), col("vid")).limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+      .toSeq
+
+    val inertia = Seq.newBuilder[Double]
+
+    (1 to iters).foreach { _ =>
+      val centDf = broadcast(centroidsDf(spark, centroids)
+        .withColumn("cnorm2", vecDot(col("centroid"), col("centroid"))))
+
+      val assigned = vecs.crossJoin(centDf)
+        .withColumn("reldist",
+          lit(-2.0) * vecDot(col("v"), col("centroid")) + col("cnorm2"))
+        .groupBy(col("vid"))
+        .agg(min(struct(col("reldist"), col("centroid_id"))).as("best"),
+             first(col("v")).as("v"), first(col("vnorm2")).as("vnorm2"))
+        .select(col("vid"), col("v"),
+          col("best.centroid_id").as("cid"),
+          (col("best.reldist") + col("vnorm2")).as("dist2"))
+
+      inertia += assigned.agg(sum(col("dist2"))).head.getDouble(0)
+
+      // per-(cluster, dim) mean -> per-cluster mean vector
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("centroid"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+      // empty clusters keep their previous centroid
+      centroids = centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+
+    (centroidsDf(spark, centroids), inertia.result())
+  }
+
+  private def centroidsDf(spark: SparkSession,
+                          cs: Seq[(Long, Seq[Double])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cs.map(c => Row(c._1, c._2)): _*), schema)
+  }
+}
