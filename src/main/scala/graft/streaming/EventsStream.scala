@@ -25,13 +25,15 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // File-stream sources need a directory basePath; the testdata dir
-    // holds one file per table, so glob-filter down to events.parquet.
+    // holds one file per table, so glob-filter down to events.parquet
+    // (tests staging their own multi-file dirs widen the glob).
     spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -114,6 +116,41 @@ object EventsStream {
       .join(broadcast(static), col("user_id") === col("s_user_id"))
       .select(col("event_id"), col("user_id"),
               col("n_purchases"), col("total_purchase"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream-stream LEFT OUTER join — unlike the inner join, unmatched
+    * left rows must wait until the WATERMARK proves no match can still
+    * arrive, then emit with nulls; Spark holds each left row only until
+    * the watermark passes the join range bound, which bounds state on an
+    * infinite stream. On a finite file drain the watermark only advances
+    * to (max seen event time − delay), so purchases in the final
+    * `delay + range` window stay unemitted — batch-equivalence testing
+    * appends a far-future sentinel event to flush them (see
+    * StreamingSpec). */
+  def streamStreamLeftJoinToMemory(spark: SparkSession, dir: String,
+                                   queryName: String,
+                                   glob: String = "events.parquet"): DataFrame = {
+    val purchases = readEvents(spark, dir, glob)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = readEvents(spark, dir, glob)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+              col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
     val q = joined.writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
     q.processAllAvailable()

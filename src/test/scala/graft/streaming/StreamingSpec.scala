@@ -33,6 +33,62 @@ class StreamingSpec extends GraftTestBase {
     assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once the watermark passes") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    // Stage the events file plus far-future sentinels (one per side):
+    // outer-null emission waits for the watermark, which on a finite
+    // drain only advances to max-seen − delay; the sentinels push it
+    // past every real purchase.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStream.rawSchema)
+      .parquet(s"$sf001/events.parquet")
+    val dir = Files.createTempDirectory("ssoj_in").toFile.getAbsolutePath
+    import spark.implicits._
+    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val far = maxNanos + 10L * 86400 * 1000 * 1000 * 1000 // +10 days, nanos
+    // flat files in the stream dir (nested write dirs are not listed)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$dir/_stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(s"$dir/$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    stage("base", raw)
+    stage("sentinel",
+      Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
+          (-2L, far, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+    val stream = EventsStream
+      .streamStreamLeftJoinToMemory(spark, dir, "spec_ssoj", glob = "*.parquet")
+      .filter(col("purchase_id") > 0) // drop the sentinel's own row
+      .orderBy("user_id", "purchase_id", "click_id")
+      .collect().map(_.toString)
+
+    val e = graft.Tables(spark, sf001)("events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+              col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id", "click_id")
+      .collect().map(_.toString)
+
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
+    // and the outer part is actually exercised: some purchases unmatched
+    assert(batch.exists(_.contains("null")),
+      "test data has no unmatched purchases — outer path not exercised")
+  }
+
   test("streaming dedup within watermark equals batch distinct") {
     val deduped = EventsStream.streamDedupToMemory(spark, sf001, "spec_dedup")
     val streamPairs = deduped.select("user_id", "event_type").collect()
