@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
-import graft.functions.expressions.{DotProduct, MinHashSignature, RollingHash, SasToDate, SimHash64}
+import graft.functions.expressions.{ChunkSplit, DotProduct, MinHashSignature, RollingHash, SasToDate, SimHash64}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT sas_to_date(arrdate) ...")` works alongside the
@@ -30,6 +30,12 @@ object GraftFunctions {
       "rolling_hash",
       exprs => RollingHash(Cast(exprs.head, StringType),
                            base = 131L, mod = MinHashSignature.P), "scala_udf")
+    // table-generating function (UDTF): LATERAL VIEW chunk_split(text, n)
+    // ("scala_udf" is only the error-message label — the returned
+    // Generator expression is what makes this a UDTF to the analyzer)
+    registry.createOrReplaceTempFunction(
+      "chunk_split",
+      exprs => ChunkSplit(Cast(exprs.head, StringType), exprs(1)), "scala_udf")
     // typed Aggregator surfaced as a SQL UDAF: partial-aggregating,
     // map-side-combinable like any built-in agg
     spark.udf.register("weighted_avg",
