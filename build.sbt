@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (minhash/simhash array churn) GC-thrash under memory pressure when
   // the machine is otherwise loaded.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 130+ queries of whole-stage-codegen classes overflow the default
+  // 240m code cache mid-bench; once it fills, JIT stops and whole
+  // alphabetical stretches of the run go 3-30x slower (observed as a
+  // roving slow window). Headroom keeps the bench measuring plans,
+  // not code-cache eviction.
+  "-XX:ReservedCodeCacheSize=1g",
 )
