@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +49,8 @@ class GraftRangeSource extends TableProvider {
       properties.asScala.getOrElse("start", "0").toLong,
       properties.asScala.getOrElse("end", "1000").toLong,
       properties.asScala.getOrElse("slices", "8").toInt,
-      properties.asScala.getOrElse("partitionBy", "range") == "bucket")
+      properties.asScala.getOrElse("partitionBy", "range") == "bucket",
+      properties.asScala.getOrElse("rowsPerBatch", "100").toLong)
 }
 
 object GraftRangeSource {
@@ -62,18 +64,21 @@ object GraftRangeSource {
 }
 
 class GraftRangeTable(start: Long, end: Long, slices: Int,
-                      bucketed: Boolean = false)
+                      bucketed: Boolean = false,
+                      rowsPerBatch: Long = 100L)
     extends Table with SupportsRead {
   override def name(): String = s"graftrange($start,$end)"
   override def schema(): StructType = GraftRangeSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+                    TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(start, end, slices, bucketed)
+    new GraftRangeScanBuilder(start, end, slices, bucketed, rowsPerBatch)
 }
 
 class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
-                            bucketed: Boolean = false)
+                            bucketed: Boolean = false,
+                            rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -142,7 +147,7 @@ class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
       // row groups): pushdown then PRUNES shards instead of re-splitting
       // the narrowed range, so a narrow predicate plans fewer partitions.
       val shard = math.max(1L, (math.max(1L, end - start) + slices - 1) / slices)
-      new GraftRangeScan(lo, hi, shard, schema)
+      new GraftRangeScan(lo, hi, shard, schema, rowsPerBatch)
   }
 }
 
@@ -239,10 +244,13 @@ class GraftBucketReaderFactory(schema: StructType, nb: Int)
   }
 }
 
-class GraftRangeScan(lo: Long, hi: Long, shard: Long, schema: StructType)
+class GraftRangeScan(lo: Long, hi: Long, shard: Long, schema: StructType,
+                     rowsPerBatch: Long = 100L)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftRangeMicroBatchStream(lo, hi, shard, rowsPerBatch, schema)
   override def description(): String =
     s"graftrange [$lo, $hi) shard=$shard cols=${schema.fieldNames.mkString(",")}"
 
@@ -273,4 +281,72 @@ class GraftRangeReaderFactory(schema: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+/** Micro-batch streaming read over the same range table — the third leg
+  * of the connector contract (batch read, batch write via GraftMemorySink,
+  * streaming read). Models an append-only source: each trigger exposes up
+  * to `rowsPerBatch` new ids, until the configured `end` (a bounded
+  * backlog, so test drains terminate; an unbounded feed is end=MaxValue).
+  *
+  * Offsets are plain long watermarks into the id range, serialized as
+  * JSON — exactly-once comes from Spark persisting (start, end] offset
+  * pairs in the checkpoint WAL and replaying a batch IDENTICALLY after a
+  * crash: planInputPartitions(start, end) is a pure function of the
+  * offsets, and readers are deterministic in the ids. Column pruning and
+  * id-range filter pushdown compose with streaming unchanged (the
+  * ScanBuilder narrowed [lo, hi) before toMicroBatchStream is called).
+  *
+  * At 100 TB scale this is the Kafka-shaped contract: latestOffset
+  * advances with the upstream log, each micro-batch fans out one shard
+  * per `slices`-sized id stripe, and commit() is where a real source
+  * would trim its retention.
+  */
+class GraftRangeMicroBatchStream(lo: Long, hi: Long, shard: Long,
+                                 rowsPerBatch: Long, schema: StructType)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private case class RangeOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = RangeOffset(lo)
+
+  /** SupportsAdmissionControl: Spark hands back the current (possibly
+    * checkpoint-restored) position every trigger, so the head the
+    * source reports is a PURE function of (start, rowsPerBatch) — no
+    * instance state to lose across restarts. A stateful one-arg
+    * latestOffset() is the restart bug waiting to happen: a fresh
+    * instance would restart its counter and re-admit old ranges. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RangeOffset].v
+    val next = from + math.min(rowsPerBatch, hi - from)
+    RangeOffset(math.min(hi, next))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl route expected")
+
+  override def reportLatestOffset(): Offset = RangeOffset(hi)
+
+  override def deserializeOffset(json: String): Offset =
+    RangeOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from  = start.asInstanceOf[RangeOffset].v
+    val until = end.asInstanceOf[RangeOffset].v
+    if (until <= from) Array.empty
+    else Iterator.iterate(from)(_ + shard).takeWhile(_ < until)
+      .map(f => GraftRangePartition(f, math.min(f + shard, until)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = () // a real log would trim here
+  override def stop(): Unit = ()
 }
