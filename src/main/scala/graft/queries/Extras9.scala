@@ -105,11 +105,75 @@ object Extras9 extends QueryPack {
        FROM sg LEFT JOIN ck ON sg.user_id = ck.user_id
                LEFT JOIN pu ON sg.user_id = pu.user_id"""
 
+  // --------------------------------------------------------------- q135
+  /** Cohort retention matrix: users grouped by signup week, counted in
+    * each subsequent activity week. Both sides reduce to (user, week)
+    * grain BEFORE the join — the scale move: the join input is distinct
+    * weeks per user, not raw events. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir)("events")
+    val sg = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val act = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("w")).distinct()
+    sg.join(act, "user_id").filter(col("w") >= col("cohort"))
+      .groupBy(col("cohort").cast("date").as("cohort_week"),
+        (datediff(col("w").cast("date"), col("cohort").cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q135Sql =
+    """WITH sg AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort
+         FROM events WHERE event_type = 'signup' GROUP BY 1),
+       act AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+       SELECT CAST(sg.cohort AS DATE) AS cohort_week,
+              CAST(datediff('day', CAST(sg.cohort AS DATE),
+                            CAST(a.w AS DATE)) / 7 AS INT) AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+       FROM sg JOIN act a ON sg.user_id = a.user_id
+       WHERE a.w >= sg.cohort
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- q136
+  /** Event-path bigrams: per-user transition pairs via lead() over
+    * (ts, event_id), top 20 by frequency. The sequence analysis
+    * primitive behind "what do users do after X". */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir)("events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type"), col("next_type"))
+      .limit(20)
+  }
+
+  private val q136Sql =
+    """WITH p AS (
+         SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type, next_type, count(*) AS n
+       FROM p WHERE next_type IS NOT NULL
+       GROUP BY 1, 2
+       ORDER BY n DESC, event_type, next_type LIMIT 20"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q133_pagerank" -> q133 _,
-    "q134_funnel"   -> q134 _)
+    "q134_funnel"   -> q134 _,
+    "q135_cohort"   -> q135 _,
+    "q136_paths"    -> q136 _)
 
   override def oracles: Map[String, String] = Map(
     "q133_pagerank" -> q133Sql,
-    "q134_funnel"   -> q134Sql)
+    "q134_funnel"   -> q134Sql,
+    "q135_cohort"   -> q135Sql,
+    "q136_paths"    -> q136Sql)
 }
