@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{And, Not, Or, Predicate}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 CATALOG plugin ("graft_catalog"): the full
+  * TableCatalog + SupportsNamespaces contract over the same driver-side
+  * store the graftmem sink writes to, so the WHOLE SQL DDL/DML surface
+  * works against library-managed tables:
+  *
+  *   spark.conf: spark.sql.catalog.gcat = graft.sources.GraftCatalog
+  *   CREATE NAMESPACE gcat.db
+  *   CREATE TABLE gcat.db.t (k INT, v STRING)
+  *   CREATE TABLE gcat.db.t2 AS SELECT ...          (CTAS)
+  *   INSERT INTO / INSERT OVERWRITE gcat.db.t ...
+  *   DELETE FROM gcat.db.t WHERE k < 5              (SupportsDeleteV2)
+  *   TRUNCATE TABLE gcat.db.t
+  *   SHOW TABLES IN gcat.db / DROP TABLE / ALTER TABLE ... RENAME
+  *
+  * Catalog metadata (namespaces, idents, declared schemas) lives in the
+  * catalog instance's maps; rows commit through the SAME atomic
+  * BatchWrite protocol as the sink (task-staged rows, driver-side
+  * all-or-nothing install). At 100 TB the store swaps for files; every
+  * interface here — and the Spark planning on top — is unchanged.
+  *
+  * DELETE pushdown: `canDeleteWhere` accepts a predicate tree of
+  * comparisons / null-checks / AND / OR / NOT over top-level columns
+  * and evaluates it driver-side against the committed rows; anything
+  * richer is rejected at analysis (Spark then demands row-level-op
+  * support rather than silently deleting wrong rows).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private val namespaces = TrieMap.empty[Seq[String], util.Map[String, String]]
+  private val tables = TrieMap.empty[Identifier, StructType]
+
+  private def storeKey(ident: Identifier): String =
+    s"cat:$catalogName:${(ident.namespace :+ ident.name).mkString(".")}"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    namespaces.putIfAbsent(Seq("default"), new util.HashMap[String, String]())
+  }
+
+  override def name(): String = catalogName
+
+  // ----------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    tables.keys.filter(_.namespace.sameElements(namespace)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tables.get(ident) match {
+      case Some(schema) => new GraftCatalogTable(storeKey(ident), ident, schema)
+      case None         => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tables.contains(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    tables.put(ident, schema)
+    GraftMemoryStore.install(storeKey(ident), schema, Vector.empty,
+      truncate = true)
+    new GraftCatalogTable(storeKey(ident), ident, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are schema-immutable")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(ident) match {
+      case Some(_) => GraftMemoryStore.drop(storeKey(ident)); true
+      case None    => false
+    }
+
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    // ALTER TABLE cat.ns.a RENAME TO cat.ns.b delivers the target with
+    // the catalog name still in its namespace; normalize so the stored
+    // ident matches what loadTable later receives.
+    val newIdent =
+      if (rawNewIdent.namespace.headOption.contains(catalogName))
+        Identifier.of(rawNewIdent.namespace.drop(1), rawNewIdent.name)
+      else rawNewIdent
+    val schema = tables.remove(oldIdent)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    if (tables.contains(newIdent)) {
+      tables.put(oldIdent, schema)
+      throw new TableAlreadyExistsException(newIdent)
+    }
+    tables.put(newIdent, schema)
+    GraftMemoryStore.install(storeKey(newIdent), schema,
+      GraftMemoryStore.rowsOf(storeKey(oldIdent)), truncate = true)
+    GraftMemoryStore.drop(storeKey(oldIdent))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = tables.contains(ident)
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.keys.map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespaces.contains(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    namespaces.getOrElse(namespace.toSeq,
+      throw new NoSuchNamespaceException(namespace))
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    if (namespaces.putIfAbsent(namespace.toSeq,
+        new util.HashMap[String, String](metadata)).isDefined)
+      throw new NamespaceAlreadyExistsException(namespace)
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val owned = tables.keys.filter(_.namespace.sameElements(namespace)).toSeq
+    if (owned.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    owned.foreach(dropTable)
+    namespaces.remove(namespace.toSeq).isDefined
+  }
+}
+
+/** Catalog-managed table: fixed declared schema (inserts analyze
+  * against it — no ACCEPT_ANY_SCHEMA), read/write through the sink's
+  * atomic commit protocol, plus filter-pushdown DELETE. */
+class GraftCatalogTable(storeKey: String, ident: Identifier,
+                        declared: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftMemoryScan(storeKey)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = false)
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => PredicateEval.compile(p, declared).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val evals = predicates.map(p => PredicateEval.compile(p, declared).get)
+    val keep = GraftMemoryStore.rowsOf(storeKey)
+      .filterNot(row => evals.forall(_(row)))
+    GraftMemoryStore.install(storeKey, declared, keep, truncate = true)
+  }
+}
+
+/** Compiles a V2 connector Predicate tree into a row evaluator over the
+  * store's catalyst-value rows. Returns None for anything outside the
+  * supported fragment, which makes canDeleteWhere reject the DELETE at
+  * analysis instead of guessing. */
+object PredicateEval {
+  type RowPred = Seq[Any] => Boolean
+
+  def compile(p: Predicate, schema: StructType): Option[RowPred] = p match {
+    case and: And =>
+      for (l <- compile(and.left(), schema); r <- compile(and.right(), schema))
+        yield (row: Seq[Any]) => l(row) && r(row)
+    case or: Or =>
+      for (l <- compile(or.left(), schema); r <- compile(or.right(), schema))
+        yield (row: Seq[Any]) => l(row) || r(row)
+    case not: Not =>
+      compile(not.child(), schema).map(f => (row: Seq[Any]) => !f(row))
+    case _ =>
+      p.name() match {
+        case "ALWAYS_TRUE"  => Some(_ => true)
+        case "ALWAYS_FALSE" => Some(_ => false)
+        case "IS_NULL" => fieldRef(p, 0, schema).map(i => row => row(i) == null)
+        case "IS_NOT_NULL" =>
+          fieldRef(p, 0, schema).map(i => row => row(i) != null)
+        case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
+          for {
+            i <- fieldRef(p, 0, schema)
+            lit <- literal(p, 1)
+          } yield (row: Seq[Any]) => {
+            val v = row(i)
+            if (v == null) false
+            else {
+              val c = cmp(v, lit)
+              op match {
+                case "="  => c == 0
+                case "<>" => c != 0
+                case "<"  => c < 0
+                case "<=" => c <= 0
+                case ">"  => c > 0
+                case ">=" => c >= 0
+              }
+            }
+          }
+        case _ => None
+      }
+  }
+
+  private def fieldRef(p: Predicate, idx: Int,
+                       schema: StructType): Option[Int] =
+    p.children().lift(idx).collect {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          schema.fieldNames.contains(r.fieldNames.head) =>
+        schema.fieldIndex(r.fieldNames.head)
+    }
+
+  private def literal(p: Predicate, idx: Int): Option[Any] =
+    p.children().lift(idx).collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value
+    }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: UTF8String, y: String)     => x.toString.compareTo(y)
+    case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+}

@@ -123,8 +123,20 @@ class GraftMemoryWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Seq[Any]]
-      override def write(row: InternalRow): Unit =
-        buf += schema.fields.indices.map(i => row.get(i, schema(i).dataType))
+      // Copy every value out of the incoming row: Spark REUSES the
+      // InternalRow (and the buffers UTF8String points into) across
+      // rows — storing references would corrupt earlier rows as later
+      // ones arrive (observed as truncated/overwritten strings when
+      // writing from a parquet scan).
+      override def write(row: InternalRow): Unit = {
+        val r = row.copy()
+        buf += schema.fields.indices.map { i =>
+          r.get(i, schema(i).dataType) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case v => v
+          }
+        }
+      }
       override def commit(): WriterCommitMessage = GraftMemoryCommit(buf.result())
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
