@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And, Not, Or, Predicate}
-import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -157,7 +157,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * atomic commit protocol, plus filter-pushdown DELETE. */
 class GraftCatalogTable(storeKey: String, ident: Identifier,
                         declared: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident.toString
   override def schema(): StructType = declared
@@ -166,11 +167,53 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** One hidden metadata column, `_shard`: the storage-group id (always
+    * 0 here — one group per table). Its real job is protocol-level:
+    * declaring it as a required metadata attribute of the row-level
+    * operation makes Spark run the projecting write task, so the
+    * DataWriter receives rows in the DATA schema instead of the
+    * rewrite's internal [__row_operation, cols...] layout. A file-
+    * backed store would surface the file/partition id here and use it
+    * to replace only affected groups. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String = "storage group id (0: single group)"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftMemoryScan(storeKey)
+    new GraftCatalogScanBuilder(storeKey, declared)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = false)
+
+  /** Group-based row-level operations (UPDATE / MERGE INTO / complex
+    * DELETE): the whole table is ONE group, so Spark's rewrite reads
+    * every row, applies assignments/merge actions in the query plan,
+    * and the replacement write is truncate-and-install — atomic through
+    * the same BatchWrite commit as every other write. Simple DELETEs
+    * still take the deleteWhere metadata fast path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable picks it when canDeleteWhere
+    * accepts); a file-backed store would report per-file groups here
+    * and replace only affected files. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftCatalogScanBuilder(storeKey, declared)
+      override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+        new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = true,
+          inputSchema = Some(lwi.schema()))
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_shard"))
+      override def description(): String =
+        s"graft-rlo[${info.command()}] $storeKey"
+    }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => PredicateEval.compile(p, declared).isDefined)
@@ -180,6 +223,51 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     val keep = GraftMemoryStore.rowsOf(storeKey)
       .filterNot(row => evals.forall(_(row)))
     GraftMemoryStore.install(storeKey, declared, keep, truncate = true)
+  }
+}
+
+/** Column-pruning scan over the store that can also materialize the
+  * `_shard` metadata column (constant 0: one storage group). Pruning
+  * matters twice: normal reads project only requested columns, and
+  * row-level-operation scans request data columns + `_shard`, which is
+  * what switches Spark onto the projecting write task. */
+class GraftCatalogScanBuilder(storeKey: String, declared: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = declared
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-catalog-scan $storeKey ${required.fieldNames.mkString(",")}"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftRangePartition(0, 0))
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val rows = GraftMemoryStore.rowsOf(storeKey)
+      val picks: Seq[Either[Int, Any]] = required.fields.toSeq.map { f =>
+        if (f.name == "_shard") Right(0)
+        else Left(declared.fieldIndex(f.name))
+      }
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+          new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+            private val it = rows.iterator
+            private var cur: Seq[Any] = _
+            override def next(): Boolean = {
+              val h = it.hasNext; if (h) cur = it.next(); h
+            }
+            override def get(): org.apache.spark.sql.catalyst.InternalRow =
+              org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                picks.map { case Left(i) => cur(i); case Right(v) => v })
+            override def close(): Unit = ()
+          }
+      }
+    }
   }
 }
 

@@ -89,24 +89,35 @@ class GraftMemoryTable(name: String, writeSchema: StructType)
 }
 
 class GraftMemoryWriteBuilder(name: String, schema: StructType,
-                              truncateFirst: Boolean)
+                              truncateFirst: Boolean,
+                              inputSchema: Option[StructType] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftMemoryWriteBuilder(name, schema, truncateFirst = true)
+    new GraftMemoryWriteBuilder(name, schema, truncateFirst = true, inputSchema)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftMemoryBatchWrite(name, schema, truncateFirst)
+      new GraftMemoryBatchWrite(name, schema, truncateFirst,
+        inputSchema.getOrElse(schema))
   }
 }
 
 /** Commit message = the task's buffered rows (the "staged files"). */
 case class GraftMemoryCommit(rows: Vector[Seq[Any]]) extends WriterCommitMessage
 
+/** `schema` is what the table stores; `inputSchema` is the layout of
+  * the incoming rows, which may be wider (row-level-operation rewrites
+  * prepend metadata columns like __row_operation) — stored columns are
+  * picked out of the input BY NAME. */
 class GraftMemoryBatchWrite(name: String, schema: StructType,
-                            truncateFirst: Boolean) extends BatchWrite {
+                            truncateFirst: Boolean,
+                            inputSchema: StructType) extends BatchWrite {
+  def this(name: String, schema: StructType, truncateFirst: Boolean) =
+    this(name, schema, truncateFirst, schema)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftMemoryWriterFactory(schema)
+    new GraftMemoryWriterFactory(inputSchema,
+      schema.fieldNames.toSeq.map(inputSchema.fieldIndex))
 
   // Atomic install of every task's staged rows; truncate (overwrite)
   // only takes effect here, inside the commit.
@@ -119,23 +130,37 @@ class GraftMemoryBatchWrite(name: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GraftMemoryWriterFactory(schema: StructType) extends DataWriterFactory {
+class GraftMemoryWriterFactory(input: StructType, indices: Seq[Int])
+    extends DataWriterFactory {
+  def this(schema: StructType) = this(schema, schema.fields.indices)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Seq[Any]]
-      // Copy every value out of the incoming row: Spark REUSES the
-      // InternalRow (and the buffers UTF8String points into) across
-      // rows — storing references would corrupt earlier rows as later
-      // ones arrive (observed as truncated/overwritten strings when
-      // writing from a parquet scan).
-      override def write(row: InternalRow): Unit = {
-        val r = row.copy()
-        buf += schema.fields.indices.map { i =>
-          r.get(i, schema(i).dataType) match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-            case v => v
-          }
-        }
+      // Copy every VALUE out of the incoming row: Spark reuses the
+      // InternalRow (and the buffers UTF8String/ArrayData point into)
+      // across rows — storing references would corrupt earlier rows as
+      // later ones arrive (observed as truncated/overwritten strings
+      // when writing from a parquet scan). Values are read through the
+      // row as GIVEN, never via row.copy(): row-level-operation writes
+      // deliver a ProjectingInternalRow view whose copy() materializes
+      // the UNDERLYING unprojected row (metadata columns included),
+      // which would shift every ordinal.
+      override def write(row: InternalRow): Unit =
+        buf += indices.map(i => copyVal(row.get(i, input(i).dataType)))
+
+      // Row-level-operation carry-over rows arrive with their metadata
+      // projection alongside the data row; the store is group-per-table
+      // so the metadata (shard id) carries no information — keep data.
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
+
+      private def copyVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String      => s.clone()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData  => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData    => m.copy()
+        case r: InternalRow                                   => r.copy()
+        case other                                            => other
       }
       override def commit(): WriterCommitMessage = GraftMemoryCommit(buf.result())
       override def abort(): Unit = buf.clear()

@@ -101,15 +101,51 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("insert"))
   }
 
-  test("unsupported DELETE predicate is rejected, not mis-applied") {
+  test("complex DELETE predicate falls back to the group-based rewrite") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.hard")
     spark.sql("CREATE TABLE gcat.db.hard (k INT, v STRING)")
-    spark.sql("INSERT INTO gcat.db.hard VALUES (1,'a'), (2,'bb')")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gcat.db.hard WHERE length(v) > 1")
-    }
-    assert(e.getMessage.contains("DELETE") ||
-      e.getMessage.toLowerCase.contains("delete"))
-    assert(spark.sql("SELECT count(*) FROM gcat.db.hard").head.getLong(0) == 2)
+    spark.sql("INSERT INTO gcat.db.hard VALUES (1,'a'), (2,'bb'), (3,'ccc')")
+    // length(v) is outside the deleteWhere fragment — Spark plans a
+    // row-level rewrite (read all, keep non-matching, replace) instead
+    spark.sql("DELETE FROM gcat.db.hard WHERE length(v) > 1")
+    assert(spark.sql("SELECT k FROM gcat.db.hard").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("UPDATE rewrites matched rows, keeps the rest") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.upd")
+    spark.sql("CREATE TABLE gcat.db.upd (k INT, v STRING)")
+    spark.sql("INSERT INTO gcat.db.upd VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("UPDATE gcat.db.upd SET v = upper(v) WHERE k >= 2")
+    val got = spark.sql("SELECT k, v FROM gcat.db.upd ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("_shard metadata column is selectable but hidden from SELECT *") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.meta")
+    spark.sql("CREATE TABLE gcat.db.meta (k INT)")
+    spark.sql("INSERT INTO gcat.db.meta VALUES (1), (2)")
+    assert(spark.sql("SELECT * FROM gcat.db.meta").columns.toSeq == Seq("k"))
+    val got = spark.sql("SELECT k, _shard FROM gcat.db.meta ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1, 0), (2, 0)))
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.tgt")
+    spark.sql("CREATE TABLE gcat.db.tgt (k INT, v STRING)")
+    spark.sql("INSERT INTO gcat.db.tgt VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("""
+      MERGE INTO gcat.db.tgt t
+      USING (SELECT * FROM VALUES (2,'B2'), (3,NULL), (4,'d')
+             AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v IS NULL THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = spark.sql("SELECT k, v FROM gcat.db.tgt ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "B2"), (4, "d")))
   }
 }
