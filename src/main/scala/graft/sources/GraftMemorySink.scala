@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => swstreaming}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -57,7 +58,16 @@ object GraftMemoryStore {
   def rowsOf(name: String): Vector[Seq[Any]] =
     tables.get(name).map(_._2).getOrElse(Vector.empty)
 
-  def drop(name: String): Unit = tables.remove(name)
+  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+
+  /** Streaming-epoch ledger: returns true the FIRST time an epoch is
+    * committed for a table, false on replay — the idempotence hook. */
+  private val epochs = TrieMap.empty[String, scala.collection.mutable.Set[Long]]
+  private[sources] def markEpoch(name: String, epochId: Long): Boolean =
+    epochs.synchronized {
+      epochs.getOrElseUpdate(name,
+        scala.collection.mutable.Set.empty[Long]).add(epochId)
+    }
 
   private[sources] def install(name: String, schema: StructType,
                                rows: Vector[Seq[Any]], truncate: Boolean): Unit =
@@ -79,7 +89,8 @@ class GraftMemoryTable(name: String, writeSchema: StructType)
   // pre-write inferred schema, which is empty for a fresh table.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMemoryWriteBuilder(name, info.schema(), truncateFirst = false)
@@ -99,7 +110,40 @@ class GraftMemoryWriteBuilder(name: String, schema: StructType,
     override def toBatch: BatchWrite =
       new GraftMemoryBatchWrite(name, schema, truncateFirst,
         inputSchema.getOrElse(schema))
+    override def toStreaming: swstreaming.StreamingWrite =
+      new GraftMemoryStreamingWrite(name, schema)
   }
+}
+
+/** Streaming write: each micro-batch epoch commits through the same
+  * atomic install as a batch write, and the sink remembers which
+  * epochs it has already committed — a RESTARTED query that replays
+  * its last epoch (Structured Streaming's at-least-once commit window)
+  * lands on the dedup check and becomes exactly-once, the same
+  * batchId-keyed idempotence a production sink implements with a
+  * committed-epoch manifest. */
+class GraftMemoryStreamingWrite(name: String, schema: StructType)
+    extends swstreaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): swstreaming.StreamingDataWriterFactory =
+    new swstreaming.StreamingDataWriterFactory {
+      private val factory = new GraftMemoryWriterFactory(schema)
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        factory.createWriter(partitionId, taskId)
+    }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    if (GraftMemoryStore.markEpoch(name, epochId)) {
+      GraftMemoryStore.install(name, schema,
+        messages.iterator.flatMap {
+          case GraftMemoryCommit(rows) => rows
+        }.toVector, truncate = false)
+    }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Commit message = the task's buffered rows (the "staged files"). */
