@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.GraftTestBase
+
+/** Plan-shape regression guards: the scale properties the suite argues
+  * in SCALE.md, pinned as assertions so a refactor can't silently
+  * reintroduce a cartesian join, lose a broadcast, or stack extra
+  * shuffles onto a one-pass window query. */
+class PlanShapeSpec extends GraftTestBase {
+
+  private def plan(name: String): SparkPlan = {
+    val df = graft.SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+  }
+
+  private def shuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeExec => e }.size
+
+  /** Lazily-planned analytic queries: none may plan a cartesian product
+    * or a nested-loop join. (q29 brute-force ANN is the DOCUMENTED
+    * exception — it is the exact baseline the approximate paths beat —
+    * and is excluded here on purpose.) */
+  test("no accidental cartesian / broadcast-nested-loop joins") {
+    val lazyQueries = Seq(
+      "q01_pricing_summary", "q02_filter_topk", "q03_join_revenue",
+      "q04_left_join", "q05_semi_anti", "q13_window_topk", "q16_fk_integrity",
+      "q24_ngram_jaccard", "q33_sessionize", "q34_asof_join", "q40_range_join",
+      "q58_tfidf", "q60_ivf_ann", "q64_corpus_pipeline", "q75_decontaminate",
+      "q91_asof_native", "q101_cdc_merge", "q134_funnel", "q135_cohort",
+      "q137_streaks", "q138_scd2_runs", "q140_basket", "q141_rfm",
+      "q143_skyline", "q144_share", "q147_bm25", "q151_abc", "q153_line_dedup",
+      "q154_vocab_oov")
+    val offenders = lazyQueries.flatMap { n =>
+      val bad = plan(n).collect {
+        case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
+        case j: CartesianProductExec        => j.getClass.getSimpleName
+      }
+      if (bad.nonEmpty) Some(s"$n -> ${bad.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("dimension joins broadcast: q03 (nation), q144 (nation), q154 (vocab)") {
+    Seq("q03_join_revenue", "q144_share", "q154_vocab_oov").foreach { n =>
+      val bhj = plan(n).collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$n lost its broadcast join")
+    }
+  }
+
+  test("one-pass window analytics stay on a single user-keyed shuffle") {
+    // islands (q137): distinct (user,day) + window partitionBy(user) +
+    // two follow-up aggregates - 4 exchanges is the declarative floor
+    // with distinct keyed on (user,day); the guard is against a
+    // refactor adding a self-join or an extra repartition.
+    assert(shuffles(plan("q137_streaks")) <= 4)
+    // SCD2 runs (q138): window + per-run aggregate + second window,
+    // all partitionBy(user) - once user-partitioned, NOTHING reshuffles
+    assert(shuffles(plan("q138_scd2_runs")) <= 2)
+    // transition matrix (q152): user window -> (cur,nxt) aggregate ->
+    // per-cur normalize window -> output range sort = 4 exchanges, each
+    // over strictly smaller data
+    assert(shuffles(plan("q152_transition")) <= 4)
+  }
+
+  test("basket pairs co-partition on the order key (one shuffle per side)") {
+    val p = plan("q140_basket")
+    // join on ok: one exchange per side + one for the pair aggregate
+    // + one for the global top-k sort = ceiling 5 (AQE trims at runtime)
+    assert(shuffles(p) <= 5, s"saw ${shuffles(p)} exchanges")
+  }
+
+  test("skyline runs its global sort AFTER the local prune (two windows)") {
+    val p = plan("q143_skyline")
+    val winds = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // pass 1 windows are partitioned (__p / __p,x), pass 2 is the
+    // global exact pass over survivors
+    assert(winds.exists(_.partitionSpec.nonEmpty),
+      "local-prune pass lost its partitioning")
+    assert(winds.exists(_.partitionSpec.isEmpty),
+      "exact global pass missing")
+  }
+}
