@@ -70,6 +70,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case None         => throw new NoSuchTableException(ident)
     }
 
+  /** Time travel: `SELECT ... FROM t VERSION AS OF n`. Every committed
+    * write is a snapshot (version = commit ordinal, 0-based; version 0
+    * is the empty table CREATE installs). The pinned table is read-only
+    * — Spark rejects writes to time-travel relations before reaching
+    * the connector. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val schema = tables.getOrElse(ident, throw new NoSuchTableException(ident))
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog versions are integer commit ordinals, got '$version'")
+    }
+    val latest = GraftMemoryStore.latestVersion(storeKey(ident)).getOrElse(-1)
+    if (v < 0 || v > latest) throw new IllegalArgumentException(
+      s"version $v out of range [0, $latest] for $ident")
+    new GraftCatalogTable(storeKey(ident), ident, schema, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -156,11 +173,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * against it — no ACCEPT_ANY_SCHEMA), read/write through the sink's
   * atomic commit protocol, plus filter-pushdown DELETE. */
 class GraftCatalogTable(storeKey: String, ident: Identifier,
-                        declared: StructType)
+                        declared: StructType,
+                        pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  override def name(): String = ident.toString
+  override def name(): String =
+    ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = declared
 
   override def capabilities(): util.Set[TableCapability] =
@@ -185,7 +204,7 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCatalogScanBuilder(storeKey, declared)
+    new GraftCatalogScanBuilder(storeKey, declared, pinnedVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = false)
@@ -231,7 +250,8 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
   * matters twice: normal reads project only requested columns, and
   * row-level-operation scans request data columns + `_shard`, which is
   * what switches Spark onto the projecting write task. */
-class GraftCatalogScanBuilder(storeKey: String, declared: StructType)
+class GraftCatalogScanBuilder(storeKey: String, declared: StructType,
+                              pinnedVersion: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = declared
 
@@ -248,7 +268,9 @@ class GraftCatalogScanBuilder(storeKey: String, declared: StructType)
       Array(GraftRangePartition(0, 0))
 
     override def createReaderFactory(): PartitionReaderFactory = {
-      val rows = GraftMemoryStore.rowsOf(storeKey)
+      val rows = pinnedVersion
+        .flatMap(GraftMemoryStore.rowsAt(storeKey, _))
+        .getOrElse(GraftMemoryStore.rowsOf(storeKey))
       val picks: Seq[Either[Int, Any]] = required.fields.toSeq.map { f =>
         if (f.name == "_shard") Right(0)
         else Left(declared.fieldIndex(f.name))

@@ -58,7 +58,9 @@ object GraftMemoryStore {
   def rowsOf(name: String): Vector[Seq[Any]] =
     tables.get(name).map(_._2).getOrElse(Vector.empty)
 
-  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+  def drop(name: String): Unit = {
+    tables.remove(name); epochs.remove(name); history.remove(name)
+  }
 
   /** Streaming-epoch ledger: returns true the FIRST time an epoch is
     * committed for a table, false on replay — the idempotence hook. */
@@ -75,8 +77,25 @@ object GraftMemoryStore {
       val prior =
         if (truncate) Vector.empty
         else tables.get(name).map(_._2).getOrElse(Vector.empty)
-      tables.put(name, (schema, prior ++ rows))
+      val next = prior ++ rows
+      tables.put(name, (schema, next))
+      history.updateWith(name) {
+        case Some(h) => Some(h :+ next)
+        case None    => Some(Vector(next))
+      }
     }
+
+  // ------------------------------------------------------- time travel
+  /** Every committed install is a SNAPSHOT (version = commit ordinal,
+    * 0-based). The catalog's `VERSION AS OF` reads resolve here; a
+    * file-backed store keeps the same ledger as manifest files. */
+  private val history = TrieMap.empty[String, Vector[Vector[Seq[Any]]]]
+
+  def latestVersion(name: String): Option[Int] =
+    history.get(name).map(_.length - 1)
+
+  def rowsAt(name: String, version: Int): Option[Vector[Seq[Any]]] =
+    history.get(name).flatMap(_.lift(version))
 }
 
 class GraftMemoryTable(name: String, writeSchema: StructType)

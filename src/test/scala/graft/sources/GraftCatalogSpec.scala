@@ -101,6 +101,32 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("insert"))
   }
 
+  test("VERSION AS OF time travel reads committed snapshots") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
+    spark.sql("CREATE TABLE gcat.db.tt (k INT)")            // v0: empty
+    spark.sql("INSERT INTO gcat.db.tt VALUES (1)")          // v1
+    spark.sql("INSERT INTO gcat.db.tt VALUES (2), (3)")     // v2
+    spark.sql("UPDATE gcat.db.tt SET k = k * 10 WHERE k > 1") // v3
+    def at(v: Int) = spark.sql(
+      s"SELECT k FROM gcat.db.tt VERSION AS OF $v ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(at(0) == Seq())
+    assert(at(1) == Seq(1))
+    assert(at(2) == Seq(1, 2, 3))
+    assert(at(3) == Seq(1, 20, 30))
+    // current read == latest snapshot
+    assert(spark.sql("SELECT k FROM gcat.db.tt ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 20, 30))
+    // FOR SYSTEM_VERSION AS OF is the SQL-standard spelling
+    assert(spark.sql(
+      "SELECT k FROM gcat.db.tt FOR SYSTEM_VERSION AS OF 2 ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.tt VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("complex DELETE predicate falls back to the group-based rewrite") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.hard")
     spark.sql("CREATE TABLE gcat.db.hard (k INT, v STRING)")
