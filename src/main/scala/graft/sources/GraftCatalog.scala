@@ -258,11 +258,29 @@ class GraftCatalogScanBuilder(storeKey: String, declared: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-catalog-scan $storeKey ${required.fieldNames.mkString(",")}"
+
+    /** Exact store statistics → Spark's size estimation: a small
+      * catalog table joins as the BROADCAST side without hints, the
+      * same way parquet relations broadcast from file sizes. Size is a
+      * conservative per-cell estimate (the store holds boxed catalyst
+      * values; what matters is the order of magnitude vs the 10 MB
+      * broadcast threshold). */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val n = pinnedVersion
+          .flatMap(GraftMemoryStore.rowsAt(storeKey, _))
+          .getOrElse(GraftMemoryStore.rowsOf(storeKey)).size
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n.toLong * required.size * 24L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n.toLong)
+      }
 
     override def planInputPartitions(): Array[InputPartition] =
       Array(GraftRangePartition(0, 0))

@@ -101,6 +101,24 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("insert"))
   }
 
+  test("reported statistics make a small catalog table the broadcast side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.sql("DROP TABLE IF EXISTS gcat.db.dim")
+    graft.Tables(spark, sf001).registerAll()
+    spark.sql("CREATE TABLE gcat.db.dim AS SELECT n_nationkey, n_name FROM nation")
+    val df = spark.sql(
+      """SELECT c.c_custkey, d.n_name
+         FROM customer c JOIN gcat.db.dim d ON c.c_nationkey = d.n_nationkey""")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      "25-row catalog table should broadcast from reported stats (no hint)")
+  }
+
   test("VERSION AS OF time travel reads committed snapshots") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
     spark.sql("CREATE TABLE gcat.db.tt (k INT)")            // v0: empty
