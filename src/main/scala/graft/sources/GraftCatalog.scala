@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * richer is rejected at analysis (Spark then demands row-level-op
   * support rather than silently deleting wrong rows).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private val namespaces = TrieMap.empty[Seq[String], util.Map[String, String]]
@@ -130,6 +131,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean = tables.contains(ident)
+
+  // ------------------------------------------------------- procedures
+
+  /** Stored procedures (Spark 4 `CALL` statement): maintenance verbs
+    * that don't fit DML. `system.table_history(tbl)` lists the snapshot
+    * ledger; `system.rollback(tbl, version)` RESTORES an old snapshot
+    * by committing it as the new head (itself a new snapshot — history
+    * is append-only, the rollback is auditable and revertible). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "table_history"),
+        Identifier.of(Array("system"), "rollback"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val key = (ident.namespace.toSeq, ident.name)
+    key match {
+      case (Seq("system"), "table_history") => GraftProcedures.tableHistory(this)
+      case (Seq("system"), "rollback")      => GraftProcedures.rollback(this)
+      case _ => throw new IllegalArgumentException(s"no procedure $ident")
+    }
+  }
+
+  /** Resolve a 'ns.table' string arg against this catalog's tables. */
+  private[sources] def resolveTable(ref: String): (Identifier, StructType) = {
+    val parts = ref.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    (ident, tables.getOrElse(ident,
+      throw new NoSuchTableException(ident)))
+  }
+
+  private[sources] def storeKeyOf(ident: Identifier): String = storeKey(ident)
 
   // ------------------------------------------------------- namespaces
 

@@ -145,6 +145,24 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("CALL procedures: table_history ledger and rollback restore") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.proc")
+    spark.sql("CREATE TABLE gcat.db.proc (k INT)")          // v0
+    spark.sql("INSERT INTO gcat.db.proc VALUES (1), (2)")   // v1
+    spark.sql("INSERT INTO gcat.db.proc VALUES (3)")        // v2
+    val hist = spark.sql("CALL gcat.system.table_history('db.proc')")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(hist.toSeq == Seq((0, 0L), (1, 2L), (2, 3L)))
+    val rb = spark.sql("CALL gcat.system.rollback('db.proc', 1)")
+      .collect().head
+    assert((rb.getInt(0), rb.getInt(1), rb.getLong(2)) == ((1, 3, 2L)))
+    assert(spark.sql("SELECT k FROM gcat.db.proc ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // the rollback itself is snapshot v3 - history is append-only
+    assert(spark.sql("CALL gcat.system.table_history('db.proc')")
+      .collect().length == 4)
+  }
+
   test("complex DELETE predicate falls back to the group-based rewrite") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.hard")
     spark.sql("CREATE TABLE gcat.db.hard (k INT, v STRING)")
