@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And, Not, Or, Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -256,7 +256,8 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftCatalogScanBuilder(storeKey, declared)
+        new GraftCatalogScanBuilder(storeKey, declared,
+          acceptFilters = false)
       override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
         new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = true,
           inputSchema = Some(lwi.schema()))
@@ -284,19 +285,51 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
   * row-level-operation scans request data columns + `_shard`, which is
   * what switches Spark onto the projecting write task. */
 class GraftCatalogScanBuilder(storeKey: String, declared: StructType,
-                              pinnedVersion: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+                              pinnedVersion: Option[Int] = None,
+                              acceptFilters: Boolean = true)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters {
   private var required: StructType = declared
+  private var pushed: Array[Predicate] = Array.empty
+  private var evals: Array[PredicateEval.RowPred] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Accept exactly the fragment PredicateEval compiles (comparisons /
+    * null tests / AND / OR / NOT over top-level columns); everything
+    * else stays a post-scan Filter in the Spark plan. Pushed rows are
+    * dropped at the READER, so only matching rows ever cross the
+    * store→executor boundary — the connector analogue of parquet
+    * row-group skipping.
+    *
+    * `acceptFilters = false` on ROW-LEVEL-OPERATION scans: there the
+    * pushed condition selects storage GROUPS, not rows — the rewrite
+    * must read every row of an affected group (carry-over rows
+    * included) because the replacement write swaps whole groups. With
+    * one group per table, row-filtering the rewrite scan would DROP
+    * every non-matching row from the table; refusing the pushdown
+    * keeps the condition as a plan-side Filter over the full scan. */
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    if (!acceptFilters) return predicates
+    val (ok, rest) = predicates.partition(p =>
+      PredicateEval.compile(p, declared).isDefined)
+    pushed = ok
+    evals = ok.flatMap(p => PredicateEval.compile(p, declared))
+    rest
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushed
 
   override def build(): Scan = new Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-catalog-scan $storeKey ${required.fieldNames.mkString(",")}"
+      s"graft-catalog-scan $storeKey ${required.fieldNames.mkString(",")}" +
+        (if (pushed.nonEmpty)
+           s" PushedFilters: [${pushed.mkString(", ")}]"
+         else "")
 
     /** Exact store statistics → Spark's size estimation: a small
       * catalog table joins as the BROADCAST side without hints, the
@@ -319,9 +352,12 @@ class GraftCatalogScanBuilder(storeKey: String, declared: StructType,
       Array(GraftRangePartition(0, 0))
 
     override def createReaderFactory(): PartitionReaderFactory = {
-      val rows = pinnedVersion
+      val all = pinnedVersion
         .flatMap(GraftMemoryStore.rowsAt(storeKey, _))
         .getOrElse(GraftMemoryStore.rowsOf(storeKey))
+      // pushed predicates drop rows here, before they reach Spark
+      val rows =
+        if (evals.isEmpty) all else all.filter(r => evals.forall(_(r)))
       val picks: Seq[Either[Int, Any]] = required.fields.toSeq.map { f =>
         if (f.name == "_shard") Right(0)
         else Left(declared.fieldIndex(f.name))

@@ -119,6 +119,28 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       "25-row catalog table should broadcast from reported stats (no hint)")
   }
 
+  test("supported filters push into the scan; unsupported stay in the plan") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.sql("DROP TABLE IF EXISTS gcat.db.fp")
+    spark.sql("CREATE TABLE gcat.db.fp (k INT, v STRING)")
+    spark.sql("INSERT INTO gcat.db.fp VALUES (1,'a'), (2,'bb'), (3,'ccc'), (4,'dd')")
+    def unwrap(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    // fully-pushable comparison: no residual Filter node survives
+    val pushedDf = spark.sql("SELECT k FROM gcat.db.fp WHERE k >= 3")
+    assert(unwrap(pushedDf).collect { case f: FilterExec => f }.isEmpty,
+      "pushable predicate left a Filter in the plan")
+    assert(pushedDf.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    // unsupported predicate stays as a post-scan Filter, results correct
+    val residDf = spark.sql("SELECT k FROM gcat.db.fp WHERE length(v) = 2")
+    assert(unwrap(residDf).collect { case f: FilterExec => f }.nonEmpty)
+    assert(residDf.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4))
+  }
+
   test("VERSION AS OF time travel reads committed snapshots") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
     spark.sql("CREATE TABLE gcat.db.tt (k INT)")            // v0: empty
