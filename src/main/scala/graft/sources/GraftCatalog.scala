@@ -45,8 +45,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
 
   private var catalogName: String = _
-  private val namespaces = TrieMap.empty[Seq[String], util.Map[String, String]]
-  private val tables = TrieMap.empty[Identifier, StructType]
+  // Metadata lives in the companion, keyed by catalog name: Spark
+  // re-instantiates catalog plugins per (cloned) session — streaming
+  // foreachBatch, ML, thread-local sessions — and a metastore-backed
+  // catalog would naturally share state across those instances.
+  private def namespaces = GraftCatalog.namespacesOf(catalogName)
+  private def tables = GraftCatalog.tablesOf(catalogName)
 
   private def storeKey(ident: Identifier): String =
     s"cat:$catalogName:${(ident.namespace :+ ident.name).mkString(".")}"
@@ -200,6 +204,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     owned.foreach(dropTable)
     namespaces.remove(namespace.toSeq).isDefined
   }
+}
+
+object GraftCatalog {
+  private val allNamespaces =
+    TrieMap.empty[String, TrieMap[Seq[String], util.Map[String, String]]]
+  private val allTables =
+    TrieMap.empty[String, TrieMap[Identifier, StructType]]
+
+  private[sources] def namespacesOf(cat: String) =
+    allNamespaces.getOrElseUpdate(cat,
+      TrieMap.empty[Seq[String], util.Map[String, String]])
+  private[sources] def tablesOf(cat: String) =
+    allTables.getOrElseUpdate(cat, TrieMap.empty[Identifier, StructType])
 }
 
 /** Catalog-managed table: fixed declared schema (inserts analyze

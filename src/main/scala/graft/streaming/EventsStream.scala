@@ -58,6 +58,31 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** STREAMING gap sessionization with the built-in session_window —
+    * the declarative twin of StatefulSessions' hand-rolled state: a
+    * 30-minute-gap session per user, closed (and emitted, append mode)
+    * once the watermark passes its end. Draining the finite file stream
+    * emits every session, so the result equals batch session_window
+    * (q87's oracled shape) — pinned in StreamingSessionWindowSpec. */
+  def sessionWindowToMemory(spark: SparkSession, dir: String,
+                            queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream inner join with an event-time range condition:
     * purchases matched to same-user clicks in the preceding 30 minutes.
     * Both sides carry watermarks so the join state is bounded — Spark
