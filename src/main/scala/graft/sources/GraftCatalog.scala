@@ -51,6 +51,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // catalog would naturally share state across those instances.
   private def namespaces = GraftCatalog.namespacesOf(catalogName)
   private def tables = GraftCatalog.tablesOf(catalogName)
+  private def modes = GraftCatalog.modesOf(catalogName)
+  private def modeOf(ident: Identifier): String =
+    modes.getOrElse(ident, "group")
 
   private def storeKey(ident: Identifier): String =
     s"cat:$catalogName:${(ident.namespace :+ ident.name).mkString(".")}"
@@ -71,7 +74,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table =
     tables.get(ident) match {
-      case Some(schema) => new GraftCatalogTable(storeKey(ident), ident, schema)
+      case Some(schema) =>
+        new GraftCatalogTable(storeKey(ident), ident, schema,
+          mode = modeOf(ident))
       case None         => throw new NoSuchTableException(ident)
     }
 
@@ -89,7 +94,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val latest = GraftMemoryStore.latestVersion(storeKey(ident)).getOrElse(-1)
     if (v < 0 || v > latest) throw new IllegalArgumentException(
       s"version $v out of range [0, $latest] for $ident")
-    new GraftCatalogTable(storeKey(ident), ident, schema, Some(v))
+    new GraftCatalogTable(storeKey(ident), ident, schema, Some(v),
+      mode = modeOf(ident))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -99,9 +105,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     tables.put(ident, schema)
+    // write.mode property: 'group' (copy-on-write ReplaceData, default)
+    // or 'delta' (merge-on-read WriteDelta keyed by the _pos row id)
+    modes.put(ident,
+      Option(properties.get("write.mode")).getOrElse("group"))
     GraftMemoryStore.install(storeKey(ident), schema, Vector.empty,
       truncate = true)
-    new GraftCatalogTable(storeKey(ident), ident, schema)
+    new GraftCatalogTable(storeKey(ident), ident, schema,
+      mode = modeOf(ident))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -110,7 +121,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) match {
-      case Some(_) => GraftMemoryStore.drop(storeKey(ident)); true
+      case Some(_) =>
+        modes.remove(ident); GraftMemoryStore.drop(storeKey(ident)); true
       case None    => false
     }
 
@@ -211,12 +223,16 @@ object GraftCatalog {
     TrieMap.empty[String, TrieMap[Seq[String], util.Map[String, String]]]
   private val allTables =
     TrieMap.empty[String, TrieMap[Identifier, StructType]]
+  private val allModes =
+    TrieMap.empty[String, TrieMap[Identifier, String]]
 
   private[sources] def namespacesOf(cat: String) =
     allNamespaces.getOrElseUpdate(cat,
       TrieMap.empty[Seq[String], util.Map[String, String]])
   private[sources] def tablesOf(cat: String) =
     allTables.getOrElseUpdate(cat, TrieMap.empty[Identifier, StructType])
+  private[sources] def modesOf(cat: String) =
+    allModes.getOrElseUpdate(cat, TrieMap.empty[Identifier, String])
 }
 
 /** Catalog-managed table: fixed declared schema (inserts analyze
@@ -224,7 +240,8 @@ object GraftCatalog {
   * atomic commit protocol, plus filter-pushdown DELETE. */
 class GraftCatalogTable(storeKey: String, ident: Identifier,
                         declared: StructType,
-                        pinnedVersion: Option[Int] = None)
+                        pinnedVersion: Option[Int] = None,
+                        mode: String = "group")
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -244,14 +261,25 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     * rewrite's internal [__row_operation, cols...] layout. A file-
     * backed store would surface the file/partition id here and use it
     * to replace only affected groups. */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val shard = new MetadataColumn {
       override def name(): String = "_shard"
       override def dataType: org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.IntegerType
       override def isNullable: Boolean = false
       override def comment(): String = "storage group id (0: single group)"
-    })
+    }
+    // delta tables also expose the row POSITION — the row id the
+    // WriteDelta protocol keys deletes/updates on (Iceberg's _pos)
+    val pos = new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position in the current snapshot"
+    }
+    if (mode == "delta") Array(shard, pos) else Array(shard)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCatalogScanBuilder(storeKey, declared, pinnedVersion)
@@ -270,7 +298,28 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     * and replace only affected files. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    if (mode == "delta") () => new org.apache.spark.sql.connector.write.SupportsDelta {
+      // merge-on-read: the rewrite emits a positional op log (insert /
+      // update / delete keyed by _pos) instead of replacing the group
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftCatalogScanBuilder(storeKey, declared,
+          acceptFilters = false)
+      override def newWriteBuilder(lwi: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+        new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+            new GraftDeltaWrite(storeKey, declared)
+        }
+      override def rowId(): Array[NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_pos"))
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_shard"))
+      override def description(): String =
+        s"graft-rlo-delta[${info.command()}] $storeKey"
+    }
+    else () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftCatalogScanBuilder(storeKey, declared,
@@ -375,21 +424,28 @@ class GraftCatalogScanBuilder(storeKey: String, declared: StructType,
       // pushed predicates drop rows here, before they reach Spark
       val rows =
         if (evals.isEmpty) all else all.filter(r => evals.forall(_(r)))
-      val picks: Seq[Either[Int, Any]] = required.fields.toSeq.map { f =>
-        if (f.name == "_shard") Right(0)
-        else Left(declared.fieldIndex(f.name))
+      // -1 = _shard (constant 0), -2 = _pos (running row index)
+      val picks: Seq[Int] = required.fields.toSeq.map { f =>
+        if (f.name == "_shard") -1
+        else if (f.name == "_pos") -2
+        else declared.fieldIndex(f.name)
       }
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
           new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
             private val it = rows.iterator
             private var cur: Seq[Any] = _
+            private var pos: Long = -1L
             override def next(): Boolean = {
-              val h = it.hasNext; if (h) cur = it.next(); h
+              val h = it.hasNext; if (h) { cur = it.next(); pos += 1 }; h
             }
             override def get(): org.apache.spark.sql.catalyst.InternalRow =
               org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-                picks.map { case Left(i) => cur(i); case Right(v) => v })
+                picks.map {
+                  case -1 => 0
+                  case -2 => pos
+                  case i  => cur(i)
+                })
             override def close(): Unit = ()
           }
       }
