@@ -67,6 +67,24 @@ class SqlSurfaceSpec2 extends GraftTestBase {
       "SORT BY must plan partition-LOCAL sorts (no global range exchange)")
   }
 
+  test("DECLARE VARIABLE + EXECUTE IMMEDIATE parameterized dynamic SQL") {
+    reg()
+    spark.sql("DECLARE OR REPLACE VARIABLE region_id INT DEFAULT 2")
+    val direct = spark.sql(
+      "SELECT count(*) FROM nation WHERE n_regionkey = region_id")
+      .head.getLong(0)
+    assert(direct == 5)
+    spark.sql("SET VARIABLE region_id = 3")
+    // EXECUTE IMMEDIATE runs dynamic SQL with USING parameters and
+    // INTO a session variable
+    spark.sql("DECLARE OR REPLACE VARIABLE n_out BIGINT")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+         'SELECT count(*) FROM nation WHERE n_regionkey = ?'
+         INTO n_out USING region_id""")
+    assert(spark.sql("SELECT n_out").head.getLong(0) == 5)
+  }
+
   test("CLUSTER BY = DISTRIBUTE BY + local SORT BY on the same keys") {
     reg()
     val df = spark.sql(
