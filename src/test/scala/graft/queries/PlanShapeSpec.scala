@@ -37,7 +37,10 @@ class PlanShapeSpec extends GraftTestBase {
       "q91_asof_native", "q101_cdc_merge", "q134_funnel", "q135_cohort",
       "q137_streaks", "q138_scd2_runs", "q140_basket", "q141_rfm",
       "q143_skyline", "q144_share", "q147_bm25", "q151_abc", "q153_line_dedup",
-      "q154_vocab_oov")
+      "q154_vocab_oov", "q163_mad", "q165_top_decile", "q169_triangles",
+      "q170_session_funnel", "q174_new_vs_returning", "q179_ship_latency",
+      "q190_cohort_convert", "q193_quartile_flow", "q195_supplier_hhi",
+      "q196_centroid_dispersion", "q200_source_dashboard", "q201_rolling_wau")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
