@@ -94,7 +94,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val latest = GraftMemoryStore.latestVersion(storeKey(ident)).getOrElse(-1)
     if (v < 0 || v > latest) throw new IllegalArgumentException(
       s"version $v out of range [0, $latest] for $ident")
-    new GraftCatalogTable(storeKey(ident), ident, schema, Some(v),
+    val snapshotSchema = GraftMemoryStore
+      .schemaAt(storeKey(ident), v).getOrElse(schema)
+    new GraftCatalogTable(storeKey(ident), ident, snapshotSchema, Some(v),
       mode = modeOf(ident))
   }
 
@@ -115,9 +117,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mode = modeOf(ident))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are schema-immutable")
+  /** Schema evolution: ADD COLUMN (appended, nullable), DROP COLUMN,
+    * RENAME COLUMN. Existing rows are migrated in one atomic install —
+    * which is also a new SNAPSHOT, so time travel before the ALTER
+    * still reads the pre-evolution schema (per-version schemas in the
+    * ledger). Type changes / nested fields are rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val key = storeKey(ident)
+    var schema = tables.getOrElse(ident, throw new NoSuchTableException(ident))
+    var rows = GraftMemoryStore.rowsOf(key)
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
+        schema = schema.add(add.fieldNames.head, add.dataType, nullable = true)
+        rows = rows.map(_ :+ null)
+      case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
+        val i = schema.fieldIndex(del.fieldNames.head)
+        schema = StructType(schema.fields.patch(i, Nil, 1))
+        rows = rows.map(r => r.patch(i, Nil, 1))
+      case ren: TableChange.RenameColumn if ren.fieldNames.length == 1 =>
+        val i = schema.fieldIndex(ren.fieldNames.head)
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = ren.newName)))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    tables.put(ident, schema)
+    GraftMemoryStore.install(key, schema, rows, truncate = true)
+    new GraftCatalogTable(key, ident, schema, mode = modeOf(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) match {

@@ -80,22 +80,27 @@ object GraftMemoryStore {
       val next = prior ++ rows
       tables.put(name, (schema, next))
       history.updateWith(name) {
-        case Some(h) => Some(h :+ next)
-        case None    => Some(Vector(next))
+        case Some(h) => Some(h :+ (schema, next))
+        case None    => Some(Vector((schema, next)))
       }
     }
 
   // ------------------------------------------------------- time travel
   /** Every committed install is a SNAPSHOT (version = commit ordinal,
-    * 0-based). The catalog's `VERSION AS OF` reads resolve here; a
+    * 0-based) carrying the schema it was written under — so VERSION AS
+    * OF reads stay correct across ALTER TABLE schema evolution. A
     * file-backed store keeps the same ledger as manifest files. */
-  private val history = TrieMap.empty[String, Vector[Vector[Seq[Any]]]]
+  private val history =
+    TrieMap.empty[String, Vector[(StructType, Vector[Seq[Any]])]]
 
   def latestVersion(name: String): Option[Int] =
     history.get(name).map(_.length - 1)
 
   def rowsAt(name: String, version: Int): Option[Vector[Seq[Any]]] =
-    history.get(name).flatMap(_.lift(version))
+    history.get(name).flatMap(_.lift(version)).map(_._2)
+
+  def schemaAt(name: String, version: Int): Option[StructType] =
+    history.get(name).flatMap(_.lift(version)).map(_._1)
 }
 
 class GraftMemoryTable(name: String, writeSchema: StructType)

@@ -167,6 +167,30 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("ALTER TABLE schema evolution with version-correct time travel") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.evo")
+    spark.sql("CREATE TABLE gcat.db.evo (k INT)")            // v0
+    spark.sql("INSERT INTO gcat.db.evo VALUES (1), (2)")     // v1
+    spark.sql("ALTER TABLE gcat.db.evo ADD COLUMNS (v STRING)") // v2
+    spark.sql("INSERT INTO gcat.db.evo VALUES (3, 'c')")     // v3
+    assert(spark.sql("SELECT * FROM gcat.db.evo").columns.toSeq ==
+      Seq("k", "v"))
+    val rows = spark.sql("SELECT k, v FROM gcat.db.evo ORDER BY k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((1, None), (2, None), (3, Some("c"))))
+    // time travel BEFORE the alter reads the old single-column schema
+    val old = spark.sql("SELECT * FROM gcat.db.evo VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("k"))
+    assert(old.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // rename + drop migrate rows in place
+    spark.sql("ALTER TABLE gcat.db.evo RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM gcat.db.evo WHERE k = 3")
+      .head.getString(0) == "c")
+    spark.sql("ALTER TABLE gcat.db.evo DROP COLUMN label")
+    assert(spark.sql("SELECT * FROM gcat.db.evo").columns.toSeq == Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.evo").head.getLong(0) == 3)
+  }
+
   test("CALL procedures: table_history ledger and rollback restore") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.proc")
     spark.sql("CREATE TABLE gcat.db.proc (k INT)")          // v0
