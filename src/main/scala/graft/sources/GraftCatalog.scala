@@ -94,8 +94,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val latest = GraftMemoryStore.latestVersion(storeKey(ident)).getOrElse(-1)
     if (v < 0 || v > latest) throw new IllegalArgumentException(
       s"version $v out of range [0, $latest] for $ident")
-    val snapshotSchema = GraftMemoryStore
-      .schemaAt(storeKey(ident), v).getOrElse(schema)
+    // an expired (tombstoned) snapshot must FAIL here, not silently
+    // fall back to the current rows at scan time
+    val snapshotSchema = GraftMemoryStore.schemaAt(storeKey(ident), v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v of $ident has been expired (expire_snapshots)"))
     new GraftCatalogTable(storeKey(ident), ident, snapshotSchema, Some(v),
       mode = modeOf(ident))
   }
@@ -185,7 +188,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "table_history"),
-        Identifier.of(Array("system"), "rollback"))
+        Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "expire_snapshots"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -193,6 +197,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     key match {
       case (Seq("system"), "table_history") => GraftProcedures.tableHistory(this)
       case (Seq("system"), "rollback")      => GraftProcedures.rollback(this)
+      case (Seq("system"), "expire_snapshots") =>
+        GraftProcedures.expireSnapshots(this)
       case _ => throw new IllegalArgumentException(s"no procedure $ident")
     }
   }

@@ -97,10 +97,28 @@ object GraftMemoryStore {
     history.get(name).map(_.length - 1)
 
   def rowsAt(name: String, version: Int): Option[Vector[Seq[Any]]] =
-    history.get(name).flatMap(_.lift(version)).map(_._2)
+    history.get(name).flatMap(_.lift(version)).flatMap(Option(_)).map(_._2)
 
   def schemaAt(name: String, version: Int): Option[StructType] =
-    history.get(name).flatMap(_.lift(version)).map(_._1)
+    history.get(name).flatMap(_.lift(version)).flatMap(Option(_)).map(_._1)
+
+  /** Snapshot retention: drop the payload of all but the newest
+    * `keepLast` snapshots. Version NUMBERS are stable (the ledger keeps
+    * tombstones), so `VERSION AS OF` on an expired version fails
+    * cleanly instead of silently reading a different snapshot. Returns
+    * the number of snapshots expired. */
+  private[sources] def expireSnapshots(name: String, keepLast: Int): Int =
+    tables.synchronized {
+      history.get(name) match {
+        case None => 0
+        case Some(h) =>
+          val cutoff = math.max(0, h.length - keepLast)
+          val already = h.take(cutoff).count(_ == null)
+          history.put(name, Vector.tabulate(h.length)(i =>
+            if (i < cutoff) null else h(i)))
+          cutoff - already
+      }
+    }
 }
 
 class GraftMemoryTable(name: String, writeSchema: StructType)

@@ -32,8 +32,10 @@ object GraftProcedures {
         val (ident, _) = cat.resolveTable(ref)
         val key = cat.storeKeyOf(ident)
         val latest = GraftMemoryStore.latestVersion(key).getOrElse(-1)
-        val rows = (0 to latest).map { v =>
-          Seq[Any](v, GraftMemoryStore.rowsAt(key, v).get.size.toLong)
+        // expired snapshots are tombstoned in the ledger - skip them
+        val rows = (0 to latest).flatMap { v =>
+          GraftMemoryStore.rowsAt(key, v)
+            .map(r => Seq[Any](v, r.size.toLong))
         }.toVector
         Collections.singletonList(
           new InlineScan(
@@ -41,6 +43,38 @@ object GraftProcedures {
               org.apache.spark.sql.types.StructField("version", IntegerType),
               org.apache.spark.sql.types.StructField("n_rows", LongType))),
             rows): Scan).iterator()
+      }
+    }
+  }
+
+  /** CALL gcat.system.expire_snapshots('db.t', keep_last) → drops the
+    * payload of all but the newest keep_last snapshots; version numbers
+    * stay stable (tombstones), so expired VERSION AS OF reads fail
+    * cleanly. Returns the count expired. */
+  def expireSnapshots(cat: GraftCatalog): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String = "drop all but the newest N snapshots"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String = "drop all but the newest N snapshots"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("tbl",
+          org.apache.spark.sql.types.StringType).build(),
+        ProcedureParameter.in("keep_last", IntegerType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val ref = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        require(keep >= 1, "keep_last must be >= 1")
+        val (ident, _) = cat.resolveTable(ref)
+        val n = GraftMemoryStore.expireSnapshots(cat.storeKeyOf(ident), keep)
+        Collections.singletonList(
+          new InlineScan(
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("n_expired",
+                IntegerType))),
+            Vector(Seq[Any](n))): Scan).iterator()
       }
     }
   }

@@ -209,6 +209,30 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       .collect().length == 4)
   }
 
+  test("expire_snapshots tombstones old versions; expired reads fail cleanly") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.exp")
+    spark.sql("CREATE TABLE gcat.db.exp (k INT)")          // v0
+    spark.sql("INSERT INTO gcat.db.exp VALUES (1)")        // v1
+    spark.sql("INSERT INTO gcat.db.exp VALUES (2)")        // v2
+    spark.sql("INSERT INTO gcat.db.exp VALUES (3)")        // v3
+    val n = spark.sql("CALL gcat.system.expire_snapshots('db.exp', 2)")
+      .head.getInt(0)
+    assert(n == 2) // v0, v1 expired; v2, v3 kept
+    // history lists only live snapshots, version numbers unchanged
+    val hist = spark.sql("CALL gcat.system.table_history('db.exp')")
+      .collect().map(_.getInt(0))
+    assert(hist.toSeq == Seq(2, 3))
+    // live version still reads; expired one fails with a clear error
+    assert(spark.sql("SELECT k FROM gcat.db.exp VERSION AS OF 2")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.exp VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("expired"))
+    // current reads unaffected
+    assert(spark.sql("SELECT count(*) FROM gcat.db.exp").head.getLong(0) == 3)
+  }
+
   test("complex DELETE predicate falls back to the group-based rewrite") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.hard")
     spark.sql("CREATE TABLE gcat.db.hard (k INT, v STRING)")
