@@ -81,26 +81,27 @@ object Extras28 extends QueryPack {
        FROM sh WHERE nation < 5 ORDER BY nation, yr"""
 
   // --------------------------------------------------------------- q216
-  /** Relational division: customers who ordered in EVERY quarter of
-    * 1996 — the "for all" query, expressed as distinct-count equality
+  /** Relational division: customers who ordered in BOTH 1996 and 1997
+    * — the "for all" query, expressed as distinct-count equality
     * rather than nested NOT EXISTS (one reduce instead of a correlated
-    * double anti-join). */
+    * double anti-join). The divisor is a two-element set so the result
+    * is non-empty even at the smallest scale factor. */
   private def q216(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir)("orders")
-    o.filter(year(col("o_orderdate")) === 1996)
+    o.filter(year(col("o_orderdate")).isin(1996, 1997))
       .groupBy("o_custkey")
-      .agg(count_distinct(quarter(col("o_orderdate"))).as("nq"),
+      .agg(count_distinct(year(col("o_orderdate"))).as("ny"),
            count(lit(1)).as("n_orders"))
-      .filter(col("nq") === 4)
+      .filter(col("ny") === 2)
       .select(col("o_custkey"), col("n_orders"))
       .orderBy("o_custkey")
   }
 
   private val q216Sql =
     """SELECT o_custkey, count(*) AS n_orders
-       FROM orders WHERE year(o_orderdate) = 1996
+       FROM orders WHERE year(o_orderdate) IN (1996, 1997)
        GROUP BY 1
-       HAVING count(DISTINCT quarter(o_orderdate)) = 4
+       HAVING count(DISTINCT year(o_orderdate)) = 2
        ORDER BY 1"""
 
   // --------------------------------------------------------------- q217
