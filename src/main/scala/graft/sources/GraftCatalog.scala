@@ -5,7 +5,7 @@ import java.util
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And, Not, Or, Predicate}
@@ -42,7 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * support rather than silently deleting wrong rows).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   // Metadata lives in the companion, keyed by catalog name: Spark
@@ -202,6 +202,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => throw new IllegalArgumentException(s"no procedure $ident")
     }
   }
+
+  // -------------------------------------------------------- functions
+
+  /** DSv2 FunctionCatalog: `SELECT gcat.system.cents(x)` etc. The
+    * analyzer binds against the actual argument schema (overloads and
+    * arity/type errors surface at analysis time); bound scalars plan
+    * through their `invoke` magic method, bound aggregates through
+    * V2Aggregator with map-side partials. Implementations in
+    * [[GraftCatalogFunctions]]. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftCatalogFunctions.all.keys.toArray.sorted
+        .map(Identifier.of(Array("system"), _))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    (ident.namespace.toSeq, ident.name) match {
+      case (Seq("system"), n) if GraftCatalogFunctions.all.contains(n) =>
+        GraftCatalogFunctions.all(n)
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   /** Resolve a 'ns.table' string arg against this catalog's tables. */
   private[sources] def resolveTable(ref: String): (Identifier, StructType) = {
