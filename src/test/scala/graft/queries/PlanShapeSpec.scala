@@ -40,7 +40,15 @@ class PlanShapeSpec extends GraftTestBase {
       "q154_vocab_oov", "q163_mad", "q165_top_decile", "q169_triangles",
       "q170_session_funnel", "q174_new_vs_returning", "q179_ship_latency",
       "q190_cohort_convert", "q193_quartile_flow", "q195_supplier_hhi",
-      "q196_centroid_dispersion", "q200_source_dashboard", "q201_rolling_wau")
+      "q196_centroid_dispersion", "q200_source_dashboard", "q201_rolling_wau",
+      // TPC-H suite (q243 fuzzy-pairs is EXCLUDED: its <-inequality
+      // join over the tiny distinct-name domain is a designed BNLJ)
+      "q203_tpch_q5", "q204_tpch_q10", "q208_tpch_q3", "q209_tpch_q7",
+      "q210_tpch_q18", "q227_tpch_q4", "q229_tpch_q8", "q230_tpch_q9",
+      "q231_tpch_q13", "q232_tpch_q14", "q233_tpch_q15", "q234_tpch_q17",
+      "q235_tpch_q19", "q236_tpch_q21", "q238_tpch_q12", "q239_tpch_q2",
+      "q240_tpch_q20", "q244_compound_growth", "q246_price_elasticity",
+      "q247_dup_invoices", "q248_iqr_outliers", "q249_dark_days")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
