@@ -65,6 +65,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values: Spark keeps the default expression in the
+    * column metadata (CURRENT_DEFAULT / EXISTS_DEFAULT) and resolves it
+    * at ANALYSIS time for INSERTs that omit the column — the connector
+    * only has to preserve the schema metadata it was given at CREATE /
+    * ALTER, which the ledger already does. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ----------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -141,6 +149,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val i = schema.fieldIndex(ren.fieldNames.head)
         schema = StructType(schema.fields.updated(i,
           schema.fields(i).copy(name = ren.newName)))
+      case upd: TableChange.UpdateColumnDefaultValue
+          if upd.fieldNames.length == 1 =>
+        // ALTER COLUMN ... SET/DROP DEFAULT: only the CURRENT_DEFAULT
+        // metadata changes — existing rows were materialized at write
+        // time, so EXISTS_DEFAULT semantics don't apply here.
+        val i = schema.fieldIndex(upd.fieldNames.head)
+        val f = schema.fields(i)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val sqlText = upd.newDefaultValue()
+        val newMeta =
+          if (sqlText == null || sqlText.isEmpty)
+            mb.remove("CURRENT_DEFAULT").build()
+          else mb.putString("CURRENT_DEFAULT", sqlText).build()
+        schema = StructType(schema.fields.updated(i, f.copy(metadata = newMeta)))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
