@@ -71,7 +71,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * only has to preserve the schema metadata it was given at CREATE /
     * ALTER, which the ledger already does. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ----------------------------------------------------------- tables
 
@@ -80,13 +81,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tables.keys.filter(_.namespace.sameElements(namespace)).toArray
   }
 
+  private def tableConstraints =
+    GraftCatalog.constraintsOf(catalogName)
+
   override def loadTable(ident: Identifier): Table =
     tables.get(ident) match {
       case Some(schema) =>
         new GraftCatalogTable(storeKey(ident), ident, schema,
-          mode = modeOf(ident))
+          mode = modeOf(ident),
+          declaredConstraints =
+            tableConstraints.getOrElse(ident, Array.empty))
       case None         => throw new NoSuchTableException(ident)
     }
+
+  /** CREATE TABLE with table-level CONSTRAINTs (Spark 4.1 TableInfo
+    * path): constraints persist in catalog metadata; Spark itself
+    * validates ENFORCED CHECK constraints on every INSERT (the write
+    * plan gets a CheckInvariant guard), so the connector only stores
+    * and republishes them via Table#constraints(). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val table = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints() != null && info.constraints().nonEmpty) {
+      tableConstraints.put(ident, info.constraints())
+      new GraftCatalogTable(storeKey(ident), ident, info.schema(),
+        mode = modeOf(ident), declaredConstraints = info.constraints())
+    } else table
+  }
 
   /** Time travel: `SELECT ... FROM t VERSION AS OF n`. Every committed
     * write is a snapshot (version = commit ordinal, 0-based; version 0
@@ -164,18 +185,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             mb.remove("CURRENT_DEFAULT").build()
           else mb.putString("CURRENT_DEFAULT", sqlText).build()
         schema = StructType(schema.fields.updated(i, f.copy(metadata = newMeta)))
+      case add: TableChange.AddConstraint =>
+        val existing = tableConstraints.getOrElse(ident, Array.empty)
+        if (existing.exists(_.name == add.constraint.name))
+          throw new IllegalArgumentException(
+            s"constraint ${add.constraint.name} already exists on $ident")
+        tableConstraints.put(ident, existing :+ add.constraint)
+      case drop: TableChange.DropConstraint =>
+        val existing = tableConstraints.getOrElse(ident, Array.empty)
+        if (!existing.exists(_.name == drop.name) && !drop.ifExists)
+          throw new IllegalArgumentException(
+            s"no constraint ${drop.name} on $ident")
+        tableConstraints.put(ident, existing.filterNot(_.name == drop.name))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
     tables.put(ident, schema)
     GraftMemoryStore.install(key, schema, rows, truncate = true)
-    new GraftCatalogTable(key, ident, schema, mode = modeOf(ident))
+    new GraftCatalogTable(key, ident, schema, mode = modeOf(ident),
+      declaredConstraints = tableConstraints.getOrElse(ident, Array.empty))
   }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) match {
       case Some(_) =>
-        modes.remove(ident); GraftMemoryStore.drop(storeKey(ident)); true
+        modes.remove(ident); tableConstraints.remove(ident)
+        GraftMemoryStore.drop(storeKey(ident)); true
       case None    => false
     }
 
@@ -194,6 +229,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(newIdent)
     }
     tables.put(newIdent, schema)
+    tableConstraints.remove(oldIdent)
+      .foreach(cs => tableConstraints.put(newIdent, cs))
     GraftMemoryStore.install(storeKey(newIdent), schema,
       GraftMemoryStore.rowsOf(storeKey(oldIdent)), truncate = true)
     GraftMemoryStore.drop(storeKey(oldIdent))
@@ -303,6 +340,8 @@ object GraftCatalog {
     TrieMap.empty[String, TrieMap[Identifier, StructType]]
   private val allModes =
     TrieMap.empty[String, TrieMap[Identifier, String]]
+  private val allConstraints =
+    TrieMap.empty[String, TrieMap[Identifier, Array[constraints.Constraint]]]
 
   private[sources] def namespacesOf(cat: String) =
     allNamespaces.getOrElseUpdate(cat,
@@ -311,6 +350,9 @@ object GraftCatalog {
     allTables.getOrElseUpdate(cat, TrieMap.empty[Identifier, StructType])
   private[sources] def modesOf(cat: String) =
     allModes.getOrElseUpdate(cat, TrieMap.empty[Identifier, String])
+  private[sources] def constraintsOf(cat: String) =
+    allConstraints.getOrElseUpdate(cat,
+      TrieMap.empty[Identifier, Array[constraints.Constraint]])
 }
 
 /** Catalog-managed table: fixed declared schema (inserts analyze
@@ -319,9 +361,15 @@ object GraftCatalog {
 class GraftCatalogTable(storeKey: String, ident: Identifier,
                         declared: StructType,
                         pinnedVersion: Option[Int] = None,
-                        mode: String = "group")
+                        mode: String = "group",
+                        declaredConstraints: Array[constraints.Constraint] =
+                          Array.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    declaredConstraints
 
   override def name(): String =
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
