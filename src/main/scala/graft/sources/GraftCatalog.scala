@@ -72,7 +72,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ALTER, which the ledger already does. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // ----------------------------------------------------------- tables
 
@@ -90,7 +92,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new GraftCatalogTable(storeKey(ident), ident, schema,
           mode = modeOf(ident),
           declaredConstraints =
-            tableConstraints.getOrElse(ident, Array.empty))
+            tableConstraints.getOrElse(ident, Array.empty),
+          rowFinisher = GraftGeneratedColumns.finisher(catalogName, ident,
+            storeKey(ident), schema))
       case None         => throw new NoSuchTableException(ident)
     }
 
@@ -100,13 +104,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * plan gets a CheckInvariant guard), so the connector only stores
     * and republishes them via Table#constraints(). */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val table = createTable(ident, info.schema(), info.partitions(),
+    createTable(ident, info.schema(), info.partitions(),
       info.properties())
-    if (info.constraints() != null && info.constraints().nonEmpty) {
+    if (info.constraints() != null && info.constraints().nonEmpty)
       tableConstraints.put(ident, info.constraints())
-      new GraftCatalogTable(storeKey(ident), ident, info.schema(),
-        mode = modeOf(ident), declaredConstraints = info.constraints())
-    } else table
+    // identity / generated columns: capture the specs — values are
+    // produced at commit time by GraftGeneratedColumns.finisher
+    val gen = info.columns().toSeq.flatMap { c =>
+      if (c.identityColumnSpec() != null) {
+        val s = c.identityColumnSpec()
+        Some(GraftGeneratedColumns.IdentityCol(c.name(), s.getStart,
+          s.getStep, s.isAllowExplicitInsert))
+      } else if (c.generationExpression() != null)
+        Some(GraftGeneratedColumns.ComputedCol(c.name(),
+          c.generationExpression()))
+      else None
+    }
+    if (gen.nonEmpty)
+      GraftGeneratedColumns.specsOf(catalogName).put(ident, gen)
+    loadTable(ident)
   }
 
   /** Time travel: `SELECT ... FROM t VERSION AS OF n`. Every committed
@@ -210,6 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tables.remove(ident) match {
       case Some(_) =>
         modes.remove(ident); tableConstraints.remove(ident)
+        GraftGeneratedColumns.specsOf(catalogName).remove(ident)
         GraftMemoryStore.drop(storeKey(ident)); true
       case None    => false
     }
@@ -231,6 +248,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tables.put(newIdent, schema)
     tableConstraints.remove(oldIdent)
       .foreach(cs => tableConstraints.put(newIdent, cs))
+    GraftGeneratedColumns.specsOf(catalogName).remove(oldIdent)
+      .foreach(g => GraftGeneratedColumns.specsOf(catalogName)
+        .put(newIdent, g))
     GraftMemoryStore.install(storeKey(newIdent), schema,
       GraftMemoryStore.rowsOf(storeKey(oldIdent)), truncate = true)
     GraftMemoryStore.drop(storeKey(oldIdent))
@@ -363,7 +383,9 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
                         pinnedVersion: Option[Int] = None,
                         mode: String = "group",
                         declaredConstraints: Array[constraints.Constraint] =
-                          Array.empty)
+                          Array.empty,
+                        rowFinisher: Option[(Vector[Seq[Any]], Boolean)
+                          => Vector[Seq[Any]]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -411,7 +433,8 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
     new GraftCatalogScanBuilder(storeKey, declared, pinnedVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = false)
+    new GraftMemoryWriteBuilder(storeKey, declared, truncateFirst = false,
+      finisher = rowFinisher)
 
   /** Group-based row-level operations (UPDATE / MERGE INTO / complex
     * DELETE): the whole table is ONE group, so Spark's rewrite reads

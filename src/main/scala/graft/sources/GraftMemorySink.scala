@@ -143,15 +143,18 @@ class GraftMemoryTable(name: String, writeSchema: StructType)
 
 class GraftMemoryWriteBuilder(name: String, schema: StructType,
                               truncateFirst: Boolean,
-                              inputSchema: Option[StructType] = None)
+                              inputSchema: Option[StructType] = None,
+                              finisher: Option[(Vector[Seq[Any]], Boolean)
+                                => Vector[Seq[Any]]] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftMemoryWriteBuilder(name, schema, truncateFirst = true, inputSchema)
+    new GraftMemoryWriteBuilder(name, schema, truncateFirst = true,
+      inputSchema, finisher)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftMemoryBatchWrite(name, schema, truncateFirst,
-        inputSchema.getOrElse(schema))
+        inputSchema.getOrElse(schema), finisher)
     override def toStreaming: swstreaming.StreamingWrite =
       new GraftMemoryStreamingWrite(name, schema)
   }
@@ -197,7 +200,10 @@ case class GraftMemoryCommit(rows: Vector[Seq[Any]]) extends WriterCommitMessage
   * picked out of the input BY NAME. */
 class GraftMemoryBatchWrite(name: String, schema: StructType,
                             truncateFirst: Boolean,
-                            inputSchema: StructType) extends BatchWrite {
+                            inputSchema: StructType,
+                            finisher: Option[(Vector[Seq[Any]], Boolean)
+                              => Vector[Seq[Any]]] = None)
+    extends BatchWrite {
   def this(name: String, schema: StructType, truncateFirst: Boolean) =
     this(name, schema, truncateFirst, schema)
 
@@ -206,12 +212,17 @@ class GraftMemoryBatchWrite(name: String, schema: StructType,
       schema.fieldNames.toSeq.map(inputSchema.fieldIndex))
 
   // Atomic install of every task's staged rows; truncate (overwrite)
-  // only takes effect here, inside the commit.
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftMemoryStore.install(name, schema,
-      messages.iterator.flatMap {
-        case GraftMemoryCommit(rows) => rows
-      }.toVector, truncateFirst)
+  // only takes effect here, inside the commit. The finisher (identity
+  // assignment / generated-column computation) runs HERE, driver-side,
+  // so its values are part of the same atomic install.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.iterator.flatMap {
+      case GraftMemoryCommit(rows) => rows
+    }.toVector
+    val finalRows =
+      finisher.map(f => f(staged, truncateFirst)).getOrElse(staged)
+    GraftMemoryStore.install(name, schema, finalRows, truncateFirst)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
