@@ -48,7 +48,9 @@ class PlanShapeSpec extends GraftTestBase {
       "q231_tpch_q13", "q232_tpch_q14", "q233_tpch_q15", "q234_tpch_q17",
       "q235_tpch_q19", "q236_tpch_q21", "q238_tpch_q12", "q239_tpch_q2",
       "q240_tpch_q20", "q244_compound_growth", "q246_price_elasticity",
-      "q247_dup_invoices", "q248_iqr_outliers", "q249_dark_days")
+      "q247_dup_invoices", "q248_iqr_outliers", "q249_dark_days",
+      "q250_record_linkage", "q253_user_overlap", "q262_hierarchy_share",
+      "q264_newcomer_share", "q266_tpch_q16")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
