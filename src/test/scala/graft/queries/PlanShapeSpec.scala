@@ -50,7 +50,8 @@ class PlanShapeSpec extends GraftTestBase {
       "q240_tpch_q20", "q244_compound_growth", "q246_price_elasticity",
       "q247_dup_invoices", "q248_iqr_outliers", "q249_dark_days",
       "q250_record_linkage", "q253_user_overlap", "q262_hierarchy_share",
-      "q264_newcomer_share", "q266_tpch_q16")
+      "q264_newcomer_share", "q266_tpch_q16", "q267_ab_assignment",
+      "q268_snapshot_diff", "q269_weighted_median")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
