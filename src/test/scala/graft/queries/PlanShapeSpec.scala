@@ -51,7 +51,11 @@ class PlanShapeSpec extends GraftTestBase {
       "q247_dup_invoices", "q248_iqr_outliers", "q249_dark_days",
       "q250_record_linkage", "q253_user_overlap", "q262_hierarchy_share",
       "q264_newcomer_share", "q266_tpch_q16", "q267_ab_assignment",
-      "q268_snapshot_diff", "q269_weighted_median")
+      "q268_snapshot_diff", "q269_weighted_median",
+      // q277/q278/q282 carry designed 1-row scalar broadcast cross
+      // joins (the documented BNLJ pattern); q281 is the q243-style
+      // all-pairs join over a tiny aggregate — all excluded on purpose
+      "q279_silhouette", "q280_seasonality")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
