@@ -55,7 +55,12 @@ class PlanShapeSpec extends GraftTestBase {
       // q277/q278/q282 carry designed 1-row scalar broadcast cross
       // joins (the documented BNLJ pattern); q281 is the q243-style
       // all-pairs join over a tiny aggregate — all excluded on purpose
-      "q279_silhouette", "q280_seasonality")
+      "q279_silhouette", "q280_seasonality",
+      // q283/q284/q286/q287 carry 1-row scalar broadcast cross joins
+      // (base year, corpus total, bucket totals, λ) — excluded like
+      // their q277/q278 precedents; q285 is pure-window, q288's pair
+      // join is equi-keyed on source
+      "q285_ewma", "q288_minhash_error")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
