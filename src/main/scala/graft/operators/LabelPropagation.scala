@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous weighted label propagation (community detection) over
+  * an edge DataFrame (src, dst, w) — the fourth member of the
+  * iterative-graph family (PageRank, ConnectedComponents, KMeans share
+  * the loop shape).
+  *
+  * Labels start as the node id; each iteration every node adopts the
+  * label carrying the highest total edge weight among its neighbors,
+  * ties to the smallest label — fully integer logic, so a fixed
+  * iteration count is deterministic and oracle-able as an unrolled CTE
+  * chain. Edges are symmetrized (undirected) and self-loops dropped;
+  * isolated nodes keep their own label. Known synchronous-LP artifact:
+  * a symmetric bipartite component (e.g. a bare pair) swaps labels
+  * every round and never converges — triangles damp this in real
+  * graphs; an async/semi-sync variant is the fix if it ever matters.
+  *
+  * Scale shape: per iteration one join (labels ⋈ edges on dst) + one
+  * (src, label) aggregate + one top-1 window — all hash-partitioned on
+  * node keys; the big static edge table keeps its partitioning across
+  * iterations while only the (node, label) vector moves (the PageRank
+  * argument, PageRank.scala:20-24). Long loops at scale would
+  * localCheckpoint every ~10 iterations to cut lineage.
+  *
+  * Reference scope: the capstone has no graph operators — extension
+  * surface (SURVEY.md §8).
+  */
+object LabelPropagation {
+
+  /** Communities after `iters` synchronous rounds. Returns
+    * (node, label). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val nodes = sym.select(col("src").as("node")).distinct()
+
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val scored = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(sum("w").as("wt"))
+      val pick = Window.partitionBy("src")
+        .orderBy(col("wt").desc, col("label").asc)
+      val next = scored
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+      // isolated nodes (no neighbors) keep their current label
+      labels = labels.select(col("node"), col("label").as("prev"))
+        .join(next.withColumnRenamed("label", "nxt"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("nxt"), col("prev")).as("label"))
+    }
+    labels
+  }
+}

@@ -60,7 +60,11 @@ class PlanShapeSpec extends GraftTestBase {
       // (base year, corpus total, bucket totals, λ) — excluded like
       // their q277/q278 precedents; q285 is pure-window, q288's pair
       // join is equi-keyed on source
-      "q285_ewma", "q288_minhash_error")
+      "q285_ewma", "q288_minhash_error",
+      // q292/q293 carry 1-row scalar broadcast cross joins (token
+      // totals / overall deciles); q291's unrolled 4-iteration plan is
+      // left out to keep the sweep fast
+      "q289_weighted_sample", "q290_split_leakage", "q294_burstiness")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
