@@ -329,15 +329,18 @@ object Extras44 extends QueryPack {
       array_min(transform(col("hx"), x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
     val sigs = base.select(col("doc_id"), col("source"), col("hx"),
-      sig.as("sig"))
+      size(col("hx")).as("nx"), sig.as("sig"))
+    // |A∪B| = |A|+|B|−|A∩B| (hx is distinct): one array scan per
+    // pair instead of two — halves the dominant cost of the audit
+    val inter = size(array_intersect(col("a.hx"), col("b.hx")))
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id"))
       .select(
         (size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), b => b)).cast("double") / K).as("est"),
-        (size(array_intersect(col("a.hx"), col("b.hx"))).cast("double")
-          / size(array_union(col("a.hx"), col("b.hx")))).as("exact"))
+        (inter.cast("double")
+          / (col("a.nx") + col("b.nx") - inter)).as("exact"))
     pairs
       .withColumn("bucket",
         least(floor(col("exact") * 10).cast("int"), lit(9)))
@@ -370,11 +373,12 @@ object Extras44 extends QueryPack {
                i -> substring(text, i, 5))),
              s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P)) AS hx
          FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5),
-       sigs AS (SELECT doc_id, source, hx, $sigList AS sig FROM d),
+       sigs AS (SELECT doc_id, source, hx, len(hx) AS nx, $sigList AS sig
+              FROM d),
        pairs AS (
          SELECT ($agree) / ${K}.0 AS est,
            CAST(len(list_intersect(a.hx, b.hx)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.hx, b.hx))) AS exact
+             / (a.nx + b.nx - len(list_intersect(a.hx, b.hx))) AS exact
          FROM sigs a JOIN sigs b
            ON a.source = b.source AND a.doc_id < b.doc_id)
        SELECT CAST(least(CAST(floor(exact * 10) AS INT), 9) AS BIGINT) AS bucket,
