@@ -64,7 +64,11 @@ class PlanShapeSpec extends GraftTestBase {
       // q292/q293 carry 1-row scalar broadcast cross joins (token
       // totals / overall deciles); q291's unrolled 4-iteration plan is
       // left out to keep the sweep fast
-      "q289_weighted_sample", "q290_split_leakage", "q294_burstiness")
+      "q289_weighted_sample", "q290_split_leakage", "q294_burstiness",
+      // q296 rides the documented q29 brute-force pair join; q297
+      // carries 1-row scalar broadcast cross joins (N1/N2 totals)
+      "q295_cluster_purity", "q298_dwell_matrix", "q299_heaps_law",
+      "q300_boilerplate")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
