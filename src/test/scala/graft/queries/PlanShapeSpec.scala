@@ -68,7 +68,10 @@ class PlanShapeSpec extends GraftTestBase {
       // q296 rides the documented q29 brute-force pair join; q297
       // carries 1-row scalar broadcast cross joins (N1/N2 totals)
       "q295_cluster_purity", "q298_dwell_matrix", "q299_heaps_law",
-      "q300_boilerplate")
+      "q300_boilerplate",
+      // q302/q304/q306 carry 1-row scalar broadcast cross joins
+      // (bucket totals / top-1 counts / global p95)
+      "q301_wilson_returns", "q303_ab_ztest", "q305_trimmed_mean")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
