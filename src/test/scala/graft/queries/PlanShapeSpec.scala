@@ -71,7 +71,10 @@ class PlanShapeSpec extends GraftTestBase {
       "q300_boilerplate",
       // q302/q304/q306 carry 1-row scalar broadcast cross joins
       // (bucket totals / top-1 counts / global p95)
-      "q301_wilson_returns", "q303_ab_ztest", "q305_trimmed_mean")
+      "q301_wilson_returns", "q303_ab_ztest", "q305_trimmed_mean",
+      // q311 carries the 1-row global-max broadcast cross join
+      "q307_price_moves", "q308_order_episodes", "q309_single_source",
+      "q310_peak_hours", "q312_percentile_grid")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
