@@ -74,7 +74,11 @@ class PlanShapeSpec extends GraftTestBase {
       "q301_wilson_returns", "q303_ab_ztest", "q305_trimmed_mean",
       // q311 carries the 1-row global-max broadcast cross join
       "q307_price_moves", "q308_order_episodes", "q309_single_source",
-      "q310_peak_hours", "q312_percentile_grid")
+      "q310_peak_hours", "q312_percentile_grid",
+      // q315/q316/q317 carry 1-row scalar broadcast cross joins
+      // (tail threshold / totals / n+vmax); q314's band self-join is
+      // equi-keyed on (band, bsig)
+      "q313_adjacent_edit", "q314_lsh_band_sweep", "q318_stickiness")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
