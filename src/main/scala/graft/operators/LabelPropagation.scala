@@ -43,8 +43,11 @@ object LabelPropagation {
 
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // the (node, label) vector is the small moving side — broadcast
+      // it against the static edge table so iterations never reshuffle
+      // the edges (at 100 TB ranks stay MBs while edges are the bulk)
       val scored = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(sum("w").as("wt"))
       val pick = Window.partitionBy("src")
