@@ -78,7 +78,10 @@ class PlanShapeSpec extends GraftTestBase {
       // q315/q316/q317 carry 1-row scalar broadcast cross joins
       // (tail threshold / totals / n+vmax); q314's band self-join is
       // equi-keyed on (band, bsig)
-      "q313_adjacent_edit", "q314_lsh_band_sweep", "q318_stickiness")
+      "q313_adjacent_edit", "q314_lsh_band_sweep", "q318_stickiness",
+      "q319_centroid_stability", "q320_variance_screen",
+      "q321_month_end_spike", "q322_session_outcomes",
+      "q323_embedding_outliers", "q324_growth_accounting")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
