@@ -81,7 +81,10 @@ class PlanShapeSpec extends GraftTestBase {
       "q313_adjacent_edit", "q314_lsh_band_sweep", "q318_stickiness",
       "q319_centroid_stability", "q320_variance_screen",
       "q321_month_end_spike", "q322_session_outcomes",
-      "q323_embedding_outliers", "q324_growth_accounting")
+      "q323_embedding_outliers", "q324_growth_accounting",
+      // q325/q329/q330 carry 1-row scalar broadcast cross joins
+      // (sketch array / totals)
+      "q326_winsorized_mean", "q327_ccdf_tail", "q328_dup_token_mass")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
