@@ -84,7 +84,10 @@ class PlanShapeSpec extends GraftTestBase {
       "q323_embedding_outliers", "q324_growth_accounting",
       // q325/q329/q330 carry 1-row scalar broadcast cross joins
       // (sketch array / totals)
-      "q326_winsorized_mean", "q327_ccdf_tail", "q328_dup_token_mass")
+      "q326_winsorized_mean", "q327_ccdf_tail", "q328_dup_token_mass",
+      "q331_supplier_health", "q332_repeat_revenue", "q333_sq8_error",
+      "q334_type_cooccurrence", "q335_cadence_segments",
+      "q336_graph_degree")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
