@@ -36,9 +36,14 @@ object LabelPropagation {
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src") =!= col("dst"))
+    // materialize the static symmetrized edge table ONCE (localCheckpoint
+    // caches partitions and cuts lineage) — otherwise every iteration's
+    // broadcast of the label vector re-evaluates the upstream edge
+    // derivation (often an expensive multi-join) from scratch
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
 
     var labels = nodes.withColumn("label", col("node"))
