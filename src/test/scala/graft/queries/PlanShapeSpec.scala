@@ -87,7 +87,10 @@ class PlanShapeSpec extends GraftTestBase {
       "q326_winsorized_mean", "q327_ccdf_tail", "q328_dup_token_mass",
       "q331_supplier_health", "q332_repeat_revenue", "q333_sq8_error",
       "q334_type_cooccurrence", "q335_cadence_segments",
-      "q336_graph_degree")
+      "q336_graph_degree",
+      // q338/q339 carry 1-row scalar broadcast cross joins (totals)
+      "q337_keyspace_audit", "q340_acf_table", "q341_name_revenue",
+      "q342_dow_eta_squared")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
         case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
