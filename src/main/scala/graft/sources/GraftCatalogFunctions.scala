@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{DataType, DataTypes, DoubleType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
 
 /** DSv2 FunctionCatalog functions for the graft catalog.
   *
@@ -11,9 +11,17 @@ import org.apache.spark.sql.types.{DataType, DataTypes, DoubleType, LongType, St
   * argument schema (overload resolution + arity/type validation happen
   * here, at analysis time, not at runtime), and the bound result is
   * planned like a built-in — scalar functions through their `invoke`
-  * magic method (codegen's Invoke path, no row boxing), aggregates
-  * through Spark's V2Aggregator with full partial/merge map-side
-  * combine.
+  * magic method, aggregates through Spark's V2Aggregator with full
+  * partial/merge map-side combine.
+  *
+  * The scalar impls are TOP-LEVEL classes whose `invoke` lives on the
+  * companion object: scalac emits a `public static` forwarder for it on
+  * the companion CLASS, so `V2ExpressionUtils.resolveScalarFunction`
+  * finds a static magic method and plans a `StaticInvoke` — a direct
+  * static call on unboxed primitives inside whole-stage codegen. (A
+  * nested Scala `object` impl would instead take the instance-`Invoke`
+  * path against a `Foo$Bar$` class name that Janino cannot compile,
+  * silently degrading every call to interpreted `produceResult`.)
   */
 object GraftCatalogFunctions {
 
@@ -28,24 +36,11 @@ object GraftCatalogFunctions {
         throw new UnsupportedOperationException(
           s"cents takes exactly 1 argument, got ${inputType.fields.length}")
       inputType.fields(0).dataType match {
-        case DoubleType => CentsImpl
+        case DoubleType => new GraftCentsFn
         case dt => throw new UnsupportedOperationException(
           s"cents expects DOUBLE, got ${dt.simpleString}")
       }
     }
-  }
-
-  private object CentsImpl extends ScalarFunction[java.lang.Long] {
-    override def inputTypes(): Array[DataType] = Array(DoubleType)
-    override def resultType(): DataType = LongType
-    override def name(): String = "cents"
-    override def canonicalName(): String = "graft.cents"
-    override def isResultNullable: Boolean = false
-    // magic method: codegen invokes this directly on primitives
-    def invoke(x: Double): Long = math.floor(x * 100 + 0.5).toLong
-    // interpreted fallback (also exercised by unit tests)
-    override def produceResult(input: InternalRow): java.lang.Long =
-      invoke(input.getDouble(0))
   }
 
   /** clamp(x, lo, hi) with bind-time overload resolution: one unbound
@@ -59,35 +54,12 @@ object GraftCatalogFunctions {
         throw new UnsupportedOperationException(
           s"clamp takes exactly 3 arguments, got ${inputType.fields.length}")
       val types = inputType.fields.map(_.dataType)
-      if (types.forall(_ == LongType)) ClampLong
-      else if (types.forall(_ == DoubleType)) ClampDouble
+      if (types.forall(_ == LongType)) new GraftClampLongFn
+      else if (types.forall(_ == DoubleType)) new GraftClampDoubleFn
       else throw new UnsupportedOperationException(
         s"clamp expects all-BIGINT or all-DOUBLE arguments, got " +
           types.map(_.simpleString).mkString(", "))
     }
-  }
-
-  private object ClampLong extends ScalarFunction[java.lang.Long] {
-    override def inputTypes(): Array[DataType] = Array(LongType, LongType, LongType)
-    override def resultType(): DataType = LongType
-    override def name(): String = "clamp"
-    override def canonicalName(): String = "graft.clamp.long"
-    override def isResultNullable: Boolean = false
-    def invoke(x: Long, lo: Long, hi: Long): Long = math.min(math.max(x, lo), hi)
-    override def produceResult(input: InternalRow): java.lang.Long =
-      invoke(input.getLong(0), input.getLong(1), input.getLong(2))
-  }
-
-  private object ClampDouble extends ScalarFunction[java.lang.Double] {
-    override def inputTypes(): Array[DataType] = Array(DoubleType, DoubleType, DoubleType)
-    override def resultType(): DataType = DoubleType
-    override def name(): String = "clamp"
-    override def canonicalName(): String = "graft.clamp.double"
-    override def isResultNullable: Boolean = false
-    def invoke(x: Double, lo: Double, hi: Double): Double =
-      math.min(math.max(x, lo), hi)
-    override def produceResult(input: InternalRow): java.lang.Double =
-      invoke(input.getDouble(0), input.getDouble(1), input.getDouble(2))
   }
 
   /** cents_sum(x DOUBLE) -> DOUBLE: aggregates exact integer cents and
@@ -130,4 +102,51 @@ object GraftCatalogFunctions {
     "cents"     -> Cents,
     "clamp"     -> Clamp,
     "cents_sum" -> CentsSum)
+}
+
+/** Bound `cents`: the static `invoke` forwarder (from the companion)
+  * is what codegen calls. */
+final class GraftCentsFn extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(DoubleType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "cents"
+  override def canonicalName(): String = "graft.cents"
+  override def isResultNullable: Boolean = false
+  // interpreted fallback (also exercised by unit tests)
+  override def produceResult(input: InternalRow): java.lang.Long =
+    GraftCentsFn.invoke(input.getDouble(0))
+}
+
+object GraftCentsFn {
+  /** magic method: static forwarder on class GraftCentsFn → StaticInvoke */
+  def invoke(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+}
+
+final class GraftClampLongFn extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType, LongType, LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "clamp"
+  override def canonicalName(): String = "graft.clamp.long"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long =
+    GraftClampLongFn.invoke(input.getLong(0), input.getLong(1), input.getLong(2))
+}
+
+object GraftClampLongFn {
+  def invoke(x: Long, lo: Long, hi: Long): Long = math.min(math.max(x, lo), hi)
+}
+
+final class GraftClampDoubleFn extends ScalarFunction[java.lang.Double] {
+  override def inputTypes(): Array[DataType] = Array(DoubleType, DoubleType, DoubleType)
+  override def resultType(): DataType = DoubleType
+  override def name(): String = "clamp"
+  override def canonicalName(): String = "graft.clamp.double"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Double =
+    GraftClampDoubleFn.invoke(input.getDouble(0), input.getDouble(1), input.getDouble(2))
+}
+
+object GraftClampDoubleFn {
+  def invoke(x: Double, lo: Double, hi: Double): Double =
+    math.min(math.max(x, lo), hi)
 }

@@ -33,6 +33,31 @@ class GraftFunctionCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
     assert(mismatches == 0L)
   }
 
+  test("scalar magic method plans as StaticInvoke and survives codegen") {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    graft.Tables(spark, sf001).registerAll()
+    val df = spark.sql(
+      """SELECT gcat.system.cents(l_extendedprice) AS c,
+                gcat.system.clamp(l_quantity, 5.0d, 40.0d) AS q
+         FROM lineitem""")
+    // the analyzer must have taken the static magic-method path — an
+    // ApplyFunctionExpression here would mean boxed interpreted calls
+    val statics = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case s: StaticInvoke => s.staticObject.getName
+    })
+    assert(statics.exists(_.contains("GraftCentsFn")),
+      s"cents should plan as StaticInvoke, got $statics")
+    assert(statics.exists(_.contains("GraftClampDoubleFn")),
+      s"clamp should plan as StaticInvoke, got $statics")
+    // with fallback disabled, a Janino compile failure aborts the query
+    // instead of silently degrading to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = df.limit(5).collect()
+      assert(r.nonEmpty && r.forall(row => row.getDouble(1) >= 5.0 && row.getDouble(1) <= 40.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("overload binding picks the implementation by argument types") {
     val longs = spark.sql(
       "SELECT gcat.system.clamp(9L, 1L, 5L) AS a, gcat.system.clamp(-3L, 1L, 5L) AS b")
