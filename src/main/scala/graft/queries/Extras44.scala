@@ -314,12 +314,20 @@ object Extras44 extends QueryPack {
     * similarity decile — count, mean absolute error, mean bias per
     * bucket. Both estimate and truth are exact integer ratios; only
     * the per-bucket averages are double folds (round(4)). Same
-    * md5-base affine family as q43, so the audit is fully oracled. */
+    * md5-base affine family as q43, so the audit is fully oracled.
+    *
+    * The audit sample is capped at an ABSOLUTE deterministic size
+    * (md5-smallest 300 doc_ids) — a %-of-corpus sample grows linearly
+    * and turns the same-source pair join quadratic at scale; 300 docs
+    * bound the pair count (≤ ~45k) no matter the corpus size, and the
+    * estimator-quality statistics need no more than that. */
   private def q288(s: SparkSession, dir: String): DataFrame = {
     val P = graft.functions.expressions.MinHashSignature.P
     val K = 16
     val base = Tables(s, dir)("documents")
       .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
+      .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")))
+      .limit(300)
       .select(col("doc_id"), col("source"),
         array_distinct(transform(
           graft.functions.TextFunctions.charShingles(col("text"), 5),
@@ -372,7 +380,8 @@ object Extras44 extends QueryPack {
              list_distinct(list_transform(generate_series(1, length(text) - 4),
                i -> substring(text, i, 5))),
              s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P)) AS hx
-         FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5),
+         FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5
+         ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 300),
        sigs AS (SELECT doc_id, source, hx, len(hx) AS nx, $sigList AS sig
               FROM d),
        pairs AS (

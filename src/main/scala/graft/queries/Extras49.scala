@@ -72,12 +72,20 @@ object Extras49 extends QueryPack {
     * banding produces and its precision against exact shingle-hash
     * Jaccard ≥ 0.5 — the table that picks b before a 100 TB dedup
     * run. Candidates come from equi-joins on (band, band-signature);
-    * truth is the same integer-ratio Jaccard as q288. */
+    * truth is the same integer-ratio Jaccard as q288.
+    *
+    * Like q288, the sweep samples an ABSOLUTE deterministic 300 docs
+    * (md5-smallest doc_ids) instead of a %-of-corpus slice: the b=8
+    * banding's candidate count grows superlinearly with sample size,
+    * and a parameter-selection table needs a fixed-size probe, not a
+    * corpus-proportional one. */
   private def q314(s: SparkSession, dir: String): DataFrame = {
     val P = graft.functions.expressions.MinHashSignature.P
     val K = 16
     val base = Tables(s, dir)("documents")
       .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
+      .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")))
+      .limit(300)
       .select(col("doc_id"),
         array_distinct(transform(
           graft.functions.TextFunctions.charShingles(col("text"), 5),
@@ -159,7 +167,8 @@ object Extras49 extends QueryPack {
              list_distinct(list_transform(generate_series(1, length(text) - 4),
                i -> substring(text, i, 5))),
              s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P)) AS hx
-         FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5),
+         FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 5
+         ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 300),
        sigs AS (SELECT doc_id, hx, len(hx) AS nx, $sigList AS sig FROM d),
        band2 AS (${bandSel(2)}),
        band4 AS (${bandSel(4)}),
