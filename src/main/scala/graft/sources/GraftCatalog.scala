@@ -449,15 +449,21 @@ class GraftCatalogTable(storeKey: String, ident: Identifier,
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     if (mode == "delta") () => new org.apache.spark.sql.connector.write.SupportsDelta {
       // merge-on-read: the rewrite emits a positional op log (insert /
-      // update / delete keyed by _pos) instead of replacing the group
+      // update / delete keyed by _pos) instead of replacing the group.
+      // The operation pins the snapshot version ONCE at plan time: the
+      // rewrite scan reads exactly that snapshot, and the delta commit
+      // validates the table is still at it (optimistic concurrency) —
+      // positions are only meaningful against the scanned snapshot.
+      private val scannedVersion: Option[Int] =
+        GraftMemoryStore.latestVersion(storeKey)
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftCatalogScanBuilder(storeKey, declared,
-          acceptFilters = false)
+          pinnedVersion = scannedVersion, acceptFilters = false)
       override def newWriteBuilder(lwi: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
         new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
           override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-            new GraftDeltaWrite(storeKey, declared)
+            new GraftDeltaWrite(storeKey, declared, scannedVersion)
         }
       override def rowId(): Array[NamedReference] =
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -629,6 +635,7 @@ object PredicateEval {
           for {
             i <- fieldRef(p, 0, schema)
             lit <- literal(p, 1)
+            if comparable(schema.fields(i).dataType, lit)
           } yield (row: Seq[Any]) => {
             val v = row(i)
             if (v == null) false
@@ -661,12 +668,58 @@ object PredicateEval {
       case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value
     }
 
+  /** Compile-time gate: only (column type, literal class) pairs with a
+    * well-defined EXACT comparison are pushed; anything else returns
+    * None so Spark keeps the filter (scan path) or rejects the
+    * metadata-only DELETE (canDeleteWhere). A doubleValue() shortcut
+    * here would silently corrupt BIGINT comparisons above 2^53. */
+  private def comparable(dt: org.apache.spark.sql.types.DataType,
+                         lit: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => lit.isInstanceOf[Number]
+      case _: DecimalType => lit.isInstanceOf[Decimal]
+      case StringType =>
+        lit.isInstanceOf[UTF8String] || lit.isInstanceOf[String]
+      case BooleanType => lit.isInstanceOf[java.lang.Boolean]
+      case _ => false
+    }
+  }
+
+  private def isIntegral(n: Any): Boolean =
+    n.isInstanceOf[java.lang.Byte] || n.isInstanceOf[java.lang.Short] ||
+      n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Long]
+
+  /** Exact decimal view of a numeric: doubles/floats expand to their
+    * exact binary value, integrals to their exact long value. */
+  private def exact(n: Number): java.math.BigDecimal = n match {
+    case d: java.lang.Double => new java.math.BigDecimal(d.doubleValue())
+    case f: java.lang.Float  => new java.math.BigDecimal(f.doubleValue())
+    case other               => java.math.BigDecimal.valueOf(other.longValue())
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Number, y: Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    // integral × integral: exact Long arithmetic (never via double —
+    // 9007199254740993L == 2^53 + 1 would collapse onto its neighbor)
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    // mixed integral/fractional: exact BigDecimal comparison
+    case (x: Number, y: Number)
+        if x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float] ||
+           y.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Float] =>
+      if ((x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float]) &&
+          (y.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Float]))
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      else exact(x).compareTo(exact(y))
+    case (x: org.apache.spark.sql.types.Decimal,
+          y: org.apache.spark.sql.types.Decimal) =>
+      x.toJavaBigDecimal.compareTo(y.toJavaBigDecimal)
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case (x: UTF8String, y: String)     => x.toString.compareTo(y)
     case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
-    case (x, y) => x.toString.compareTo(y.toString)
+    case (x, y) => throw new IllegalStateException(
+      s"unpushable comparison reached eval: ${x.getClass} vs ${y.getClass}")
   }
 }

@@ -23,7 +23,17 @@ case class GraftDeltaInsert(row: Seq[Any]) extends GraftDeltaOp
 case class GraftDeltaCommit(ops: Vector[GraftDeltaOp])
     extends WriterCommitMessage
 
-class GraftDeltaWrite(storeKey: String, declared: StructType)
+/** Signals that the table advanced past the snapshot a row-level
+  * rewrite scanned — the positional op log would apply to the wrong
+  * rows, so the commit must fail and the operation be retried. */
+class GraftConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+/** @param scannedVersion the snapshot version the row-level scan was
+  *        pinned to (None = table had never been written). Positions
+  *        in the op log are row indices OF THAT SNAPSHOT. */
+class GraftDeltaWrite(storeKey: String, declared: StructType,
+                      scannedVersion: Option[Int])
     extends DeltaWrite {
 
   override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
@@ -35,7 +45,15 @@ class GraftDeltaWrite(storeKey: String, declared: StructType)
     /** Atomic application of every task's op log: deletes and updates
       * resolve against the SCANNED snapshot's positions, inserts
       * append; one install publishes the result (and the snapshot
-      * ledger gets a new version). */
+      * ledger gets a new version).
+      *
+      * Optimistic concurrency: positions are only meaningful against
+      * the exact snapshot the rewrite scan read, so the install is
+      * conditional on the table still being at `scannedVersion` —
+      * checked atomically under the store lock. A write that landed
+      * between scan and commit fails this commit (instead of silently
+      * shifting every position onto the wrong rows), exactly like an
+      * Iceberg base-snapshot validation. */
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ops = messages.iterator.flatMap {
         case GraftDeltaCommit(o) => o
@@ -45,12 +63,22 @@ class GraftDeltaWrite(storeKey: String, declared: StructType)
         case GraftDeltaUpdate(p, r) => p -> r
       }.toMap
       val inserts = ops.collect { case GraftDeltaInsert(r) => r }
-      val cur = GraftMemoryStore.rowsOf(storeKey)
-      val next = cur.zipWithIndex.flatMap { case (r, i) =>
+      val base = scannedVersion
+        .flatMap(GraftMemoryStore.rowsAt(storeKey, _))
+        .getOrElse(Vector.empty)
+      val next = base.zipWithIndex.flatMap { case (r, i) =>
         if (deletes.contains(i.toLong)) None
         else Some(updates.getOrElse(i.toLong, r))
       } ++ inserts
-      GraftMemoryStore.install(storeKey, declared, next, truncate = true)
+      val installed = GraftMemoryStore.installIfVersion(
+        storeKey, declared, next, truncate = true,
+        expected = scannedVersion)
+      if (!installed)
+        throw new GraftConcurrentWriteException(
+          s"table $storeKey advanced past scanned snapshot " +
+            s"${scannedVersion.getOrElse(-1)} (now at " +
+            s"${GraftMemoryStore.latestVersion(storeKey).getOrElse(-1)}); " +
+            "the positional delta cannot be applied safely - retry the operation")
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()

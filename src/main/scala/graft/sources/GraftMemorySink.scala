@@ -85,6 +85,20 @@ object GraftMemoryStore {
       }
     }
 
+  /** Optimistic-concurrency install: atomically verifies the table is
+    * still at `expected` (the version a row-level-operation scan read)
+    * before installing, under the same lock `install` takes — the
+    * check-and-commit an Iceberg snapshot commit does against its base
+    * snapshot id. Returns false (no install) on a version conflict. */
+  private[sources] def installIfVersion(name: String, schema: StructType,
+                                        rows: Vector[Seq[Any]],
+                                        truncate: Boolean,
+                                        expected: Option[Int]): Boolean =
+    tables.synchronized {
+      if (latestVersion(name) != expected) false
+      else { install(name, schema, rows, truncate); true }
+    }
+
   // ------------------------------------------------------- time travel
   /** Every committed install is a SNAPSHOT (version = commit ordinal,
     * 0-based) carrying the schema it was written under — so VERSION AS

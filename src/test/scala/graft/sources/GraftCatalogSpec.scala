@@ -64,6 +64,27 @@ class GraftCatalogSpec extends GraftTestBase with BeforeAndAfterAll {
       .map(_.getInt(0)).toSeq == Seq(3, 6))
   }
 
+  test("pushed BIGINT comparisons are exact above 2^53") {
+    spark.sql("DROP TABLE IF EXISTS gcat.db.big")
+    spark.sql("CREATE TABLE gcat.db.big (k BIGINT, v STRING)")
+    // 2^53, 2^53+1, 2^53+2 all collapse to the same double
+    spark.sql(
+      """INSERT INTO gcat.db.big VALUES
+         (9007199254740992, 'a'), (9007199254740993, 'b'),
+         (9007199254740994, 'c')""")
+    val eq = spark.sql(
+      "SELECT v FROM gcat.db.big WHERE k = 9007199254740993")
+      .collect().map(_.getString(0))
+    assert(eq.toSeq == Seq("b"), s"double-rounded pushdown would match all three: $eq")
+    val lt = spark.sql(
+      "SELECT v FROM gcat.db.big WHERE k < 9007199254740994 ORDER BY v")
+      .collect().map(_.getString(0))
+    assert(lt.toSeq == Seq("a", "b"))
+    spark.sql("DELETE FROM gcat.db.big WHERE k = 9007199254740992")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.big").head.getLong(0) == 2,
+      "exact DELETE must remove exactly one of the 2^53-neighborhood rows")
+  }
+
   test("TRUNCATE TABLE empties but keeps the table") {
     spark.sql("DROP TABLE IF EXISTS gcat.db.tr")
     spark.sql("CREATE TABLE gcat.db.tr (k INT)")

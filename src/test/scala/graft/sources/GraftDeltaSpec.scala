@@ -63,4 +63,31 @@ class GraftDeltaSpec extends GraftTestBase {
       .collect()
     assert(hist.length == 3) // create, insert, update
   }
+
+  test("delta commit fails when the table advanced past the scanned snapshot") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gdel.db.cc")
+    spark.sql(
+      "CREATE TABLE gdel.db.cc (k INT, v STRING) TBLPROPERTIES ('write.mode'='delta')")
+    spark.sql("INSERT INTO gdel.db.cc VALUES (1,'a'), (2,'b')")
+    val key = "cat:gdel:db.cc"
+    val schema = GraftMemoryStore.schemaOf(key).get
+    val scanned = GraftMemoryStore.latestVersion(key)
+    // a rewrite pinned to `scanned` produced this op log (delete _pos 0)
+    val write = new GraftDeltaWrite(key, schema, scanned)
+    val batch = write.toBatch()
+    // ...but a concurrent writer lands BETWEEN the scan and the commit,
+    // shifting every position in the snapshot
+    spark.sql("INSERT INTO gdel.db.cc VALUES (0,'z')")
+    val ex = intercept[GraftConcurrentWriteException] {
+      batch.commit(Array(GraftDeltaCommit(Vector(GraftDeltaDelete(0L)))))
+    }
+    assert(ex.getMessage.contains("advanced past scanned snapshot"))
+    // the conflicting commit must not have touched the table
+    assert(spark.sql("SELECT count(*) FROM gdel.db.cc").head.getLong(0) == 3)
+    // with the table quiescent again, the same op log re-planned against
+    // the CURRENT snapshot applies cleanly
+    spark.sql("DELETE FROM gdel.db.cc WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM gdel.db.cc").head.getLong(0) == 2)
+  }
 }
