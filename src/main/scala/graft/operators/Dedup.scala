@@ -58,6 +58,15 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** md5-derived base hash: int64 of the first 8 md5 hex chars. The
+    * oracle-checkable twin of xxhash64 — md5 is identical in DuckDB
+    * (`('0x' || substr(md5(s), 1, 8))::BIGINT`), so pipelines built on
+    * this family hash-match a SQL oracle end-to-end. Slower than
+    * xxhash64 (full 128-bit digest per value); the scale default stays
+    * xxhash64, whose math these twins verify. */
+  def mdBaseHash(c: Column): Column =
+    conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
+
   /** Same signatures with ZERO shuffle: the native MinHashSignature
     * expression folds all k minima in one fused pass over each doc's
     * shingle ARRAY. The exploded+groupBy form moves |shingles| rows
@@ -72,19 +81,41 @@ object Dedup {
       graft.functions.expressions.MinHashSignature
         .minhashSignature(col(shinglesCol), k).as("sig"))
 
+  /** Signatures from an arbitrary base-hash family via the composed
+    * array_min∘transform form (still narrow/per-row — no shuffle, just
+    * k intermediate arrays instead of the fused expression). Used by
+    * the md5-family oracle twin; the affine permutation coefficients
+    * are the production ones, so only the base hash differs. */
+  def minhashSignaturesComposed(docs: DataFrame, idCol: String,
+                                shinglesCol: String, k: Int,
+                                baseHash: Column => Column): DataFrame = {
+    val hx = transform(col(shinglesCol), sh => pmod(baseHash(sh), lit(P)))
+    val sig = array((0 until k).map { i =>
+      val (a, b) = coef(i)
+      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(P))))
+    }: _*)
+    docs.select(col(idCol), sig.as("sig"))
+  }
+
   /** LSH candidate pairs: docs sharing any band (r consecutive signature
     * slots) are candidates; est_jaccard = fraction of agreeing slots.
     * Only `threshold`-passing pairs survive. */
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        hashBandKeys: Boolean = true): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
+    // band key: xxhash64 of the slice (narrow fixed-width shuffle key —
+    // the scale default) or the raw slice string (collision-free, so an
+    // SQL oracle reproduces the exact candidate set)
+    def key(bnd: Column): Column = {
+      val s = concat_ws(",",
+        slice(col("sig"), bnd * lit(r) + lit(1), lit(r)).cast("array<string>"))
+      if (hashBandKeys) xxhash64(s, bnd) else s
+    }
     val bandRows = sigs.select(
       col(idCol), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",",
-          slice(col("sig"), bnd * lit(r) + lit(1), lit(r)).cast("array<string>")), bnd))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), key(_))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     val a = bandRows.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
@@ -113,6 +144,22 @@ object Dedup {
     minhashCandidates(sigs, idCol, k, bands, threshold)
   }
 
+  /** Oracle-checkable MinHash+LSH pipeline: same shape as
+    * [[minhashDedup]] — shingle → signature → banded candidates →
+    * est-Jaccard filter — but the base hash is the md5 family and band
+    * keys are raw slice strings, so a DuckDB oracle reproduces the
+    * candidate set exactly. k=16 keeps the generated oracle SQL sane. */
+  def minhashDedupMd5(docs: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.2): DataFrame = {
+    val withShingles = docs
+      .filter(length(col(textCol)) >= shingleLen)
+      .select(col(idCol),
+              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
+    val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
+    minhashCandidates(sigs, idCol, k, bands, threshold, hashBandKeys = false)
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per doc from whitespace tokens: bit b is the sign of
@@ -139,17 +186,27 @@ object Dedup {
     * chunks would guarantee more but collapse the bucketing (2^w buckets
     * per w-bit chunk) into near-all-pairs joins at scale. */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
+                   maxHamming: Int = 3): DataFrame =
+    simhashChunkCandidates(simhashSignatures(docs, idCol, textCol),
+                           idCol, "simhash", chunkBits = 16, nChunks = 4,
+                           maxHamming = maxHamming)
+
+  /** Shared chunk-candidate stage: signatures sharing any `chunkBits`-bit
+    * chunk become candidates, verified with popcount(xor). Used by both
+    * the 64-bit production path and the 16-bit md5 oracle twin. */
+  def simhashChunkCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                             chunkBits: Int, nChunks: Int,
+                             maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunked = sigs.select(
-      col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(cix =>
-        shiftrightunsigned(col("simhash"), cix * 16).bitwiseAND(0xFFFFL)): _*)))
+      col(idCol), col(sigCol).as("__sig"),
+      posexplode(array((0 until nChunks).map(cix =>
+        shiftrightunsigned(col(sigCol), cix * chunkBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_key")
-    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+    val a = chunked.select(col(idCol).as("id_a"), col("__sig").as("sim_a"),
                            col("chunk_idx"), col("chunk_key"))
-    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+    val b = chunked.select(col(idCol).as("id_b"), col("__sig").as("sim_b"),
                            col("chunk_idx"), col("chunk_key"))
     a.join(b, Seq("chunk_idx", "chunk_key"))
       .filter(col("id_a") < col("id_b"))
@@ -157,5 +214,31 @@ object Dedup {
               bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-checkable SimHash pipeline: same shape as [[simhashDedup]]
+    * — per-token hash → bit votes → packed signature → chunk candidates
+    * → hamming filter — on a 32-bit md5-family signature (4 chunks of
+    * 8 bits, so each chunk still buckets into 256 keys and the
+    * candidate join stays far from all-pairs), so a DuckDB oracle
+    * reproduces it end-to-end. The vote aggregation shuffles exploded
+    * token rows; the production path stays the fused narrow SimHash64
+    * expression. */
+  def simhashDedupMd5(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 32, maxHamming: Int = 6): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), mdBaseHash(col("tok")).as("h"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until bits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val sigs = tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+    simhashChunkCandidates(sigs, idCol, "simhash", chunkBits = bits / 4,
+                           nChunks = 4, maxHamming = maxHamming)
   }
 }

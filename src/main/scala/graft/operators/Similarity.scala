@@ -53,8 +53,11 @@ object Similarity {
 
   /** Deterministic hyperplane component for (bit, dim) in [-1, 1).
     * Plain Scala (not an Expression): hyperplanes are data-independent,
-    * so they're computed once on the driver and shipped as literals. */
-  private def hyperplane(bit: Int, dim: Int): Array[Double] = {
+    * so they're computed once on the driver and shipped as literals —
+    * which also makes them bakeable into an SQL oracle (q30's DuckDB
+    * twin inlines these exact doubles; shortest-repr round-trip keeps
+    * them bit-identical across engines). */
+  def hyperplane(bit: Int, dim: Int): Array[Double] = {
     (0 until dim).map { d =>
       val h = scala.util.hashing.MurmurHash3.productHash((bit, d))
       (h.toDouble / Int.MaxValue)

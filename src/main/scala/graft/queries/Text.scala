@@ -11,10 +11,11 @@ import graft.operators.Dedup
   * operator family (token counting, quality scoring, language-ID,
   * n-gram Jaccard, fingerprinting, MinHash/SimHash near-dup).
   *
-  * MinHash and SimHash have no SQL oracle (their hash families aren't
-  * expressible in DuckDB) — the driver records rows-only checks and
-  * TextSpec pins their semantics against exact Jaccard / hamming on
-  * planted near-duplicates.
+  * MinHash (q26) and SimHash (q27) run the production pipeline code
+  * with the md5 base-hash family (identical in DuckDB), so the driver
+  * verifies the full sketch pipelines end-to-end; the xxhash64 scale
+  * defaults of the same code paths are pinned by DedupSpec/TextSpec
+  * against exact Jaccard / hamming on planted near-duplicates.
   */
 object Text extends QueryPack {
 
@@ -190,24 +191,99 @@ object Text extends QueryPack {
        FROM documents ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- q26
-  /** MinHash+LSH near-dup candidates (char-5-gram shingles, k=64,
-    * 16 bands × 4 rows, est-Jaccard >= 0.2). No SQL oracle — rows-only
-    * check here; semantics pinned in TextSpec. */
+  /** MinHash+LSH near-dup candidates through the FULL production
+    * pipeline (shingle → signature → banded LSH candidates → est-
+    * Jaccard filter), run with the md5 base-hash family and raw-string
+    * band keys so the DuckDB oracle reproduces the candidate set
+    * exactly. The xxhash64 scale path (same code, fused signature
+    * expression, hashed band keys) is pinned by DedupSpec/TextSpec. */
   private def q26(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(
+    Dedup.minhashDedupMd5(
         docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
       .withColumn("est_jaccard", round(col("est_jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  private val q26Sql = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val agree = (1 to 16)
+      .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH d AS (
+         SELECT doc_id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+               i -> substring(text, i, 5))),
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 5),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM d),
+       bands AS (
+         SELECT doc_id, sig, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+       est AS (
+         SELECT id_a, id_b, ($agree) / 16.0 AS e
+         FROM pairs)
+       SELECT id_a, id_b, round(e, 6) AS est_jaccard
+       FROM est WHERE e >= 0.2 ORDER BY id_a, id_b"""
+  }
+
   // ---------------------------------------------------------------- q27
-  /** SimHash near-dup pairs (64-bit, 4×16-bit chunk candidates,
-    * hamming <= 12 — calibrated so unrelated same-vocab docs stay
-    * apart while shared-prefix docs pair up). Rows-only check. */
+  /** SimHash near-dup pairs through the FULL production pipeline
+    * (per-token hash → bit votes → packed signature → chunk candidates
+    * → hamming filter), on the 32-bit md5-family signature (4×8-bit
+    * chunks — 256 buckets per chunk keeps the candidate join far from
+    * all-pairs; hamming <= 6, the production 12/64 ratio) so the
+    * DuckDB oracle reproduces it end-to-end. The 64-bit xxhash64 scale
+    * path (fused SimHash64 expression) is pinned by DedupSpec. */
   private def q27(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDedup(
-        docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
-        maxHamming = 12)
+    Dedup.simhashDedupMd5(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
+
+  private val q27Sql = {
+    val votes = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val packed = (0 until 32)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         FROM documents WHERE doc_id % 5 = 0),
+       h AS (
+         SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
+         FROM tok),
+       v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       s AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM v),
+       chunks AS (
+         SELECT doc_id, simhash, t.i AS chunk_idx,
+           (simhash >> (8 * t.i)) & 255 AS chunk_key
+         FROM s, unnest(generate_series(0, 3)) AS t(i)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+         FROM chunks a JOIN chunks b
+           ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
+              AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+       ORDER BY id_a, id_b"""
+  }
 
   override val queries: Map[String, QueryFn] = Map(
     "q21_token_stats"    -> q21 _,
@@ -223,5 +299,7 @@ object Text extends QueryPack {
     "q22_text_quality"   -> q22Sql,
     "q23_lang_id"        -> q23Sql,
     "q24_ngram_jaccard"  -> q24Sql,
-    "q25_fingerprint"    -> q25Sql)
+    "q25_fingerprint"    -> q25Sql,
+    "q26_minhash_lsh"    -> q26Sql,
+    "q27_simhash"        -> q27Sql)
 }

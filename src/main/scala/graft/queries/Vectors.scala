@@ -12,8 +12,10 @@ import graft.operators.Similarity
   *
   * The DuckDB twins compute the same sequential double folds over the
   * float lists (list_transform to DOUBLE first), so cosine values agree
-  * bit-for-bit after rounding. q30 (SRP) has no oracle — its hyperplanes
-  * aren't expressible in SQL; SimilaritySpec pins recall against q29.
+  * bit-for-bit after rounding. q30 (SRP) bakes its driver-computed
+  * hyperplane literals straight into the oracle SQL, so even the LSH
+  * bucketing is verified; SimilaritySpec additionally pins recall
+  * against the exact q29 baseline.
   */
 object Vectors extends QueryPack {
 
@@ -76,8 +78,10 @@ object Vectors extends QueryPack {
 
   // ---------------------------------------------------------------- q30
   /** Approximate ANN — SRP-LSH bucketed candidates, exact re-rank.
-    * Rows-only check (hyperplanes not SQL-expressible); recall vs q29
-    * pinned in SimilaritySpec. */
+    * The hyperplanes are driver-computed double literals, so the oracle
+    * bakes the SAME doubles into the SQL: signature bits, band buckets,
+    * candidate set, and re-rank all reproduce exactly. Recall vs q29
+    * additionally pinned in SimilaritySpec. */
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -85,6 +89,50 @@ object Vectors extends QueryPack {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
               round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q30Sql = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    // the exact hyperplane doubles the Spark plan inlines as literals;
+    // an exponent suffix forces DuckDB to parse them as DOUBLE directly
+    // (bare decimals parse as DECIMAL, whose double conversion is not
+    // guaranteed correctly rounded at 17 significant digits)
+    def hpList(b: Int): String =
+      Similarity.hyperplane(b, Dim)
+        .map { d =>
+          val s = d.toString
+          if (s.contains("E") || s.contains("e")) s else s + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (
+         SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM bands q JOIN bands c
+           ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           ${dotSql("eq.embedding", "ec.embedding")} /
+             (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = query_id
+         JOIN embeddings ec ON ec.vec_id = neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
   // ---------------------------------------------------------------- q31
@@ -116,5 +164,6 @@ object Vectors extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q28_embedding_stats" -> q28Sql,
     "q29_cosine_topk"     -> q29Sql,
+    "q30_srp_ann"         -> q30Sql,
     "q31_embedding_dedup" -> q31Sql)
 }

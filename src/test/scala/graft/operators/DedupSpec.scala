@@ -91,6 +91,23 @@ class DedupSpec extends GraftTestBase {
     assert(local.toSeq == exploded.toSeq)
   }
 
+  test("md5-family minhash pipeline (q26 oracle twin) mirrors the xxhash semantics") {
+    val pairs = Dedup.minhashDedupMd5(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("md5-family simhash pipeline (q27 oracle twin) mirrors the xxhash semantics") {
+    val pairs = Dedup.simhashDedupMd5(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // identical docs: hamming 0, guaranteed candidates by pigeonhole
+    assert(pairs.get((0L, 1L)).contains(0))
+    // unrelated doc stays out at hamming <= 6 of 32
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("signatures are stable across repartitioning (deterministic hashing)") {
     val a = Dedup.minhashSignatures(
       corpus.select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),

@@ -25,14 +25,13 @@ class SuiteIntegritySpec extends GraftTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the documented spec-pinned queries lack oracles") {
-    // xxhash-family sketch paths + SRP-ANN: DuckDB has no xxhash64 /
-    // SRP twin; their math is oracled through the md5-family twins
-    // (q43/q44) and each is pinned by its own spec.
-    val specPinned = Set("q26_minhash_lsh", "q27_simhash", "q30_srp_ann")
+  test("every registered query carries an oracle") {
+    // round 5: the last spec-pinned trio gained true oracles — q26/q27
+    // run the production sketch pipelines with the md5 base-hash family
+    // (identical in DuckDB), q30 bakes its hyperplane literals into the
+    // SQL. The xxhash64 scale defaults stay pinned by DedupSpec/TextSpec.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == specPinned,
-      s"unexpected oracle-less queries: ${unoracled -- specPinned}")
+    assert(unoracled.isEmpty, s"oracle-less queries: $unoracled")
   }
 
   test("the q172/q173/q176 numbering gaps stay intentional (no others below the max)") {
