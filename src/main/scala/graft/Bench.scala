@@ -83,7 +83,8 @@ object Bench {
   private val headline: Set[String] = Set(
     "q01_pricing_summary", "q03_join_revenue", "q08_except_all",
     "q13_window_topk", "q16_fk_integrity", "q21_token_stats",
-    "q24_ngram_jaccard", "q26_minhash_lsh", "q29_cosine_topk",
+    "q24_ngram_jaccard", "q26_minhash_lsh", "q343_minhash_scale",
+    "q29_cosine_topk",
     "q31_embedding_dedup", "q33_sessionize", "q38_sql_surface",
     "q39_approx_distinct", "q40_range_join", "q47_percentiles",
     "q58_tfidf", "q60_ivf_ann", "q61_stream_stream_join",

@@ -19,12 +19,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     Tables.dfCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy nanosAsLong) and
-    * convert with integer division — `ts div 1000` keeps full precision
-    * where a double division of ~1.7e18 ns would lose the low bits
-    * (double mantissa is 53 bits, ulp ≈ 256 ns there). */
+  /** The driver has shipped `events.ts` under several physical parquet
+    * encodings across rounds (TIMESTAMP(NANOS) read as raw longs via
+    * legacy nanosAsLong; TIMESTAMP_MICROS isAdjustedToUTC=0, which Spark
+    * scans as TIMESTAMP_NTZ). Branch on the scanned type instead of
+    * assuming one, so a testdata regeneration can't silently break every
+    * events consumer. */
   private def eventsRaw: DataFrame = {
+    // Harmless for micros data; required if the nanos encoding returns
+    // (without it the footer read itself throws).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
   }
@@ -36,10 +39,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events: DataFrame     = Tables.normalizeTs(eventsRaw)
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
@@ -64,6 +64,28 @@ object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Normalize an events-shaped frame's `ts` to the session TimestampType
+    * regardless of how the parquet encoded it:
+    *   - LongType: legacy TIMESTAMP(NANOS) read as raw nanos — integer
+    *     `div 1000` keeps full precision where a double division of
+    *     ~1.7e18 ns would lose the low bits (53-bit mantissa, ulp ≈ 256 ns).
+    *   - TimestampNTZType: TIMESTAMP_MICROS isAdjustedToUTC=0 — the cast
+    *     is value-preserving under the engine's UTC session zone
+    *     (GraftSession), and lands on the same micros DuckDB reads.
+    *   - TimestampType: already there. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as unsupported type $other — testdata layout changed again; " +
+        "extend Tables.normalizeTs for the new encoding")
+    }
+  }
 
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

@@ -75,6 +75,56 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Same fused one-pass k-minima fold, but over PRE-COMPUTED base hashes
+  * (array<long>) instead of hashing strings internally — the fast body
+  * for alternative base-hash families (the md5 oracle twin computes its
+  * hashes with built-in md5/conv, then folds here). Math is identical to
+  * the composed `array_min(transform(...))×k` form it replaces: each
+  * input is reduced mod P, then k affine permutations' minima are folded
+  * in one loop with zero intermediate arrays. */
+case class MinHashFromHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_from_hashes"
+
+  private val P = MinHashSignature.P
+  @transient private lazy val coefA: Array[Long] =
+    (0 until k).map(i => MinHashSignature.coef(i)._1).toArray
+  @transient private lazy val coefB: Array[Long] =
+    (0 until k).map(i => MinHashSignature.coef(i)._2).toArray
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val mins = Array.fill[Long](k)(P)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val x = ((hashes.getLong(j) % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val h = (coefA(i) * x + coefB(i)) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(in: Any): Any =
+    compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashFH", this, classOf[MinHashFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 object MinHashSignature {
   val P = 2147483647L // Mersenne prime 2^31-1 (see Dedup scaladoc)
 
@@ -88,4 +138,7 @@ object MinHashSignature {
 
   def minhashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), k))
 }

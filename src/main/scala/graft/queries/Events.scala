@@ -10,10 +10,12 @@ import graft.streaming.EventsStream
 /** Event-stream coverage: tumbling windows, gap sessionization, as-of
   * join, and the Structured-Streaming twin of the window aggregate.
   *
-  * DuckDB sees the raw nanosecond timestamps while the engine works in
-  * micros (Tables.events conversion) — every oracle therefore casts ts
-  * through TIMESTAMP (micros) before arithmetic, keeping both sides on
-  * identical values.
+  * The testdata stores `ts` as parquet TIMESTAMP_MICROS: DuckDB scans it
+  * as a native TIMESTAMP while the engine normalizes to the UTC-session
+  * TimestampType (Tables.normalizeTs) — same micros on both sides. The
+  * oracles' `CAST(ts AS TIMESTAMP)` is a no-op kept for robustness
+  * against the encoding shifting again (it also parses under the old
+  * raw-nanos layout).
   */
 object Events extends QueryPack {
 

@@ -285,6 +285,25 @@ object Text extends QueryPack {
        ORDER BY id_a, id_b"""
   }
 
+  // --------------------------------------------------------- q343/q344
+  /** The PRODUCTION xxhash64 sketch pipelines, driver-benched on the
+    * FULL documents table (no sample): fused MinHashSignature /
+    * SimHash64 expressions, hashed band keys — the 100 TB shape. DuckDB
+    * has no Spark-compatible xxhash64, so these carry no SQL oracle
+    * (driver records a rows-only check); their math is pinned three
+    * ways: DedupSpec equivalences, the md5-family twins (q26/q27, true
+    * oracles), and q43/q44's signature-level oracles. Registering them
+    * keeps the benched numbers on the scale path — r5 benched only the
+    * md5 twin, 6× the cost of this path. */
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(docs(s, dir), "doc_id", "text")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q344(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   override val queries: Map[String, QueryFn] = Map(
     "q21_token_stats"    -> q21 _,
     "q22_text_quality"   -> q22 _,
@@ -292,7 +311,9 @@ object Text extends QueryPack {
     "q24_ngram_jaccard"  -> q24 _,
     "q25_fingerprint"    -> q25 _,
     "q26_minhash_lsh"    -> q26 _,
-    "q27_simhash"        -> q27 _)
+    "q27_simhash"        -> q27 _,
+    "q343_minhash_scale" -> q343 _,
+    "q344_simhash_scale" -> q344 _)
 
   override val oracles: Map[String, String] = Map(
     "q21_token_stats"    -> q21Sql,

@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Explicit schema for the streaming source (file streams can't infer):
-    * `ts` arrives as raw nanos (legacy nanosAsLong) and is converted with
-    * integer division, mirroring Tables.events. */
+  /** Schema of the current driver testdata's events.parquet (`ts` is
+    * TIMESTAMP_MICROS isAdjustedToUTC=0 → TIMESTAMP_NTZ). Tests use this
+    * to batch-read and re-stage event files; the streaming reader itself
+    * probes the actual footer (`readEvents`), so a testdata regeneration
+    * only ever invalidates this val, never the engine path. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -27,15 +29,21 @@ object EventsStream {
 
   def readEvents(spark: SparkSession, dir: String,
                  glob: String = "events.parquet"): DataFrame = {
+    // Harmless for micros data; required if the legacy nanos encoding
+    // returns (the footer read itself would throw without it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File streams can't infer a schema — probe the batch footer of the
+    // same files so the stream always matches what's actually on disk,
+    // then normalize `ts` exactly like the batch path (Tables.events).
+    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // File-stream sources need a directory basePath; the testdata dir
     // holds one file per table, so glob-filter down to events.parquet
     // (tests staging their own multi-file dirs widen the glob).
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(onDisk)
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
   }
 
   /** Tumbling-window counts/sums per event type (batch-q32 twin).

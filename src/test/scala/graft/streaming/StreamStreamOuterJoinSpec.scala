@@ -19,14 +19,12 @@ import graft.GraftTestBase
 class StreamStreamOuterJoinSpec extends GraftTestBase {
 
   test("left outer interval join: matched parity + watermark-gated null padding") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def sides(streaming: Boolean) = {
       val base =
         if (streaming) EventsStream.readEvents(spark, sf001)
-        else spark.read.schema(EventsStream.rawSchema)
-          .parquet(s"$sf001/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else graft.Tables.normalizeTs(
+          spark.read.schema(EventsStream.rawSchema)
+            .parquet(s"$sf001/events.parquet"))
       val purchases = base.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts").as("p_ts"))
@@ -70,9 +68,9 @@ class StreamStreamOuterJoinSpec extends GraftTestBase {
     // time - delay), and left-state eviction further accounts for the
     // join's 5-minute interval bound — use a conservative margin
     // rather than re-deriving the exact threshold
-    val maxBySide = spark.read.schema(EventsStream.rawSchema)
-      .parquet(s"$sf001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val maxBySide = graft.Tables.normalizeTs(
+        spark.read.schema(EventsStream.rawSchema)
+          .parquet(s"$sf001/events.parquet"))
       .filter(col("event_type").isin("purchase", "click"))
       .groupBy("event_type").agg(max(col("ts")).as("mx"))
       .collect().map(_.getTimestamp(1).getTime)

@@ -40,13 +40,13 @@ class StreamingSpec extends GraftTestBase {
     // outer-null emission waits for the watermark, which on a finite
     // drain only advances to max-seen − delay; the sentinels push it
     // past every real purchase.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(EventsStream.rawSchema)
       .parquet(s"$sf001/events.parquet")
     val dir = Files.createTempDirectory("ssoj_in").toFile.getAbsolutePath
-    import spark.implicits._
-    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
-    val far = maxNanos + 10L * 86400 * 1000 * 1000 * 1000 // +10 days, nanos
+    // `ts` scans as TIMESTAMP_NTZ (external type LocalDateTime)
+    val maxTs = raw.agg(max(col("ts"))).head
+      .getAs[java.time.LocalDateTime](0)
+    val far = maxTs.plusDays(10)
     // flat files in the stream dir (nested write dirs are not listed)
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = s"$dir/_stage_$name"
@@ -57,10 +57,12 @@ class StreamingSpec extends GraftTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     stage("base", raw)
+    import spark.implicits._
     stage("sentinel",
-      Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
-          (-2L, far, -2L, "click", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      Seq((-1L, "purchase"), (-2L, "click")).toDF("event_id", "event_type")
+        .select(col("event_id"), lit(far).as("ts"),
+                col("event_id").as("user_id"), col("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props")))
 
     val stream = EventsStream
       .streamStreamLeftJoinToMemory(spark, dir, "spec_ssoj", glob = "*.parquet")
