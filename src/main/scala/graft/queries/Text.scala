@@ -295,8 +295,16 @@ object Text extends QueryPack {
     * oracles), and q43/q44's signature-level oracles. Registering them
     * keeps the benched numbers on the scale path — r5 benched only the
     * md5 twin, 6× the cost of this path. */
+  /** LSH parameters are tuned to the DEDUP target, not the q26 demo
+    * shape: near-dup removal wants τ ≈ 0.8, and with r = 4 any pair at
+    * J ≈ 0.5 expects a band collision (16 · 0.5⁴ ≈ 1) — on this highly
+    * self-similar corpus that made candidates ~3.5% of ALL pairs (435k
+    * at sf0.1, 12 s). r = 8 drops P(collide | J = 0.5) to 8 · 0.004 ≈
+    * 3%, so candidate volume tracks true near-dups — the parameter
+    * choice IS the scale design. */
   private def q343(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(docs(s, dir), "doc_id", "text")
+    Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.8)
       .withColumn("est_jaccard", round(col("est_jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
 

@@ -129,4 +129,29 @@ class ExpressionsSpec extends GraftTestBase {
     assert(got(0).getDouble(1) == (10.0 * 1 + 20.0 * 3) / 4)
     assert(got(1).getDouble(1) == 5.0)
   }
+
+  test("minhash_from_hashes equals the array_min∘transform composition bit-for-bit") {
+    import graft.functions.expressions.MinHashSignature
+    val P = MinHashSignature.P
+    val k = 16
+    // real doc shingles hashed with the md5 family — the exact q26 input
+    val hx = transform(
+      TextFunctions.charShingles($"text", 5),
+      sh => graft.operators.Dedup.mdBaseHash(sh))
+    val composed = array((0 until k).map { i =>
+      val (a, b) = MinHashSignature.coef(i)
+      array_min(transform(hx, x => pmod(lit(a) * pmod(x, lit(P)) + lit(b), lit(P))))
+    }: _*)
+    val bad = graft.Tables(spark, sf001)("documents")
+      .filter(length($"text") >= 5).limit(200)
+      .select(MinHashSignature.minhashFromHashes(hx, k).as("native"),
+              composed.as("slow"))
+      .filter(to_json($"native") =!= to_json($"slow"))
+    assert(bad.count() == 0)
+    // empty array → sentinel P in every slot (never spuriously matches)
+    val empty = spark.sql("SELECT array()::array<long> a")
+      .select(MinHashSignature.minhashFromHashes($"a", 4).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(empty == Seq.fill(4)(P))
+  }
 }
