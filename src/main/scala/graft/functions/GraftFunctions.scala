@@ -40,6 +40,14 @@ object GraftFunctions {
     // map-side-combinable like any built-in agg
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(WeightedAvg))
+    // native DeclarativeAggregate twin (whole-stage codegen; the
+    // analyzer wraps a bare AggregateFunction in AggregateExpression)
+    registry.createOrReplaceTempFunction(
+      "weighted_avg_native",
+      exprs => graft.functions.expressions.WeightedAverage(
+        Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
+        Cast(exprs(1), org.apache.spark.sql.types.DoubleType)),
+      "scala_udf")
   }
 
   /** Static-int argument (k): must be a foldable, NON-NULL int literal

@@ -100,16 +100,21 @@ object Extras extends QueryPack {
        ORDER BY s.user_id, signup_id"""
 
   // ---------------------------------------------------------------- q41
-  /** Typed Aggregator (UDAF surface): weighted average of price by
-    * quantity. The buffer is two partial sums — associative merge, so
-    * it partial-aggregates like a built-in; the oracle is the algebraic
-    * twin sum(p*q)/sum(q). */
+  /** Custom aggregate surface, BOTH generations in one oracled query:
+    * the typed Aggregator via udaf (encoder-bound ScalaAggregator) and
+    * the native WeightedAverage DeclarativeAggregate (two DoubleType
+    * buffer slots, update/merge as Catalyst expressions — stays inside
+    * whole-stage codegen like the built-in avg). Same algebra, one
+    * oracle: sum(p*q)/sum(q), emitted under both column names. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.WeightedAverage.weightedAvgNative
     val wavg = udaf(graft.functions.WeightedAvg)
     Tables(s, dir)("lineitem")
       .groupBy(col("l_returnflag"))
       .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6)
              .as("wavg_price"),
+           round(weightedAvgNative(col("l_extendedprice"), col("l_quantity")), 6)
+             .as("wavg_native"),
            count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -117,6 +122,7 @@ object Extras extends QueryPack {
   private val q41Sql =
     """SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_native,
        count(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 

@@ -130,6 +130,39 @@ class ExpressionsSpec extends GraftTestBase {
     assert(got(1).getDouble(1) == 5.0)
   }
 
+  test("native weighted_avg DeclarativeAggregate mirrors the udaf twin incl. null/empty semantics") {
+    import graft.functions.expressions.WeightedAverage.weightedAvgNative
+    GraftFunctions.register(spark)
+    // SQL reachability + exact value
+    val sql = spark.sql("""
+      SELECT k, weighted_avg_native(v, w) AS wa
+      FROM VALUES (1, 10.0d, 1.0d), (1, 20.0d, 3.0d), (2, 5.0d, 2.0d)
+        AS t(k, v, w)
+      GROUP BY k ORDER BY k
+    """).collect()
+    assert(sql(0).getDouble(1) == (10.0 * 1 + 20.0 * 3) / 4)
+    assert(sql(1).getDouble(1) == 5.0)
+    // null rows are skipped; an all-null group yields 0.0 like the
+    // Aggregator's zero-division guard (NOT null)
+    val nulls = spark.sql("""
+      SELECT k, weighted_avg_native(v, w) AS wa
+      FROM VALUES (1, 10.0d, 2.0d), (1, CAST(NULL AS DOUBLE), 5.0d),
+                  (2, CAST(NULL AS DOUBLE), 1.0d)
+        AS t(k, v, w)
+      GROUP BY k ORDER BY k
+    """).collect()
+    assert(nulls(0).getDouble(1) == 10.0 && !nulls(1).isNullAt(1)
+           && nulls(1).getDouble(1) == 0.0)
+    // Column API equals the udaf twin on real data, group by group
+    val wavg = org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg)
+    val both = graft.Tables(spark, sf001)("lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(wavg($"l_extendedprice", $"l_quantity"), 6).as("u"),
+           round(weightedAvgNative($"l_extendedprice", $"l_quantity"), 6).as("n"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getDouble(1) == r.getDouble(2)))
+  }
+
   test("minhash_from_hashes equals the array_min∘transform composition bit-for-bit") {
     import graft.functions.expressions.MinHashSignature
     val P = MinHashSignature.P
