@@ -32,8 +32,16 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   /** Communities after `iters` synchronous rounds. Returns
-    * (node, label). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+    * (node, label).
+    *
+    * `checkpointEvery` > 0 localCheckpoints the label vector on that
+    * cadence, so a deep loop's unrolled plan — and any recompute of
+    * it — stays bounded regardless of iteration count (the
+    * PageRank.checkpointEvery argument). Values are unchanged either
+    * way; the oracled q291 runs the pure unrolled form (0) that its
+    * CTE-chain oracle mirrors, and LabelPropagationSpec pins the two
+    * forms equal. */
+  def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 0): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src") =!= col("dst"))
     // materialize the static symmetrized edge table ONCE (localCheckpoint
@@ -47,7 +55,7 @@ object LabelPropagation {
     val nodes = sym.select(col("src").as("node")).distinct()
 
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // the (node, label) vector is the small moving side — broadcast
       // it against the static edge table so iterations never reshuffle
       // the edges (at 100 TB ranks stay MBs while edges are the bulk)
@@ -65,6 +73,8 @@ object LabelPropagation {
       labels = labels.select(col("node"), col("label").as("prev"))
         .join(next.withColumnRenamed("label", "nxt"), Seq("node"), "left")
         .select(col("node"), coalesce(col("nxt"), col("prev")).as("label"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        labels = labels.localCheckpoint()
     }
     labels
   }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Classic lag + running-sum window pair — one shuffle on the key, both
   * windows share the same sort. Timestamps compare in epoch
-  * MICROseconds (the engine's native resolution after the nanos
-  * conversion in Tables.events) so the DuckDB twin can mirror exactly. */
+  * MICROseconds (the engine's native resolution after the
+  * Tables.normalizeTs conversion) so the DuckDB twin mirrors exactly. */
 object Sessionize {
 
   /** Adds `session_id` (1-based per key, in time order). Ordering ties

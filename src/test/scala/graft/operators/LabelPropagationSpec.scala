@@ -43,4 +43,14 @@ class LabelPropagationSpec extends GraftTestBase {
     val lb = LabelPropagation.run(ba, 3).as[(Long, Long)].collect().toSet
     assert(la == lb)
   }
+
+  test("checkpointed deep loop equals the pure unrolled form") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L),
+                (4L, 5L, 5L), (5L, 6L, 5L), (6L, 4L, 5L),
+                (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val pure = LabelPropagation.run(e, 7).as[(Long, Long)].collect().toSet
+    val ckpt = LabelPropagation.run(e, 7, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pure == ckpt)
+  }
 }
