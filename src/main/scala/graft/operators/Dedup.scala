@@ -132,15 +132,18 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline over raw documents using char
-    * n-gram shingles. */
+    * n-gram shingles. Signatures come from the fused
+    * [[graft.functions.expressions.ShingleMinHash]] expression — the
+    * shingle array is never materialized (no substring copies, no
+    * array_distinct; duplicates can't change a minimum), bit-identical
+    * to the charShingles→MinHashSignature composition (DedupSpec). */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.2): DataFrame = {
-    val withShingles = docs
+    import graft.functions.expressions.ShingleMinHash.shingleMinhash
+    val sigs = docs
       .filter(length(col(textCol)) >= shingleLen)
-      .select(col(idCol),
-              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
-    val sigs = minhashSignaturesLocal(withShingles, idCol, "__sh", k)
+      .select(col(idCol), shingleMinhash(col(textCol), shingleLen, k).as("sig"))
     minhashCandidates(sigs, idCol, k, bands, threshold)
   }
 

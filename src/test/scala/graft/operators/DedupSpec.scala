@@ -79,6 +79,36 @@ class DedupSpec extends GraftTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("fused shingle_minhash equals charShingles→MinHashSignature bit-for-bit (incl. multi-byte UTF-8)") {
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.MinHashSignature
+    import graft.functions.expressions.ShingleMinHash.shingleMinhash
+    // real docs + adversarial rows: multi-byte chars (shingle byte spans
+    // differ from char spans), repeated shingles (distinct no-op), and
+    // docs shorter than the shingle (sentinel-P signature)
+    val edge = Seq((9001L, "naïve café — 你好世界, 你好世界, naïve café"),
+                   (9002L, "aaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables(spark, sf001)("documents")
+      .select($"doc_id", $"text").limit(200)
+      .union(edge)
+      .filter(length($"text") >= 5) // the pipelines' precondition
+    val k = 32
+    val both = docs
+      .select($"doc_id",
+        shingleMinhash($"text", 5, k).as("fused"),
+        MinHashSignature.minhashSignature(
+          TextFunctions.charShingles($"text", 5), k).as("composed"))
+      .filter(to_json($"fused") =!= to_json($"composed"))
+    assert(both.count() == 0)
+    // sub-shingle-length docs: sentinel P in every slot (never match)
+    val P = MinHashSignature.P
+    val short = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .select(shingleMinhash($"text", 5, 4).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(short.forall(_ == Seq.fill(4)(P)))
+  }
+
   test("local (shuffle-free) signatures equal the exploded+groupBy signatures") {
     import graft.functions.TextFunctions
     val withShingles = corpus.select($"doc_id",
