@@ -30,6 +30,19 @@ object GraftFunctions {
       "rolling_hash",
       exprs => RollingHash(Cast(exprs.head, StringType),
                            base = 131L, mod = MinHashSignature.P), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "minhash_from_hashes",
+      exprs => graft.functions.expressions.MinHashFromHashes(
+        Cast(exprs.head, ArrayType(org.apache.spark.sql.types.LongType)),
+        intLit(exprs(1), "minhash_from_hashes k")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "shingle_minhash",
+      exprs => graft.functions.expressions.ShingleMinHash(
+        Cast(exprs.head, StringType),
+        intLit(exprs(1), "shingle_minhash shingleLen"),
+        intLit(exprs(2), "shingle_minhash k")),
+      "scala_udf")
     // table-generating function (UDTF): LATERAL VIEW chunk_split(text, n)
     // ("scala_udf" is only the error-message label — the returned
     // Generator expression is what makes this a UDTF to the analyzer)

@@ -105,12 +105,20 @@ class ExpressionsSpec extends GraftTestBase {
     val r = spark.sql("""
       SELECT simhash64(array('a', 'b')) AS sh,
              minhash_signature(array('a', 'b'), 4) AS mh,
-             rolling_hash('abc') AS rh
+             rolling_hash('abc') AS rh,
+             minhash_from_hashes(array(7L, 11L), 4) AS mfh,
+             shingle_minhash('hello world', 5, 4) AS smh
     """).collect().head
     // values themselves are pinned by the per-expression equivalence
     // tests; here we pin SQL reachability + shape
     assert(r.getSeq[Long](1).length == 4)
     assert(r.getLong(2) > 0)
+    assert(r.getSeq[Long](3).length == 4)
+    // shingle_minhash('hello world') == minhash_signature of its shingles
+    val viaShingles = spark.sql(
+      "SELECT minhash_signature(array('hello', 'ello ', 'llo w', 'lo wo', 'o wor', ' worl', 'world'), 4) AS m")
+      .collect().head.getSeq[Long](0)
+    assert(r.getSeq[Long](4) == viaShingles)
     // and the SQL result matches the Column API result
     import graft.functions.expressions.SimHash64.simhash64
     val viaCol = spark.sql("SELECT array('a','b') AS t")
