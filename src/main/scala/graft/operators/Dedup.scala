@@ -99,7 +99,16 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band (r consecutive signature
     * slots) are candidates; est_jaccard = fraction of agreeing slots.
-    * Only `threshold`-passing pairs survive. */
+    * Only `threshold`-passing pairs survive.
+    *
+    * Shuffle shape: band rows carry ONLY (id, band_idx, band_key) — the
+    * k-slot signature would multiply the exchange by k·8 bytes per band
+    * row (the dominant shuffle at corpus scale) just to be re-read once
+    * per surviving pair. Instead candidates are deduped to (id_a, id_b)
+    * first, then the narrow sigs frame joins back twice to score
+    * est_jaccard — two small hash joins on id against the per-doc
+    * signatures instead of a k×-heavier band exchange. Same result set,
+    * orders of magnitude less shuffle at 100 TB. */
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
                         threshold: Double,
                         hashBandKeys: Boolean = true): DataFrame = {
@@ -114,20 +123,24 @@ object Dedup {
       if (hashBandKeys) xxhash64(s, bnd) else s
     }
     val bandRows = sigs.select(
-      col(idCol), col("sig"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), key(_))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    val a = bandRows.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-                            col("band_idx"), col("band_key"))
-    val b = bandRows.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-                            col("band_idx"), col("band_key"))
+    val candidates = bandRows.select(col(idCol).as("id_a"),
+                                     col("band_idx"), col("band_key"))
+      .join(bandRows.select(col(idCol).as("id_b"),
+                            col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
                           bool => bool)).cast("double") / lit(k.toDouble)
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -141,9 +154,13 @@ object Dedup {
                    shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.2): DataFrame = {
     import graft.functions.expressions.ShingleMinHash.shingleMinhash
+    // materialize signatures ONCE: minhashCandidates reads them three
+    // times (band rows + two scoring re-joins) — without this the text
+    // scan and signature fold would run three times
     val sigs = docs
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol), shingleMinhash(col(textCol), shingleLen, k).as("sig"))
+      .localCheckpoint()
     minhashCandidates(sigs, idCol, k, bands, threshold)
   }
 
@@ -159,7 +176,9 @@ object Dedup {
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol),
               TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
+    // materialized once for the same three-reads reason as minhashDedup
     val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
+      .localCheckpoint()
     minhashCandidates(sigs, idCol, k, bands, threshold, hashBandKeys = false)
   }
 
