@@ -193,6 +193,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs: centroid-bucket blocking —
+    * a LEARNED blocking key, needing no label column — then exact
+    * within-bucket cosine >= threshold.
+    *
+    * The quantizer centroids (typically a [[KMeans.fit]] output, or any
+    * deterministic stand-in) are collected once and inlined as literals,
+    * so corpus assignment is the same zero-shuffle narrow argmax
+    * projection as [[ivfTopK]]'s; after that only same-bucket pairs are
+    * ever scored — candidate volume is Σ|bucket|²/2, never |corpus|²/2.
+    * Assignment ties break to the lowest centroid id, matching the SQL
+    * oracle's ROW_NUMBER tie-break. The assigned frame is materialized
+    * once (localCheckpoint) because the pair join reads it twice.
+    * Output: (bucket, id_a, id_b, cos). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidIdCol: String,
+                    threshold: Double): DataFrame = {
+    val cent = centroids.select(
+        col(centroidIdCol).cast("long").as("centroid_id"),
+        toDoubleVec(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv")))
+    val centLocal: Array[(Long, Array[Double], Double)] = cent.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    require(centLocal.nonEmpty, "semanticDedup needs at least one centroid")
+    val scored = centLocal.toSeq.map { case (cid, v, cn) =>
+      val cvLit = array(v.map(lit): _*)
+      val ccos =
+        if (cn == 0.0) lit(0.0)
+        else when(col("n") === 0.0, 0.0)
+          .otherwise(vecDot(col("v"), cvLit) / (col("n") * lit(cn)))
+      struct(ccos.as("s"), lit(-cid).as("nid"), lit(cid).as("id"))
+    }
+    val assigned = df
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("bucket", array_max(array(scored: _*)).getField("id"))
+      .localCheckpoint()
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+                            col("n").as("na"), col("bucket"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+                            col("n").as("nb"), col("bucket"))
+    val cos = when(col("na") * col("nb") === 0.0, 0.0)
+      .otherwise(vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-dup pairs: same-`blockCol` blocking (no all-pairs
     * blowup), exact cosine >= threshold. Norms precomputed per side,
     * not per pair (see bruteForceTopK). */

@@ -73,9 +73,54 @@ object Vectors2 extends QueryPack {
          round(cos, 6) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // --------------------------------------------------------------- q345
+  /** SemDeDup-style semantic dedup: the q60 coarse quantizer (16
+    * deterministic centroids) becomes a LEARNED blocking key — every
+    * vector assigned to its nearest centroid bucket, then exact cosine
+    * >= 0.3 only within buckets. Complements q31 (label blocking):
+    * same near-dup operator family, no label needed. Fully relational,
+    * so DuckDB replays it exactly. */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    Similarity.semanticDedup(all, "vec_id", "embedding",
+        centroids = all.filter(col("vec_id") < 16),
+        centroidIdCol = "vec_id", threshold = 0.3)
+      .select(col("bucket"), col("id_a"), col("id_b"),
+              round(col("cos"), 6).as("cos"))
+      .orderBy(col("bucket"), col("id_a"), col("id_b"))
+  }
+
+  private val q345Sql =
+    s"""WITH cent AS (
+         SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < 16),
+       acand AS (
+         SELECT e.vec_id, e.embedding, c.centroid_id,
+           ${dotSql("e.embedding", "c.centv")} /
+             (${normSql("e.embedding")} * ${normSql("c.centv")}) AS ccos
+         FROM embeddings e CROSS JOIN cent c),
+       arank AS (
+         SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY ccos DESC, centroid_id) AS crk
+         FROM acand),
+       assigned AS (
+         SELECT centroid_id AS bucket, vec_id, embedding
+         FROM arank WHERE crk = 1),
+       p AS (
+         SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           ${dotSql("a.embedding", "b.embedding")} /
+             (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+         FROM assigned a JOIN assigned b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       SELECT bucket, id_a, id_b, round(cos, 6) AS cos
+       FROM p WHERE cos >= 0.3 ORDER BY bucket, id_a, id_b"""
+
   override val queries: Map[String, QueryFn] = Map(
-    "q60_ivf_ann" -> q60 _)
+    "q60_ivf_ann" -> q60 _,
+    "q345_semantic_dedup" -> q345 _)
 
   override val oracles: Map[String, String] = Map(
-    "q60_ivf_ann" -> q60Sql)
+    "q60_ivf_ann" -> q60Sql,
+    "q345_semantic_dedup" -> q345Sql)
 }

@@ -99,4 +99,18 @@ class SimilaritySpec extends GraftTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)))
   }
+
+  test("semantic dedup: centroid buckets recover the clusters, no cross-cluster pairs") {
+    // centroids = one exemplar per cluster (0 and 10); every vector
+    // must land in its cluster's bucket and only within-cluster pairs
+    // can surface — the learned-blocking twin of the label test above
+    val cents = corpus.filter(col("vec_id").isin(0L, 10L))
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        cents, "vec_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._2, t._3)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)))
+    // and each pair's bucket is its cluster's exemplar centroid
+    assert(out.forall { case (bkt, a, _) => bkt == (if (a < 10) 0L else 10L) })
+  }
 }
