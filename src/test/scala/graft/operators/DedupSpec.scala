@@ -109,6 +109,34 @@ class DedupSpec extends GraftTestBase {
     assert(short.forall(_ == Seq.fill(4)(P)))
   }
 
+  test("LSH band exchange is slim: signatures never ride the candidate shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    // tiny corpus would broadcast-join; force the shuffle path so the
+    // exchange under test exists (at real scale both sides are large)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cand = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.0)
+    try cand.collect() // materialize so AQE finalizes stages
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val exchanges = flatten(cand.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(exchanges.nonEmpty)
+    // any exchange moving band rows must NOT carry the k-slot signature
+    // (the whole point of the slim candidate join: k·8 bytes per band
+    // row stays out of the dominant shuffle)
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "band_key"))
+    assert(bandExchanges.nonEmpty, "expected a band-keyed exchange in the LSH plan")
+    assert(bandExchanges.forall(!_.output.exists(_.name.startsWith("sig"))),
+      s"signature column leaked into the band exchange:\n${bandExchanges.head}")
+  }
+
   test("local (shuffle-free) signatures equal the exploded+groupBy signatures") {
     import graft.functions.TextFunctions
     val withShingles = corpus.select($"doc_id",
