@@ -82,7 +82,14 @@ object Extras49 extends QueryPack {
   private def q314(s: SparkSession, dir: String): DataFrame = {
     val P = graft.functions.expressions.MinHashSignature.P
     val K = 16
-    val base = Tables(s, dir)("documents")
+    // Signatures derived ONCE (fused one-pass k-minima; bit-identical
+    // to the array_min∘transform composition) and materialized — the
+    // three sweep branches each read them. Band rows stay slim
+    // (doc_id, band, bsig): the shingle-hash arrays needed for exact
+    // Jaccard verification join back only for DISTINCT candidate
+    // pairs, never riding the band exchange (same shape as
+    // Dedup.minhashCandidates).
+    val sigs = Tables(s, dir)("documents")
       .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
       .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")))
       .limit(300)
@@ -90,28 +97,28 @@ object Extras49 extends QueryPack {
         array_distinct(transform(
           graft.functions.TextFunctions.charShingles(col("text"), 5),
           sh => pmod(mdHash(sh), lit(P)))).as("hx"))
-    val sig = array((0 until K).map { i =>
-      val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
-      array_min(transform(col("hx"), x => pmod(lit(a) * x + lit(b), lit(P))))
-    }: _*)
-    val sigs = base.select(col("doc_id"), col("hx"), size(col("hx"))
-      .as("nx"), sig.as("sig"))
+      .select(col("doc_id"), col("hx"), size(col("hx")).as("nx"),
+        graft.functions.expressions.MinHashSignature
+          .minhashFromHashes(col("hx"), K).as("sig"))
+      .localCheckpoint()
     val perB = Seq(2, 4, 8).map { b =>
       val rows = K / b
-      val banded = sigs.select(col("doc_id"), col("hx"), col("nx"),
+      val banded = sigs.select(col("doc_id"),
         posexplode(array((0 until b).map(i =>
           concat_ws(",", (0 until rows).map(j =>
             element_at(col("sig"), i * rows + j + 1)): _*)): _*))
           .as(Seq("band", "bsig")))
-      val inter = size(array_intersect(col("a.hx"), col("b.hx")))
-      banded.as("a").join(banded.as("b"),
+      val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band")
             && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-          col("a.hx").as("ahx"), col("b.hx").as("bhx"),
-          col("a.nx").as("anx"), col("b.nx").as("bnx"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
         .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("x"), col("hx").as("ahx"),
+                          col("nx").as("anx")), "x")
+        .join(sigs.select(col("doc_id").as("y"), col("hx").as("bhx"),
+                          col("nx").as("bnx")), "y")
         .select((size(array_intersect(col("ahx"), col("bhx")))
           .cast("double")
           / (col("anx") + col("bnx")

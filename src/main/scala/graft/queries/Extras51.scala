@@ -233,28 +233,42 @@ object Extras51 extends QueryPack {
     * GROUP BYs whatever the width). Integer everywhere; the mean is
     * one exact division by 20. */
   private def q329(s: SparkSession, dir: String): DataFrame = {
-    val toks = toksSpark(s)(dir)
+    // ONE tokenization pass feeds both the hash stream and the exact
+    // top-20 (materialized: the two branches would otherwise re-explode
+    // the corpus), and ONE shuffled bucket-count at the FINEST width
+    // replaces the previous 3×cmsD separate aggregate passes: the
+    // widths nest (64 | 256 | 1024), so (x mod 1024) mod w == x mod w
+    // and the narrower tables are exact rollups of the d×1024-row
+    // finest table — integer math, bit-identical to counting each width
+    // directly, which is what the oracle still does independently.
+    val toks = toksSpark(s)(dir).localCheckpoint()
     val th = toks.select(pmod(mdHash(col("w")), lit(P)).as("h"))
     val top = toks.groupBy("w").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("w").asc).limit(20)
       .withColumn("h", pmod(mdHash(col("w")), lit(P)))
+
+    val wMax = 1024
+    def buckets(width: Int): Seq[Column] = (0 until cmsD).map { r =>
+      val (a, b) = MinHashSignature.coef(r)
+      pmod(pmod(lit(a) * col("h") + lit(b), lit(P)), lit(width))
+    }
+    val cFine = th
+      .select(posexplode(array(buckets(wMax): _*)).as(Seq("r", "bkt")))
+      .groupBy("r", "bkt").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ d×1024 rows, read three times below
+    def countsAt(width: Int): DataFrame =
+      if (width == wMax) cFine
+      else cFine.groupBy(col("r"), pmod(col("bkt"), lit(width)).as("bkt"))
+        .agg(sum("c").as("c"))
+
     val perW = Seq(64, 256, 1024).map { width =>
-      val ests = (0 until cmsD).map { r =>
-        val (a, b) = MinHashSignature.coef(r)
-        val bkt = pmod(pmod(lit(a) * col("h") + lit(b), lit(P)), lit(width))
-        val counts = th
-          .groupBy(pmod(pmod(lit(a) * col("h") + lit(b), lit(P)),
-            lit(width)).as("bkt"))
-          .agg(count(lit(1)).as(s"c$r"))
-        (counts, bkt, r)
-      }
-      val joined = ests.foldLeft(top.as("t")) { case (acc, (counts, bkt, r)) =>
-        acc.join(broadcast(counts), bkt === counts("bkt"))
-          .drop(counts("bkt"))
-      }
-      val est = least((0 until cmsD).map(r => col(s"c$r")): _*)
-      joined
-        .select((est - col("exact")).as("over"))
+      top
+        .select(col("w"), col("exact"),
+          posexplode(array(buckets(width): _*)).as(Seq("r", "bkt")))
+        .join(broadcast(countsAt(width)), Seq("r", "bkt"))
+        .groupBy(col("w"), col("exact"))
+        .agg(min(col("c")).as("est")) // least over d rows == min per word
+        .select((col("est") - col("exact")).as("over"))
         .agg(sum("over").as("sum_over"), max("over").as("max_over"))
         .select(lit(width).as("width"), col("sum_over"), col("max_over"))
     }
