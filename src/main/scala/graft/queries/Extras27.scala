@@ -42,10 +42,14 @@ object Extras27 extends QueryPack {
     * (q23), made inspectable. Trigram generation is a per-row sequence
     * fan-out (no joins); the count is one hash aggregate. */
   private def q212(s: SparkSession, dir: String): DataFrame = {
+    // lower(text) hoisted OUT of the lambda: inside it, every sequence
+    // element re-lowered the whole document (O(len²) byte copying per
+    // doc); projected once it's O(len)
     val d = Tables(s, dir)("documents").filter(col("lang") === "en")
+      .select(lower(col("text")).as("lt"))
     d.select(explode(expr(
-        """transform(sequence(1, greatest(length(lower(text)) - 2, 0)),
-           i -> substring(lower(text), i, 3))""")).as("tri"))
+        """transform(sequence(1, greatest(length(lt) - 2, 0)),
+           i -> substring(lt, i, 3))""")).as("tri"))
       .filter(col("tri").rlike("^[a-z]{3}$"))
       .groupBy("tri").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("tri"))
