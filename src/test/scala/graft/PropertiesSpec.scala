@@ -130,6 +130,24 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  property("shingle_minhash == charShingles∘minhash_signature on random unicode") =
+    forAllNoShrink(Gen.listOfN(30, Gen.listOf(Gen.oneOf(
+      "a", "bc", "é", "你", "—", " ", "\t", "🙂", "ß", "0")).map(_.mkString))) { texts =>
+      import graft.functions.TextFunctions
+      import graft.functions.expressions.MinHashSignature
+      import graft.functions.expressions.ShingleMinHash.shingleMinhash
+      // the pipelines' precondition (sub-shingle docs take the sentinel
+      // path, pinned separately in DedupSpec)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").filter(length($"text") >= 5)
+      df.select(
+          shingleMinhash($"text", 5, 16).as("f"),
+          MinHashSignature.minhashSignature(
+            TextFunctions.charShingles($"text", 5), 16).as("c"))
+        .filter(to_json($"f") =!= to_json($"c"))
+        .count() == 0
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
