@@ -43,6 +43,11 @@ object GraftFunctions {
         intLit(exprs(1), "shingle_minhash shingleLen"),
         intLit(exprs(2), "shingle_minhash k")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "text_simhash",
+      exprs => graft.functions.expressions.TextSimHash(
+        Cast(exprs.head, StringType)),
+      "scala_udf")
     // table-generating function (UDTF): LATERAL VIEW chunk_split(text, n)
     // ("scala_udf" is only the error-message label — the returned
     // Generator expression is what makes this a UDTF to the analyzer)

@@ -193,11 +193,14 @@ object Dedup {
     * same xxhash64/seed-42 hashes, bit-identical signatures. Empty-token
     * docs are filtered (the explode form dropped them implicitly). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.expressions.SimHash64.simhash64
-    val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol), simhash64(toks).as("simhash"), size(toks).as("__n"))
-      .filter(col("__n") > 0)
-      .drop("__n")
+    import graft.functions.expressions.TextSimHash.textSimhash
+    // fused tokenize+hash+vote straight off the string bytes — the
+    // token array is never materialized; bit-identical to
+    // simhash64(tokens(text)) (DedupSpec/PropertiesSpec). split() never
+    // yields an empty array (min [""]), so the old size-filter only
+    // ever dropped NULL texts — made explicit here.
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), textSimhash(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of four

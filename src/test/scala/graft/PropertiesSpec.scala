@@ -148,6 +148,21 @@ object PropertiesSpec extends Properties("graft") {
         .count() == 0
     }
 
+  property("text_simhash == simhash64∘tokens on random unicode + whitespace") =
+    forAllNoShrink(Gen.listOfN(30, Gen.listOf(Gen.oneOf(
+      "a", "bc", "é", "你", " ", "\t", "\n", "\r", "", "\f",
+      "🙂", "ß", "0", "  ")).map(_.mkString))) { texts =>
+      import graft.functions.TextFunctions
+      import graft.functions.expressions.SimHash64.simhash64
+      import graft.functions.expressions.TextSimHash.textSimhash
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(textSimhash($"text").as("f"),
+                simhash64(TextFunctions.tokens($"text")).as("c"))
+        .filter($"f" =!= $"c")
+        .count() == 0
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L

@@ -107,7 +107,8 @@ class ExpressionsSpec extends GraftTestBase {
              minhash_signature(array('a', 'b'), 4) AS mh,
              rolling_hash('abc') AS rh,
              minhash_from_hashes(array(7L, 11L), 4) AS mfh,
-             shingle_minhash('hello world', 5, 4) AS smh
+             shingle_minhash('hello world', 5, 4) AS smh,
+             text_simhash('hello world') AS tsh
     """).collect().head
     // values themselves are pinned by the per-expression equivalence
     // tests; here we pin SQL reachability + shape
@@ -119,6 +120,11 @@ class ExpressionsSpec extends GraftTestBase {
       "SELECT minhash_signature(array('hello', 'ello ', 'llo w', 'lo wo', 'o wor', ' worl', 'world'), 4) AS m")
       .collect().head.getSeq[Long](0)
     assert(r.getSeq[Long](4) == viaShingles)
+    // text_simhash == simhash64 over the whitespace tokens
+    val viaTokens = spark.sql(
+      "SELECT simhash64(array('hello', 'world')) AS s")
+      .collect().head.getLong(0)
+    assert(r.getLong(5) == viaTokens)
     // and the SQL result matches the Column API result
     import graft.functions.expressions.SimHash64.simhash64
     val viaCol = spark.sql("SELECT array('a','b') AS t")

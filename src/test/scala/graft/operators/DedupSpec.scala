@@ -109,6 +109,26 @@ class DedupSpec extends GraftTestBase {
     assert(short.forall(_ == Seq.fill(4)(P)))
   }
 
+  test("fused text_simhash equals simhash64∘tokens bit-for-bit (incl. whitespace edges)") {
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.SimHash64.simhash64
+    import graft.functions.expressions.TextSimHash.textSimhash
+    // adversarial rows: leading/trailing tabs (empty tokens under Java
+    // split limit -1), all-space (trim → [""]), empty string, multi-byte
+    // tokens, CR/LF/VT/FF separators
+    val edge = Seq("\tleading", "trailing\t", "  spaced out  ", "   ", "",
+                   "a\r\nbc\fd", "naïve café 你好 🙂", "one")
+      .zipWithIndex.map { case (t, i) => (9100L + i, t) }.toDF("doc_id", "text")
+    val docs = graft.Tables(spark, sf001)("documents")
+      .select($"doc_id", $"text").limit(200)
+      .union(edge)
+    val bad = docs.select(
+        textSimhash($"text").as("fused"),
+        simhash64(TextFunctions.tokens($"text")).as("composed"))
+      .filter($"fused" =!= $"composed")
+    assert(bad.count() == 0)
+  }
+
   test("LSH band exchange is slim: signatures never ride the candidate shuffle") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
