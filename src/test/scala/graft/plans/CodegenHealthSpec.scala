@@ -54,7 +54,10 @@ class CodegenHealthSpec extends GraftTestBase {
     "q212_char_trigrams",
     "q285_ewma",
     "q325_cms_audit",
-    "q333_sq8_error"        // quantization arithmetic
+    "q333_sq8_error",       // quantization arithmetic
+    "q343_minhash_scale",   // ShingleMinHash + MinHashFromHashes
+    "q344_simhash_scale",   // TextSimHash
+    "q345_semantic_dedup"   // inlined-centroid argmax + DotProduct
   )
 
   test("representative slice compiles clean: no codegen ERROR, no fallback") {
