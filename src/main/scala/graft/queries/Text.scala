@@ -289,12 +289,15 @@ object Text extends QueryPack {
   /** The PRODUCTION xxhash64 sketch pipelines, driver-benched on the
     * FULL documents table (no sample): fused MinHashSignature /
     * SimHash64 expressions, hashed band keys — the 100 TB shape. DuckDB
-    * has no Spark-compatible xxhash64, so these carry no SQL oracle
-    * (driver records a rows-only check); their math is pinned three
-    * ways: DedupSpec equivalences, the md5-family twins (q26/q27, true
-    * oracles), and q43/q44's signature-level oracles. Registering them
-    * keeps the benched numbers on the scale path — r5 benched only the
-    * md5 twin, 6× the cost of this path. */
+    * has no Spark-compatible xxhash64, so the oracle is a committed
+    * golden-parquet compare (golden/<query>/sf<sf>.parquet, regenerated
+    * only via tools.RegenGoldens, freshness pinned every `sbt test` by
+    * GoldenScaleSpec) dispatched on the lineitem row count — testdata is
+    * deterministic (seed=42, read-only), so the snapshot is stable. The
+    * math is additionally pinned three ways: DedupSpec equivalences, the
+    * md5-family twins (q26/q27, true recomputed oracles), and q43/q44's
+    * signature-level oracles. Registering them keeps the benched numbers
+    * on the scale path — r5 benched only the md5 twin, 6× the cost. */
   /** LSH parameters are tuned to the DEDUP target, not the q26 demo
     * shape: near-dup removal wants τ ≈ 0.8, and with r = 4 any pair at
     * J ≈ 0.5 expects a band collision (16 · 0.5⁴ ≈ 1) — on this highly
@@ -311,6 +314,21 @@ object Text extends QueryPack {
   private def q344(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Golden-file oracle: one constant read_parquet branch per scale
+    * factor, selected by the deterministic lineitem row count (6e3 /
+    * 6e4 / 6e5 — documents alone can't dispatch: sf0.001 and sf0.01
+    * both hold 500 docs). Constant table-function args keep DuckDB
+    * happy; the dead branches scan nothing after the count filter. */
+  private def goldenSql(name: String, cols: String): String =
+    Seq("0.001" -> 6000, "0.01" -> 60000, "0.1" -> 600000)
+      .map { case (sf, n) =>
+        s"""SELECT $cols FROM read_parquet('/root/repo/golden/$name/sf$sf.parquet')
+           WHERE (SELECT count(*) FROM lineitem) = $n""" }
+      .mkString("\nUNION ALL\n") + "\nORDER BY id_a, id_b"
+
+  private val q343Sql = goldenSql("q343_minhash_scale", "id_a, id_b, est_jaccard")
+  private val q344Sql = goldenSql("q344_simhash_scale", "id_a, id_b, hamming")
 
   override val queries: Map[String, QueryFn] = Map(
     "q21_token_stats"    -> q21 _,
@@ -330,5 +348,7 @@ object Text extends QueryPack {
     "q24_ngram_jaccard"  -> q24Sql,
     "q25_fingerprint"    -> q25Sql,
     "q26_minhash_lsh"    -> q26Sql,
-    "q27_simhash"        -> q27Sql)
+    "q27_simhash"        -> q27Sql,
+    "q343_minhash_scale" -> q343Sql,
+    "q344_simhash_scale" -> q344Sql)
 }
