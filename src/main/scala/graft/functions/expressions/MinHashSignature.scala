@@ -100,12 +100,20 @@ case class MinHashFromHashes(child: Expression, k: Int)
     val n = hashes.numElements()
     var j = 0
     while (j < n) {
-      val x = ((hashes.getLong(j) % P) + P) % P
-      var i = 0
-      while (i < k) {
-        val h = (coefA(i) * x + coefB(i)) % P
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      // null elements are skipped, matching the array_min∘transform
+      // composition this claims bit-identity to (array_min ignores null
+      // lambda results); without the guard a null in an array<long>
+      // containsNull=true input — reachable via the SQL registration,
+      // e.g. minhash_from_hashes(array(NULL, 7L), k) — would silently
+      // unbox to 0L and poison every permutation's minimum.
+      if (!hashes.isNullAt(j)) {
+        val x = ((hashes.getLong(j) % P) + P) % P
+        var i = 0
+        while (i < k) {
+          val h = (coefA(i) * x + coefB(i)) % P
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }

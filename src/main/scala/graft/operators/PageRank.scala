@@ -37,7 +37,19 @@ object PageRank {
   private val checkpointEvery = 5
 
   /** Ranks after `iters` iterations. Nodes = every distinct src or dst.
-    * Returns (node, rank). */
+    * Returns (node, rank).
+    *
+    * Contract: this call is EAGER — the cache + localCheckpoint cadence
+    * (and the final localCheckpoint that lets the cached inputs be
+    * released) run Spark jobs at call time, so `run` returns a
+    * materialized result, not a lazy plan. localCheckpoint trades fault
+    * tolerance for speed: the checkpointed blocks live on executor
+    * storage, so losing an executor mid-/post-run loses them and the
+    * computation must be re-run from the source (acceptable for an
+    * iterative fit; use reliable `checkpoint()` to a checkpoint dir if
+    * the result must survive executor failure). Plan-only callers (e.g.
+    * plan-shape inspection) should build their own loop without the
+    * checkpoint cadence. */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("node"))

@@ -24,6 +24,15 @@ import graft.functions.expressions.DotProduct.vecDot
   */
 object Similarity {
 
+  /** Upper bound on centroids inlined as plan literals (ivfTopK /
+    * semanticDedup assignment): each centroid contributes a d-element
+    * literal array to one giant argmax expression, and past a few
+    * hundred the generated code risks JVM constant-pool / 64KB-method
+    * limits (and compile time grows superlinearly). 1024×64 doubles is
+    * comfortably inside those limits; beyond it the right design is a
+    * broadcast join + argmax aggregate, not a bigger expression tree. */
+  val MaxLiteralCentroids = 1024
+
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, cosine).
     *
@@ -149,6 +158,11 @@ object Similarity {
       (id, v, r.getDouble(2))
     }
     require(centLocal.nonEmpty, "ivfTopK needs at least one centroid")
+    require(centLocal.length <= Similarity.MaxLiteralCentroids,
+      s"ivfTopK inlines each centroid as an argmax literal; " +
+      s"${centLocal.length} centroids would exceed the " +
+      s"${Similarity.MaxLiteralCentroids}-centroid codegen budget — " +
+      "use a coarser quantizer or switch assignment to a broadcast join")
 
     // One (ccos, -id, id) struct per centroid — the SINGLE place the
     // scoring + tie-break live, shared by argmax (assignment) and
@@ -217,6 +231,11 @@ object Similarity {
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
     require(centLocal.nonEmpty, "semanticDedup needs at least one centroid")
+    require(centLocal.length <= Similarity.MaxLiteralCentroids,
+      s"semanticDedup inlines each centroid as an argmax literal; " +
+      s"${centLocal.length} centroids would exceed the " +
+      s"${Similarity.MaxLiteralCentroids}-centroid codegen budget — " +
+      "use a coarser quantizer or switch assignment to a broadcast join")
     val scored = centLocal.toSeq.map { case (cid, v, cn) =>
       val cvLit = array(v.map(lit): _*)
       val ccos =

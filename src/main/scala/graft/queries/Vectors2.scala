@@ -21,6 +21,14 @@ object Vectors2 extends QueryPack {
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
 
+  /** Cosine with the SAME zero-norm guard as the Scala side
+    * (Similarity guards `norm_a * norm_b == 0` to 0.0): an unguarded
+    * division would yield NULL/NaN on a zero-norm embedding and silently
+    * hash-mismatch if testdata is ever regenerated with one. */
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0
+        ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END"""
+
   // ---------------------------------------------------------------- q60
   /** IVF ANN: 16 deterministic centroids (vec_id < 16 stand in for a
     * k-means fit), every vector assigned to its nearest centroid, each
@@ -44,8 +52,7 @@ object Vectors2 extends QueryPack {
          FROM embeddings WHERE vec_id < 16),
        acand AS (
          SELECT e.vec_id, e.embedding, c.centroid_id,
-           ${dotSql("e.embedding", "c.centv")} /
-             (${normSql("e.embedding")} * ${normSql("c.centv")}) AS ccos
+           ${cosSql("e.embedding", "c.centv")} AS ccos
          FROM embeddings e CROSS JOIN cent c),
        arank AS (
          SELECT vec_id, embedding, centroid_id,
@@ -60,8 +67,7 @@ object Vectors2 extends QueryPack {
          FROM arank WHERE crk <= 2 AND vec_id % 50 = 0),
        cand AS (
          SELECT p.query_id, a.neighbor_id,
-           ${dotSql("p.qv", "a.cv")} /
-             (${normSql("p.qv")} * ${normSql("a.cv")}) AS cos
+           ${cosSql("p.qv", "a.cv")} AS cos
          FROM probes p JOIN assigned a USING (bucket)
          WHERE p.query_id <> a.neighbor_id),
        ranked AS (
@@ -96,8 +102,7 @@ object Vectors2 extends QueryPack {
          FROM embeddings WHERE vec_id < 16),
        acand AS (
          SELECT e.vec_id, e.embedding, c.centroid_id,
-           ${dotSql("e.embedding", "c.centv")} /
-             (${normSql("e.embedding")} * ${normSql("c.centv")}) AS ccos
+           ${cosSql("e.embedding", "c.centv")} AS ccos
          FROM embeddings e CROSS JOIN cent c),
        arank AS (
          SELECT vec_id, embedding, centroid_id,
@@ -109,8 +114,7 @@ object Vectors2 extends QueryPack {
          FROM arank WHERE crk = 1),
        p AS (
          SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-           ${dotSql("a.embedding", "b.embedding")} /
-             (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+           ${cosSql("a.embedding", "b.embedding")} AS cos
          FROM assigned a JOIN assigned b
            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        SELECT bucket, id_a, id_b, round(cos, 6) AS cos
