@@ -38,9 +38,14 @@ object LabelPropagation {
     * cadence, so a deep loop's unrolled plan — and any recompute of
     * it — stays bounded regardless of iteration count (the
     * PageRank.checkpointEvery argument). Values are unchanged either
-    * way; the oracled q291 runs the pure unrolled form (0) that its
-    * CTE-chain oracle mirrors, and LabelPropagationSpec pins the two
-    * forms equal. */
+    * way — LabelPropagationSpec pins the two forms equal — so the
+    * oracled+benched q291 runs the checkpointed form (the unrolled plan
+    * is the one that collapses under memory pressure; r6 driver bench
+    * 25.9 s vs 2.5 s quiesced) while its unrolled-CTE oracle still
+    * matches value-for-value. NOTE: checkpointEvery > 0 makes the call
+    * EAGER at the checkpoint boundaries (Spark jobs run inside this
+    * call), and localCheckpointed blocks don't survive executor loss —
+    * the PageRank.run contract. */
   def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 0): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src") =!= col("dst"))

@@ -113,7 +113,16 @@ object Extras45 extends QueryPack {
     * on the customer-nation ↔ supplier-nation trade graph — the same
     * 25-node graph PageRank (q133) ranks, now partitioned into
     * communities. All-integer tie-broken argmax per round, so the
-    * unrolled oracle matches exactly. */
+    * unrolled oracle matches exactly.
+    *
+    * Runs the CHECKPOINTED loop form (checkpointEvery = 2): the values
+    * are pinned identical to the pure unrolled form by
+    * LabelPropagationSpec, but the unrolled plan is exactly the shape
+    * that collapses under memory/JIT pressure (25.9 s vs 2.5 s in the
+    * r6 driver bench) and at 100 TB its unbounded lineage depth is a
+    * scale-killer — so the registered (benched AND verified) query uses
+    * the bounded-lineage form, and the CTE-chain oracle still matches
+    * because checkpointing only truncates lineage, never values. */
   private def q291(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val edges = t("lineitem")
@@ -122,7 +131,7 @@ object Extras45 extends QueryPack {
       .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val labels = LabelPropagation.run(edges, iters = 4)
+    val labels = LabelPropagation.run(edges, iters = 4, checkpointEvery = 2)
     labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy("label")))
