@@ -44,7 +44,10 @@ object Bench {
     // cached footers, so the minimum reflects plan cost, not JVM noise.
     // A failure in EITHER run marks the query failed (-1) — one flaky
     // crash must not hide behind the other run's time.
+    // optional args restrict the set (local iteration); the driver
+    // passes none, so its contract is the full sorted suite
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.contains(n))
     val results = names.map { n =>
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

@@ -320,10 +320,22 @@ object Extras44 extends QueryPack {
     * (md5-smallest 300 doc_ids) — a %-of-corpus sample grows linearly
     * and turns the same-source pair join quadratic at scale; 300 docs
     * bound the pair count (≤ ~45k) no matter the corpus size, and the
-    * estimator-quality statistics need no more than that. */
+    * estimator-quality statistics need no more than that.
+    *
+    * Pair-join payload is kept COMPACT: the exact |A∩B| per pair comes
+    * from an exploded (source, shingle-hash) self-join + count (the q24
+    * shape — only docs actually sharing a hash ever pair there), LEFT-
+    * joined back onto the all-same-source-pairs frame, which carries
+    * just (nx, 16-slot sig) per side. The earlier form hauled both full
+    * hx arrays through all ~45k pairs and intersected per pair — 44 s
+    * under memory pressure in the r6 driver bench; this shape moves
+    * each shingle hash once and keeps the per-pair work at a 16-slot
+    * zip. */
   private def q288(s: SparkSession, dir: String): DataFrame = {
     val P = graft.functions.expressions.MinHashSignature.P
     val K = 16
+    // 300 rows with shingle-hash arrays — tiny; materialized once
+    // because both the compact-sig branch and the explode branch read it
     val base = Tables(s, dir)("documents")
       .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
       .orderBy(md5(encode(col("doc_id").cast("string"), "UTF-8")))
@@ -332,18 +344,30 @@ object Extras44 extends QueryPack {
         array_distinct(transform(
           graft.functions.TextFunctions.charShingles(col("text"), 5),
           sh => pmod(mdHash(sh), lit(P)))).as("hx"))
+      .localCheckpoint()
     val sig = array((0 until K).map { i =>
       val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
       array_min(transform(col("hx"), x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
-    val sigs = base.select(col("doc_id"), col("source"), col("hx"),
+    val sigs = base.select(col("doc_id"), col("source"),
       size(col("hx")).as("nx"), sig.as("sig"))
-    // |A∪B| = |A|+|B|−|A∩B| (hx is distinct): one array scan per
-    // pair instead of two — halves the dominant cost of the audit
-    val inter = size(array_intersect(col("a.hx"), col("b.hx")))
+    // exact |A∩B| via exploded hash equi-join: hx is distinct per doc,
+    // so the per-(id_a, id_b) match count IS the intersection size
+    val ex = base.select(col("doc_id"), col("source"), explode(col("hx")).as("h"))
+    val interCnt = ex.as("a").join(ex.as("b"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // all same-source pairs (zero-overlap pairs included — they land in
+    // bucket 0 with exact = 0), compact payload only
+    val inter = coalesce(col("inter"), lit(0L))
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id"))
+      .join(interCnt,
+        col("a.doc_id") === col("id_a") && col("b.doc_id") === col("id_b"),
+        "left")
       .select(
         (size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), b => b)).cast("double") / K).as("est"),
