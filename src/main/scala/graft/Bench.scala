@@ -40,6 +40,37 @@ object Bench {
     // warm-up: session init, parquet footer cache, codegen compiler
     runOnce("q01_pricing_summary")
 
+    // Stall-detection reference: the previously committed BENCH_FULL.json
+    // (same sf only). The r6 driver run had two contiguous 20-30× stretches
+    // (code-cache/GC/ambient contention) that min-of-two didn't absorb —
+    // so any query whose two-run minimum exceeds 3× its committed time
+    // (and by >1 s absolute) gets a third run, with GC + code-cache deltas
+    // logged so an environmental stall is distinguishable from a plan
+    // regression in the artifact itself.
+    val benchFullPath =
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+    val reference: Map[String, Double] = {
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(benchFullPath), "UTF-8")
+        val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0)); t
+    }
+    def codeCacheUsedMb: Long = {
+      var used = 0L
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+        if (p.getName.contains("CodeCache") || p.getName.contains("nmethods"))
+          used += p.getUsage.getUsed / (1024 * 1024)
+      }
+      used
+    }
+
     // min of two runs per query: second run reuses compiled codegen and
     // cached footers, so the minimum reflects plan cost, not JVM noise.
     // A failure in EITHER run marks the query failed (-1) — one flaky
@@ -48,9 +79,25 @@ object Bench {
     // passes none, so its contract is the full sorted suite
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
+    val stalls = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = names.map { n =>
       val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val min2 = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val ref = reference.getOrElse(n, -1.0)
+      val stalled = min2 > 0 && ref > 0 && min2 > 3 * ref && min2 - ref > 1.0
+      val finalT =
+        if (!stalled) min2
+        else {
+          val gc0 = gcMillis
+          val c = runOnce(n)
+          System.err.println(f"[bench-stall] $n two-run min $min2%.3f s vs " +
+            f"committed $ref%.3f s; third run $c%.3f s " +
+            s"(gc_delta_ms=${gcMillis - gc0}, codecache_used_mb=$codeCacheUsedMb)")
+          val t = if (c < 0) min2 else math.min(min2, c)
+          stalls += n -> ((ref, min2, t))
+          t
+        }
+      n -> finalT
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(rs: Seq[(String, Double)]): String =
@@ -60,9 +107,16 @@ object Bench {
 
     // Full per-query timings → file (the driver keeps only a ~2000-char
     // tail of stdout, so the 123-entry map cannot ride the stdout line).
+    // "stalls" records every third-run retry: [committed ref, two-run
+    // min, final] — when a driver-run total comes in hot, this is the
+    // in-artifact attribution (stall absorbed vs genuine regression).
+    val stallsJson = stalls
+      .map { case (k, (r, m2, t)) => "\"" + k + s"""\":[${f(r)},${f(m2)},${f(t)}]""" }
+      .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""stalls":$stallsJson,""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"),
