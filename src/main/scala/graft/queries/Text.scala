@@ -315,20 +315,10 @@ object Text extends QueryPack {
     Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Golden-file oracle: one constant read_parquet branch per scale
-    * factor, selected by the deterministic lineitem row count (6e3 /
-    * 6e4 / 6e5 — documents alone can't dispatch: sf0.001 and sf0.01
-    * both hold 500 docs). Constant table-function args keep DuckDB
-    * happy; the dead branches scan nothing after the count filter. */
-  private def goldenSql(name: String, cols: String): String =
-    Seq("0.001" -> 6000, "0.01" -> 60000, "0.1" -> 600000)
-      .map { case (sf, n) =>
-        s"""SELECT $cols FROM read_parquet('/root/repo/golden/$name/sf$sf.parquet')
-           WHERE (SELECT count(*) FROM lineitem) = $n""" }
-      .mkString("\nUNION ALL\n") + "\nORDER BY id_a, id_b"
-
-  private val q343Sql = goldenSql("q343_minhash_scale", "id_a, id_b, est_jaccard")
-  private val q344Sql = goldenSql("q344_simhash_scale", "id_a, id_b, hamming")
+  private val q343Sql =
+    GoldenOracle.sql("q343_minhash_scale", "id_a, id_b, est_jaccard", "id_a, id_b")
+  private val q344Sql =
+    GoldenOracle.sql("q344_simhash_scale", "id_a, id_b, hamming", "id_a, id_b")
 
   override val queries: Map[String, QueryFn] = Map(
     "q21_token_stats"    -> q21 _,

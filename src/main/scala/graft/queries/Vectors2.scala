@@ -120,11 +120,44 @@ object Vectors2 extends QueryPack {
        SELECT bucket, id_a, id_b, round(cos, 6) AS cos
        FROM p WHERE cos >= 0.3 ORDER BY bucket, id_a, id_b"""
 
+  // --------------------------------------------------------------- q346
+  /** The FULL semantic-dedup production composition: KMeans.fit trains
+    * the coarse quantizer (k=8, 3 Lloyd iterations, deterministic md5
+    * init) and its centroids drive semanticDedup's bucket blocking —
+    * q345's shape with a LEARNED quantizer instead of the vec_id<16
+    * stand-in, closing the KMeans→semanticDedup composition end-to-end
+    * under a driver-green row (KMeansSpec pins the fit itself; q345
+    * pins the dedup with fixed centroids).
+    *
+    * Fitted centroids are ROUNDED to 6 dp before use: Lloyd's mean
+    * aggregation sums doubles in shuffle-arrival order, so the raw fit
+    * is only last-ulp-stable — rounding makes every downstream dot
+    * product bit-deterministic across session configs, which is what
+    * lets a committed golden snapshot serve as the DuckDB oracle
+    * (DuckDB can't replay the FP-order-sensitive fit itself). */
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    val (cent, _) = graft.operators.KMeans.fit(all, "vec_id", "embedding",
+        k = 8, iters = 3)
+    val rounded = cent.select(col("centroid_id"),
+        transform(col("centroid"), x => round(x, 6)).as("embedding"))
+    Similarity.semanticDedup(all, "vec_id", "embedding",
+        centroids = rounded, centroidIdCol = "centroid_id", threshold = 0.3)
+      .select(col("bucket"), col("id_a"), col("id_b"),
+              round(col("cos"), 6).as("cos"))
+      .orderBy(col("bucket"), col("id_a"), col("id_b"))
+  }
+
+  private val q346Sql = GoldenOracle.sql("q346_kmeans_semdedup",
+    "bucket, id_a, id_b, cos", "bucket, id_a, id_b")
+
   override val queries: Map[String, QueryFn] = Map(
     "q60_ivf_ann" -> q60 _,
-    "q345_semantic_dedup" -> q345 _)
+    "q345_semantic_dedup" -> q345 _,
+    "q346_kmeans_semdedup" -> q346 _)
 
   override val oracles: Map[String, String] = Map(
     "q60_ivf_ann" -> q60Sql,
-    "q345_semantic_dedup" -> q345Sql)
+    "q345_semantic_dedup" -> q345Sql,
+    "q346_kmeans_semdedup" -> q346Sql)
 }

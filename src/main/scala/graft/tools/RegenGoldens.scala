@@ -27,7 +27,8 @@ object RegenGoldens {
   /** Queries whose oracle is a golden-file compare, with the scale
     * factors the driver may verify at (t1 smoke sf0.001, t2 correctness
     * sf0.01, bench sf0.1 — TESTDATA.md). */
-  val goldenQueries: Seq[String] = Seq("q343_minhash_scale", "q344_simhash_scale")
+  val goldenQueries: Seq[String] =
+    Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup")
   val sfs: Seq[String] = Seq("0.001", "0.01", "0.1")
 
   def goldenFile(name: String, sf: String): String =
