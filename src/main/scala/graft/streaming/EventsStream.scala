@@ -14,6 +14,31 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Partition count for finite-drain demo/verify queries. Stateful
+    * micro-batches pay a fixed per-partition cost every commit (one
+    * state-store task + checkpoint delta file per partition per
+    * stateful operator — a stream-stream join carries four stores), so
+    * a 60k-row drain at the session's 32 shuffle partitions spends its
+    * wall-clock on state bookkeeping, not data; this is also the cost
+    * that balloons first under ambient memory/IO pressure (the r6
+    * driver bench's 7-8 s streaming tail). 8 partitions cuts that fixed
+    * cost 4× while leaving values untouched (state partitioning never
+    * affects results). A production deployment sizes this to throughput
+    * instead — the knob is per-query, not a global session setting. */
+  val DrainPartitions = 8
+
+  /** Runs `body` (plan + start + drain of a streaming query) with
+    * spark.sql.shuffle.partitions temporarily lowered to
+    * [[DrainPartitions]] — the conf is read at query START, so wrapping
+    * the whole build+drain is sufficient and the session value is
+    * restored for whatever runs next. */
+  def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, DrainPartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Schema of the current driver testdata's events.parquet (`ts` is
     * TIMESTAMP_MICROS isAdjustedToUTC=0 → TIMESTAMP_NTZ). Tests use this
     * to batch-read and re-stage event files; the streaming reader itself
@@ -50,7 +75,7 @@ object EventsStream {
     * `complete` mode + memory sink: every window is emitted once the
     * (finite) file stream drains, so the result equals the batch agg. */
   def windowedAggToMemory(spark: SparkSession, dir: String,
-                          queryName: String): DataFrame = {
+                          queryName: String): DataFrame = withDrainPartitions(spark) {
     val agg = readEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
@@ -73,7 +98,7 @@ object EventsStream {
     * emits every session, so the result equals batch session_window
     * (q87's oracled shape) — pinned in StreamingSessionWindowSpec. */
   def sessionWindowToMemory(spark: SparkSession, dir: String,
-                            queryName: String): DataFrame = {
+                            queryName: String): DataFrame = withDrainPartitions(spark) {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -100,7 +125,7 @@ object EventsStream {
     * draining the finite file stream therefore yields exactly the batch
     * join, which is the DuckDB oracle (q61). */
   def streamStreamJoinToMemory(spark: SparkSession, dir: String,
-                               queryName: String): DataFrame = {
+                               queryName: String): DataFrame = withDrainPartitions(spark) {
     val purchases = readEvents(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -134,7 +159,7 @@ object EventsStream {
     * drained stream equals the batch join and shares a DuckDB oracle
     * (q117). */
   def streamStaticEnrichToMemory(spark: SparkSession, dir: String,
-                                 queryName: String): DataFrame = {
+                                 queryName: String): DataFrame = withDrainPartitions(spark) {
     val static = graft.Tables(spark, dir)("events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id").as("s_user_id"))
@@ -167,7 +192,7 @@ object EventsStream {
     * StreamingSpec). */
   def streamStreamLeftJoinToMemory(spark: SparkSession, dir: String,
                                    queryName: String,
-                                   glob: String = "events.parquet"): DataFrame = {
+                                   glob: String = "events.parquet"): DataFrame = withDrainPartitions(spark) {
     val purchases = readEvents(spark, dir, glob)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -199,7 +224,7 @@ object EventsStream {
     * window, so the result equals a global batch distinct (q62's
     * oracle aggregates the sink table). */
   def streamDedupToMemory(spark: SparkSession, dir: String,
-                          queryName: String): DataFrame = {
+                          queryName: String): DataFrame = withDrainPartitions(spark) {
     val deduped = readEvents(spark, dir)
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -218,7 +243,7 @@ object EventsStream {
     * batch overwrites the same path instead of duplicating, which is
     * exactly-once delivery for object-store sinks. */
   def foreachBatchToParquet(spark: SparkSession, dir: String,
-                            outDir: String): Unit = {
+                            outDir: String): Unit = withDrainPartitions(spark) {
     val q = readEvents(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))

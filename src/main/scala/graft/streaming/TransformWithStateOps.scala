@@ -156,7 +156,8 @@ object TransformWithStateOps extends Serializable {
     * matching `SELECT user_id, count(*), sum(value),
     * count(DISTINCT event_type) … GROUP BY user_id`. */
   def runningUserProfileToMemory(spark: SparkSession, dir: String,
-                                 queryName: String): DataFrame = {
+                                 queryName: String): DataFrame =
+      EventsStream.withDrainPartitions(spark) {
     // transformWithState requires the RocksDB state store provider.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
