@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document exact-substring duplicate detection — the k-gram
+  * merge formulation of suffix-array training-data dedup (Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better"):
+  * any word k-gram that occurs more than once in the corpus marks a
+  * duplicated window, and the union of overlapping/adjacent duplicated
+  * windows per document is a maximal duplicated span.
+  *
+  * This is exactly the substring criterion the suffix-array approach
+  * computes, re-expressed relationally so it shuffles instead of
+  * building a global in-memory suffix array (which does not exist at
+  * 100 TB):
+  *
+  *   1. tokenize per row (narrow, no shuffle);
+  *   2. one gram per (doc, offset) via posexplode — the gram itself is
+  *      immediately collapsed to a 16-hex-char hash prefix so the
+  *      exploded relation and the shuffle that follows carry ~24 bytes
+  *      per token, never the text;
+  *   3. one hash-agg on the gram key finds grams with corpus count ≥ 2
+  *      (map-side partial aggregation eats the unique-gram mass — the
+  *      overwhelming majority — before the exchange);
+  *   4. a second shuffle joins the surviving duplicated gram keys back
+  *      to (doc, offset) — AQE handles the skewed super-common grams;
+  *   5. per-doc interval union via one window pass: window starts p₁<p₂
+  *      chain into one span iff p₂ − p₁ ≤ k (⇔ [p₂, p₂+k−1] overlaps or
+  *      touches the chain's end), so `lag` + running sum give maximal
+  *      spans without any interval-merge loop.
+  *
+  * Hash choice is the caller's: md5-prefix for DuckDB-matchable oracle
+  * queries, xxhash64 for the production path (same plan shape; the
+  * 64-bit key halves shuffle width). A 16-hex md5 prefix (64 bits) has
+  * ~2⁻³² collision mass at a billion distinct grams — collisions only
+  * ever ADD a candidate window, and only matter at all if two colliding
+  * grams are each singletons, so the span output is robust to them.
+  *
+  * Reference scope: the reference repo has only whole-row dedup
+  * (`exceptAll`, `dropDuplicates` — Capstone notebook cell 17); this
+  * operator is part of the LLM-pipeline extension surface alongside
+  * MinHash/SimHash/semantic dedup in [[Dedup]] and [[Similarity]].
+  */
+object SubstringDedup {
+
+  /** Shared tokenizer (identical to the q300 boilerplate family so the
+    * gram universe is consistent across text operators). */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z]+"), w => length(w) > 0)
+
+  /** 64-bit md5 prefix of a gram — matches DuckDB's
+    * `substring(md5(x), 1, 16)` bit-for-bit (both emit lowercase hex). */
+  def md5Gram(gram: Column): Column = substring(md5(gram), 1, 16)
+
+  /** xxhash64 gram key — the production-scale variant (no DuckDB twin). */
+  def xxGram(gram: Column): Column = xxhash64(gram)
+
+  /** Maximal duplicated spans per document.
+    *
+    * Output: (idCol, start_tok, end_tok, span_toks) — token offsets are
+    * 0-based inclusive over the [[tokens]] tokenization; span_toks =
+    * end − start + 1. Only documents containing at least one duplicated
+    * window appear.
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String, k: Int,
+            gramKey: Column => Column = md5Gram): DataFrame = {
+    require(k >= 2, s"substring window k=$k must be >= 2")
+    val toked = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    // (doc, 0-based window offset, gram key); sequence index i IS the
+    // offset, so posexplode's position column equals it directly.
+    val grams = toked.select(
+      col(idCol),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gram")))
+    // Corpus-duplicated gram keys: total occurrences >= 2 (counts
+    // within-doc repetition too — self-repeated boilerplate is just as
+    // duplicated as cross-doc text, matching the suffix-array criterion).
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("gram")
+    val hits = grams.join(dup, "gram").select(col(idCol), col("pos"))
+    // Interval union in one window pass (see scaladoc for the p2-p1<=k
+    // chaining proof).
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("newrun",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("run", sum("newrun").over(w))
+      .groupBy(col(idCol), col("run"))
+      .agg(min("pos").as("start_tok"),
+           (max("pos") + (k - 1)).as("end_tok"))
+      .withColumn("span_toks", col("end_tok") - col("start_tok") + 1)
+      .drop("run")
+  }
+
+  /** Per-document duplicated-mass profile over [[spans]]: span count,
+    * duplicated token mass, total tokens, duplicated fraction. Only
+    * documents with >= 1 span appear (join back against the tokenized
+    * side, which stays narrow). */
+  def profile(docs: DataFrame, idCol: String, textCol: String, k: Int,
+              gramKey: Column => Column = md5Gram): DataFrame = {
+    val nTok = docs.select(col(idCol),
+      size(tokens(col(textCol))).as("n_toks"))
+    spans(docs, idCol, textCol, k, gramKey)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+           sum("span_toks").as("dup_toks"))
+      .join(nTok, idCol)
+      .withColumn("dup_frac",
+        round(col("dup_toks").cast("double") / col("n_toks"), 6))
+  }
+}

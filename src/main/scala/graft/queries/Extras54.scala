@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.SubstringDedup
+
+/** Round-7 pack: exact-substring (suffix-array-criterion) dedup — the
+  * one training-data dedup mode the engine did not yet expose next to
+  * exact/MinHash/SimHash/semantic/line-level. All three queries drive
+  * [[graft.operators.SubstringDedup]] with the md5-prefix gram key so
+  * DuckDB can recompute them bit-for-bit; the xxhash64 production key
+  * is pinned equal-shape by SubstringDedupSpec.
+  */
+object Extras54 extends QueryPack {
+
+  private val K = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("documents")
+
+  /** Shared oracle CTE prefix: tokenize → gram keys → duplicated grams
+    * → per-doc maximal spans, mirroring SubstringDedup.spans exactly
+    * (same tokenizer as the q300 family; same md5-prefix gram key; the
+    * p2−p1≤k window chaining is the interval union — see the operator
+    * scaladoc for the proof). */
+  private val spansCte =
+    s"""WITH toks AS (
+         SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                  w -> w <> '') AS t
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i AS pos,
+                substring(md5(array_to_string(t[i + 1:i + $K], ' ')), 1, 16)
+                  AS gram
+         FROM toks, unnest(generate_series(0, len(t) - $K)) AS u(i)
+         WHERE len(t) >= $K),
+       dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+       hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos) <= $K
+                     THEN 0 ELSE 1 END AS newrun
+         FROM hits),
+       runs AS (
+         SELECT doc_id, pos,
+                sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+         FROM marked),
+       spans AS (
+         SELECT doc_id, min(pos) AS start_tok,
+                max(pos) + ($K - 1) AS end_tok,
+                max(pos) + ($K - 1) - min(pos) + 1 AS span_toks
+         FROM runs GROUP BY doc_id, run)"""
+
+  // --------------------------------------------------------------- q348
+  /** Per-document duplicated-substring profile: maximal duplicated-span
+    * count, duplicated token mass, and duplicated fraction. The 100 TB
+    * shape is two gram-key shuffles (dedup-count + back-join) over a
+    * ~24-byte-per-token relation — never the text — then one per-doc
+    * window pass; see SubstringDedup scaladoc. */
+  private def q348(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.profile(docs(s, dir), "doc_id", "text", K)
+      .select(col("doc_id"),
+        col("n_spans").cast("long").as("n_spans"),
+        col("dup_toks").cast("long").as("dup_toks"),
+        col("n_toks").cast("long").as("n_toks"),
+        col("dup_frac"))
+      .orderBy("doc_id")
+
+  private val q348Sql =
+    s"""$spansCte,
+       ntok AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(sum(span_toks) AS BIGINT) AS dup_toks,
+              CAST(any_value(n_toks) AS BIGINT) AS n_toks,
+              round(CAST(sum(span_toks) AS DOUBLE) / any_value(n_toks), 6)
+                AS dup_frac
+       FROM spans JOIN ntok USING (doc_id)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- q349
+  /** Top-20 longest maximal duplicated spans corpus-wide — the audit
+    * view an operator of the dedup pipeline looks at first. Total order
+    * (span desc, doc, start) so the limit boundary is deterministic. */
+  private def q349(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.spans(docs(s, dir), "doc_id", "text", K)
+      .select(col("doc_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        col("span_toks").cast("long").as("span_toks"))
+      .orderBy(col("span_toks").desc, col("doc_id"), col("start_tok"))
+      .limit(20)
+
+  private val q349Sql =
+    s"""$spansCte
+       SELECT doc_id,
+              CAST(start_tok AS BIGINT) AS start_tok,
+              CAST(end_tok AS BIGINT) AS end_tok,
+              CAST(span_toks AS BIGINT) AS span_toks
+       FROM spans
+       ORDER BY span_toks DESC, doc_id, start_tok LIMIT 20"""
+
+  // --------------------------------------------------------------- q350
+  /** Per-source retention if every duplicated span were cut (the Lee et
+    * al. removal policy): token mass before/after and the kept
+    * fraction. Docs without spans retain everything — hence the left
+    * join against the narrow per-doc token counts. */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nTok = d.select(col("source"), col("doc_id"),
+      size(SubstringDedup.tokens(col("text"))).as("n_toks"))
+    val dup = SubstringDedup.spans(d, "doc_id", "text", K)
+      .groupBy("doc_id").agg(sum("span_toks").as("dup_toks"))
+    nTok.join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_toks").cast("long").as("toks_before"),
+        (sum("n_toks") - sum("dup_toks")).cast("long").as("toks_after"))
+      .withColumn("retention",
+        round(col("toks_after").cast("double") / col("toks_before"), 6))
+      .orderBy("source")
+  }
+
+  private val q350Sql =
+    s"""$spansCte,
+       dupdoc AS (
+         SELECT doc_id, sum(span_toks) AS dup_toks FROM spans GROUP BY 1),
+       per_doc AS (
+         SELECT source, len(t) AS n_toks,
+                coalesce(dup_toks, 0) AS dup_toks
+         FROM toks LEFT JOIN dupdoc USING (doc_id))
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS toks_before,
+              CAST(sum(n_toks) - sum(dup_toks) AS BIGINT) AS toks_after,
+              round(CAST(sum(n_toks) - sum(dup_toks) AS DOUBLE)
+                / sum(n_toks), 6) AS retention
+       FROM per_doc GROUP BY source ORDER BY source"""
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q348_substring_profile"   -> q348 _,
+    "q349_substring_topspans"  -> q349 _,
+    "q350_substring_retention" -> q350 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q348_substring_profile"   -> q348Sql,
+    "q349_substring_topspans"  -> q349Sql,
+    "q350_substring_retention" -> q350Sql)
+}
