@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *      immediately collapsed to a 16-hex-char hash prefix so the
   *      exploded relation and the shuffle that follows carry ~24 bytes
   *      per token, never the text;
-  *   3. one hash-agg on the gram key finds grams with corpus count ≥ 2
-  *      (map-side partial aggregation eats the unique-gram mass — the
-  *      overwhelming majority — before the exchange);
-  *   4. a second shuffle joins the surviving duplicated gram keys back
-  *      to (doc, offset) — AQE handles the skewed super-common grams;
-  *   5. per-doc interval union via one window pass: window starts p₁<p₂
+  *   3. ONE shuffle on the gram key: a whole-partition window count
+  *      tags every (doc, offset) with its gram's corpus count in the
+  *      same exchange that a count-aggregate would need, where the
+  *      agg-then-join-back formulation would shuffle the gram relation
+  *      twice and recompute the explode subtree for the probe side;
+  *      rows with count < 2 (the overwhelming majority) are dropped
+  *      right after;
+  *   4. per-doc interval union via one window pass: window starts p₁<p₂
   *      chain into one span iff p₂ − p₁ ≤ k (⇔ [p₂, p₂+k−1] overlaps or
   *      touches the chain's end), so `lag` + running sum give maximal
   *      spans without any interval-merge loop.
@@ -78,16 +80,22 @@ object SubstringDedup {
         sequence(lit(0), size(col("toks")) - k),
         i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("pos", "gram")))
-    // Corpus-duplicated gram keys: total occurrences >= 2 (counts
-    // within-doc repetition too — self-repeated boilerplate is just as
-    // duplicated as cross-doc text, matching the suffix-array criterion).
-    val dup = grams.groupBy("gram")
-      .agg(count(lit(1)).as("c"))
+    // Corpus-duplicated window starts: total gram occurrences >= 2
+    // (counts within-doc repetition too — self-repeated boilerplate is
+    // just as duplicated as cross-doc text, matching the suffix-array
+    // criterion). A whole-partition window count shuffles the gram
+    // relation ONCE, where the groupBy-then-join-back formulation would
+    // shuffle it twice and recompute the tokenize/explode subtree for
+    // the probe side.
+    val hits = grams
+      .withColumn("c",
+        count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("c") >= 2)
-      .select("gram")
-    val hits = grams.join(dup, "gram").select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
     // Interval union in one window pass (see scaladoc for the p2-p1<=k
-    // chaining proof).
+    // chaining proof). The closing groupBy keys on (id, run), which the
+    // doc-window's hash(id) partitioning already clusters — no third
+    // exchange.
     val w = Window.partitionBy(idCol).orderBy("pos")
     hits
       .withColumn("newrun",

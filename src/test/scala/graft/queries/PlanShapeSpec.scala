@@ -130,6 +130,18 @@ class PlanShapeSpec extends GraftTestBase {
     assert(shuffles(p) <= 5, s"saw ${shuffles(p)} exchanges")
   }
 
+  test("substring-dedup spans shuffle the gram relation exactly once") {
+    // q348: gram-window exchange + doc-window exchange + output sort =
+    // 3. The (id, run) span aggregate must ride the doc window's
+    // hash(id) partitioning, and the agg-then-join-back shape (two gram
+    // shuffles + explode recompute) must not come back; the per-doc
+    // token-count join stays broadcast.
+    val p = plan("q348_substring_profile")
+    assert(shuffles(p) <= 3, s"saw ${shuffles(p)} exchanges")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "n_toks join lost its broadcast")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
