@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SubstringDedup
+import graft.operators.{HashSampleQuantiles, SubstringDedup}
 
 /** Round-7 pack: exact-substring (suffix-array-criterion) dedup — the
   * one training-data dedup mode the engine did not yet expose next to
@@ -142,13 +142,87 @@ object Extras54 extends QueryPack {
                 / sum(n_toks), 6) AS retention
        FROM per_doc GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q351
+  /** Deterministic quantile-sketch audit: bottom-k hash-sample
+    * estimates (the order-independent mergeable sketch — see
+    * [[graft.operators.HashSampleQuantiles]] for why GK/approx_percentile
+    * cannot be value-pinned) vs the exact percentiles, with each
+    * estimate's EXACT rank recomputed over the full column so the
+    * output certifies its own error: abs_rank_err stays inside the
+    * DKW-style 0.05 band for k=1024. At 100 TB only the sketch side
+    * runs (per-partition top-k heaps + k-row merge); the exact side is
+    * the audit-only truth. */
+  private val qList = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+  private val sampleK = 1024
+
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir)("lineitem")
+    val sample = HashSampleQuantiles.bottomKSample(li,
+      col("l_extendedprice"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")), sampleK)
+    val est = HashSampleQuantiles.sampleQuantiles(sample, sampleK, qList)
+    val exact = li
+      .agg(expr(s"percentile(l_extendedprice, array(${qList.map(q => s"${q}D").mkString(", ")}))")
+        .as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "exact_p")))
+      .withColumn("q", element_at(array(qList.map(lit): _*), col("i") + 1))
+      .select("q", "exact_p")
+    val rank = li.select(col("l_extendedprice").as("p"))
+      .crossJoin(broadcast(est))
+      .groupBy("q", "est_p")
+      .agg((sum(when(col("p") <= col("est_p"), 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("rank_frac"))
+    rank.join(broadcast(exact), Seq("q"))
+      .select(col("q"),
+        round(col("est_p"), 2).as("est_p"),
+        round(col("exact_p"), 4).as("exact_p"),
+        round(col("rank_frac"), 6).as("rank_frac"),
+        round(abs(col("rank_frac") - col("q")), 6).as("abs_rank_err"),
+        when(abs(col("rank_frac") - col("q")) <= 0.05, 1).otherwise(0)
+          .cast("int").as("within_bound"))
+      .orderBy("q")
+  }
+
+  private val q351Sql = {
+    val qsSql = qList.map(q => s"$q").mkString(", ")
+    val targets = qList
+      .map(q => s"($q, ${math.ceil(q * sampleK).toInt})").mkString(", ")
+    s"""WITH li AS (
+         SELECT l_extendedprice AS p,
+                md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                    CAST(l_linenumber AS VARCHAR)) AS h
+         FROM lineitem),
+       samp AS (SELECT p AS v FROM li ORDER BY h, p LIMIT $sampleK),
+       ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM samp),
+       qs AS (SELECT * FROM (VALUES $targets) AS t(q, rk)),
+       est AS (SELECT q, v AS est_p FROM ranked JOIN qs ON r = rk),
+       ex AS (SELECT quantile_cont(p, [$qsSql]) AS ps FROM li),
+       exact AS (
+         SELECT [$qsSql][i] AS q, ps[i] AS exact_p
+         FROM ex, unnest(generate_series(1, ${qList.size})) AS t(i)),
+       rnk AS (
+         SELECT q, est_p,
+                CAST(sum(CASE WHEN li.p <= est_p THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS rank_frac
+         FROM li CROSS JOIN est GROUP BY q, est_p)
+       SELECT q, round(est_p, 2) AS est_p,
+              round(exact_p, 4) AS exact_p,
+              round(rank_frac, 6) AS rank_frac,
+              round(abs(rank_frac - q), 6) AS abs_rank_err,
+              CAST(CASE WHEN abs(rank_frac - q) <= 0.05 THEN 1 ELSE 0 END
+                AS INT) AS within_bound
+       FROM rnk JOIN exact USING (q) ORDER BY q"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
-    "q350_substring_retention" -> q350 _)
+    "q350_substring_retention" -> q350 _,
+    "q351_quantile_sketch"     -> q351 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
     "q349_substring_topspans"  -> q349Sql,
-    "q350_substring_retention" -> q350Sql)
+    "q350_substring_retention" -> q350Sql,
+    "q351_quantile_sketch"     -> q351Sql)
 }
