@@ -109,9 +109,15 @@ object Dedup {
     * est_jaccard — two small hash joins on id against the per-doc
     * signatures instead of a k×-heavier band exchange. Same result set,
     * orders of magnitude less shuffle at 100 TB. */
-  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
-                        threshold: Double,
-                        hashBandKeys: Boolean = true): DataFrame = {
+  /** Per-doc LSH band rows (id, band_idx, band_key[, sig]) from a
+    * signature frame — the narrow relation every banded-LSH consumer
+    * joins on. `carrySig` keeps the k-slot signature in the row for
+    * consumers that cannot re-join against their own side (a streaming
+    * source is not joinable with itself); batch paths leave it off so
+    * the exchange stays (id, band_idx, band_key)-narrow. */
+  def bandRows(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+               hashBandKeys: Boolean = true,
+               carrySig: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     // band key: xxhash64 of the slice (narrow fixed-width shuffle key —
@@ -122,15 +128,21 @@ object Dedup {
         slice(col("sig"), bnd * lit(r) + lit(1), lit(r)).cast("array<string>"))
       if (hashBandKeys) xxhash64(s, bnd) else s
     }
-    val bandRows = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), key(_))))
+    val base = if (carrySig) Seq(col(idCol), col("sig")) else Seq(col(idCol))
+    sigs.select(base :+
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), key(_))): _*)
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    val candidates = bandRows.select(col(idCol).as("id_a"),
-                                     col("band_idx"), col("band_key"))
-      .join(bandRows.select(col(idCol).as("id_b"),
-                            col("band_idx"), col("band_key")),
+  }
+
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                        threshold: Double,
+                        hashBandKeys: Boolean = true): DataFrame = {
+    val bandRowsDf = bandRows(sigs, idCol, k, bands, hashBandKeys)
+    val candidates = bandRowsDf.select(col(idCol).as("id_a"),
+                                       col("band_idx"), col("band_key"))
+      .join(bandRowsDf.select(col(idCol).as("id_b"),
+                              col("band_idx"), col("band_key")),
             Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -214,15 +214,66 @@ object Extras54 extends QueryPack {
        FROM rnk JOIN exact USING (q) ORDER BY q"""
   }
 
+  // --------------------------------------------------------------- q352
+  /** Streaming near-dup gate: the ingestion-time MinHash shape — static
+    * corpus distilled once into signatures + banded keys, each arriving
+    * micro-batch probes it with two broadcast stream-static joins (see
+    * [[graft.streaming.StreamNearDup]]). md5 family end-to-end, so the
+    * DuckDB oracle replays the flagged pair set exactly. */
+  private def q352(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamNearDup
+      .gateToMemory(s, dir, queryName = "q352_gate_out")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+      .orderBy("in_id", "idx_id")
+
+  private val q352Sql = {
+    import graft.functions.expressions.MinHashSignature
+    val P = MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val agree = (1 to 16)
+      .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH d AS (
+         SELECT doc_id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+               i -> substring(text, i, 5))),
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 5),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM d),
+       bands AS (
+         SELECT doc_id, sig, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS idx_id,
+           a.sig AS sig_a, b.sig AS sig_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         WHERE a.doc_id % 10 = 5 AND b.doc_id % 10 = 0),
+       est AS (SELECT in_id, idx_id, ($agree) / 16.0 AS e FROM pairs)
+       SELECT in_id, idx_id, round(e, 6) AS est_jaccard
+       FROM est WHERE e >= 0.2 ORDER BY in_id, idx_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
     "q350_substring_retention" -> q350 _,
-    "q351_quantile_sketch"     -> q351 _)
+    "q351_quantile_sketch"     -> q351 _,
+    "q352_stream_neardup"      -> q352 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
     "q349_substring_topspans"  -> q349Sql,
     "q350_substring_retention" -> q350Sql,
-    "q351_quantile_sketch"     -> q351Sql)
+    "q351_quantile_sketch"     -> q351Sql,
+    "q352_stream_neardup"      -> q352Sql)
 }
