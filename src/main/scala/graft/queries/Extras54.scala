@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{HashSampleQuantiles, SubstringDedup}
+import graft.operators.{Anonymize, HashSampleQuantiles, SubstringDedup}
 
 /** Round-7 pack: exact-substring (suffix-array-criterion) dedup — the
   * one training-data dedup mode the engine did not yet expose next to
@@ -263,17 +263,105 @@ object Extras54 extends QueryPack {
        FROM est WHERE e >= 0.2 ORDER BY in_id, idx_id"""
   }
 
+  // --------------------------------------------------------------- q353
+  /** k-anonymity audit + suppression over customer quasi-identifiers
+    * (nation, market segment, account-balance k$-bucket): per nation,
+    * how many rows sit in groups smaller than k=5 and how many survive
+    * suppression. One shuffle on the qid; the at-risk group list is the
+    * tail of the group-size distribution, so the suppression anti-join
+    * broadcasts (see [[graft.operators.Anonymize]]). */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val qids = Seq("c_nationkey", "c_mktsegment", "bal_kb")
+    val c = Tables(s, dir)("customer")
+      .withColumn("bal_kb", floor(col("c_acctbal") / 1000))
+    val prof = Anonymize.kAnonymityProfile(c, qids, 5)
+    val byNation = prof.groupBy("c_nationkey")
+      .agg(sum("group_n").cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum("at_risk").cast("long").as("risk_groups"),
+        sum(when(col("at_risk") === 1, col("group_n")).otherwise(0L))
+          .cast("long").as("risk_rows"))
+    val released = Anonymize.kSuppress(c, qids, 5)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("long").as("released_rows"))
+    byNation.join(released, Seq("c_nationkey"), "left")
+      .na.fill(0L, Seq("released_rows"))
+      .withColumn("risk_share",
+        round(col("risk_rows").cast("double") / col("n_rows"), 6))
+      .orderBy("c_nationkey")
+  }
+
+  private val q353Sql =
+    """WITH c AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+         FROM customer),
+       prof AS (
+         SELECT c_nationkey, c_mktsegment, bal_kb,
+                count(*) AS group_n,
+                CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS at_risk
+         FROM c GROUP BY 1, 2, 3),
+       by_nation AS (
+         SELECT c_nationkey,
+                CAST(sum(group_n) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(at_risk) AS BIGINT) AS risk_groups,
+                CAST(sum(CASE WHEN at_risk = 1 THEN group_n ELSE 0 END)
+                  AS BIGINT) AS risk_rows
+         FROM prof GROUP BY 1)
+       SELECT c_nationkey, n_rows, n_groups, risk_groups, risk_rows,
+              CAST(n_rows - risk_rows AS BIGINT) AS released_rows,
+              round(CAST(risk_rows AS DOUBLE) / n_rows, 6) AS risk_share
+       FROM by_nation ORDER BY c_nationkey"""
+
+  // --------------------------------------------------------------- q354
+  /** Deterministic ε-DP count release per nation: Laplace(1/ε) noise
+    * from an md5-uniform inverse CDF, so the published statistic is
+    * auditable (same key + salt → same release; the oracle replays the
+    * noise bit-for-bit). ε=0.5, salt "r7". */
+  private def q354(s: SparkSession, dir: String): DataFrame =
+    Anonymize.dpCounts(Tables(s, dir)("customer"), "c_nationkey",
+        epsilon = 0.5, salt = "r7")
+      .withColumn("noise",
+        round(Anonymize.laplaceNoise(col("c_nationkey"), "r7", 2.0), 6))
+      .select(col("c_nationkey"), col("true_n").cast("long").as("true_n"),
+        col("released_n"), col("noise"))
+      .orderBy("c_nationkey")
+
+  private val q354Sql =
+    """WITH g AS (
+         SELECT c_nationkey, count(*) AS true_n FROM customer GROUP BY 1),
+       u AS (
+         SELECT c_nationkey, true_n,
+                ('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '-r7'),
+                  1, 8))::BIGINT / 4294967296.0 - 0.5 AS uc
+         FROM g),
+       n AS (
+         SELECT c_nationkey, true_n,
+                -2.0 * (CASE WHEN uc >= 0 THEN 1.0 ELSE -1.0 END)
+                  * ln(1.0 - 2.0 * abs(uc)) AS noise
+         FROM u)
+       SELECT c_nationkey, CAST(true_n AS BIGINT) AS true_n,
+              greatest(0, CAST(round(true_n + noise, 0) AS BIGINT))
+                AS released_n,
+              round(noise, 6) AS noise
+       FROM n ORDER BY c_nationkey"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
     "q350_substring_retention" -> q350 _,
     "q351_quantile_sketch"     -> q351 _,
-    "q352_stream_neardup"      -> q352 _)
+    "q352_stream_neardup"      -> q352 _,
+    "q353_k_anonymity"         -> q353 _,
+    "q354_dp_release"          -> q354 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
     "q349_substring_topspans"  -> q349Sql,
     "q350_substring_retention" -> q350Sql,
     "q351_quantile_sketch"     -> q351Sql,
-    "q352_stream_neardup"      -> q352Sql)
+    "q352_stream_neardup"      -> q352Sql,
+    "q353_k_anonymity"         -> q353Sql,
+    "q354_dp_release"          -> q354Sql)
 }
