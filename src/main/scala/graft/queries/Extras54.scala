@@ -347,6 +347,68 @@ object Extras54 extends QueryPack {
               round(noise, 6) AS noise
        FROM n ORDER BY c_nationkey"""
 
+  // --------------------------------------------------------------- q355
+  /** Right-to-be-forgotten cascade audit: a deterministic deletion
+    * request list (md5 1/256 sample of customers — request lists are
+    * small by nature, hence the explicit broadcast) cascades through
+    * the FK chain customer → orders → lineitem; the audit reports rows
+    * touched per table. The order-key list derived mid-cascade is NOT
+    * broadcast-hinted: at 100 TB it is 1/256 of orders, so AQE picks
+    * shuffle-vs-broadcast from its runtime size. */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val delFlagC =
+      substring(md5(concat_ws("-", col("c_custkey"), lit("gdpr"))), 1, 2) === "00"
+    val c = t("customer").withColumn("del", delFlagC)
+    // distinct: the synthetic tables do not enforce PKs (duplicate keys
+    // would multiply rows through the left joins; IN-semantics don't)
+    val delCust = c.filter(col("del")).select(col("c_custkey").as("k"))
+      .distinct()
+    val o = t("orders")
+      .join(broadcast(delCust), col("o_custkey") === col("k"), "left")
+      .withColumn("del", col("k").isNotNull)
+    val delOrd = o.filter(col("del")).select(col("o_orderkey").as("k2"))
+      .distinct()
+    val l = t("lineitem")
+      .join(delOrd, col("l_orderkey") === col("k2"), "left")
+      .withColumn("del", col("k2").isNotNull)
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("del"), 1L).otherwise(0L)).cast("long").as("n_deleted"))
+        .withColumn("tbl", lit(name))
+    stat("customer", c).unionByName(stat("orders", o))
+      .unionByName(stat("lineitem", l))
+      .select(col("tbl"), col("n_rows"), col("n_deleted"),
+        round(col("n_deleted").cast("double") / col("n_rows"), 6)
+          .as("del_share"))
+      .orderBy("tbl")
+  }
+
+  private val q355Sql =
+    """WITH delc AS (
+         SELECT c_custkey FROM customer
+         WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '-gdpr'), 1, 2) = '00'),
+       delo AS (
+         SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       stats AS (
+         SELECT 'customer' AS tbl,
+                (SELECT count(*) FROM customer) AS n_rows,
+                (SELECT count(*) FROM delc) AS n_deleted
+         UNION ALL
+         SELECT 'lineitem',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+         UNION ALL
+         SELECT 'orders',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM delo))
+       SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_deleted AS BIGINT) AS n_deleted,
+              round(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS del_share
+       FROM stats ORDER BY tbl"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
@@ -354,7 +416,8 @@ object Extras54 extends QueryPack {
     "q351_quantile_sketch"     -> q351 _,
     "q352_stream_neardup"      -> q352 _,
     "q353_k_anonymity"         -> q353 _,
-    "q354_dp_release"          -> q354 _)
+    "q354_dp_release"          -> q354 _,
+    "q355_deletion_cascade"    -> q355 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
@@ -363,5 +426,6 @@ object Extras54 extends QueryPack {
     "q351_quantile_sketch"     -> q351Sql,
     "q352_stream_neardup"      -> q352Sql,
     "q353_k_anonymity"         -> q353Sql,
-    "q354_dp_release"          -> q354Sql)
+    "q354_dp_release"          -> q354Sql,
+    "q355_deletion_cascade"    -> q355Sql)
 }
