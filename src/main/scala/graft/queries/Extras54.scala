@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Anonymize, HashSampleQuantiles, SubstringDedup}
+import graft.operators.{Anonymize, HashSampleQuantiles, KmvDistinct, SubstringDedup}
 
 /** Round-7 pack: exact-substring (suffix-array-criterion) dedup — the
   * one training-data dedup mode the engine did not yet expose next to
@@ -409,6 +409,54 @@ object Extras54 extends QueryPack {
               round(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS del_share
        FROM stats ORDER BY tbl"""
 
+  // --------------------------------------------------------------- q356
+  /** KMV distinct-count audit: the deterministic cardinality sketch
+    * ((k−1)/h(k) over md5-uniform hashes, exact below k) vs the true
+    * distinct count per return flag — completing the oracle-replayable
+    * sketch ladder (CMS q325 / quantiles q351 / MinHash q26 / KMV here)
+    * next to the unpinnable built-ins (HLL q39, GK). */
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir)("lineitem")
+    val est = KmvDistinct.estimate(li, "l_returnflag", col("l_partkey"),
+      k = 256, salt = "kmv")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    est.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("exact_distinct").cast("long").as("exact_distinct"),
+        round(col("est_distinct"), 4).as("est_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct"))
+          / col("exact_distinct"), 6).as("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q356Sql =
+    """WITH d AS (
+         SELECT DISTINCT l_returnflag AS g, l_partkey AS v FROM lineitem),
+       h AS (
+         SELECT g, ('0x' || substr(md5(CAST(v AS VARCHAR) || '-kmv'), 1, 8))
+                  ::BIGINT / 4294967296.0 AS h
+         FROM d),
+       r AS (SELECT g, h,
+                    row_number() OVER (PARTITION BY g ORDER BY h) AS r
+             FROM h),
+       kk AS (
+         SELECT g, count(*) AS n_kept,
+                max(CASE WHEN r = 256 THEN h END) AS hk
+         FROM r WHERE r <= 256 GROUP BY g),
+       est AS (
+         SELECT g, CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                        ELSE 255.0 / hk END AS est
+         FROM kk),
+       ex AS (
+         SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact_distinct
+         FROM lineitem GROUP BY 1)
+       SELECT g AS l_returnflag,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct,
+              round(est, 4) AS est_distinct,
+              round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_err
+       FROM est JOIN ex USING (g) ORDER BY l_returnflag"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
@@ -417,7 +465,8 @@ object Extras54 extends QueryPack {
     "q352_stream_neardup"      -> q352 _,
     "q353_k_anonymity"         -> q353 _,
     "q354_dp_release"          -> q354 _,
-    "q355_deletion_cascade"    -> q355 _)
+    "q355_deletion_cascade"    -> q355 _,
+    "q356_kmv_distinct"        -> q356 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
@@ -427,5 +476,6 @@ object Extras54 extends QueryPack {
     "q352_stream_neardup"      -> q352Sql,
     "q353_k_anonymity"         -> q353Sql,
     "q354_dp_release"          -> q354Sql,
-    "q355_deletion_cascade"    -> q355Sql)
+    "q355_deletion_cascade"    -> q355Sql,
+    "q356_kmv_distinct"        -> q356Sql)
 }
