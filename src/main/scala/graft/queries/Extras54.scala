@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -457,6 +458,57 @@ object Extras54 extends QueryPack {
               round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_err
        FROM est JOIN ex USING (g) ORDER BY l_returnflag"""
 
+  // --------------------------------------------------------------- q357
+  /** Corpus datasheet ("Datasheets for Datasets"-style release table):
+    * per source — volume (docs, tokens), language spread (distinct +
+    * modal language), exact-dup rate (content-fingerprint), and length
+    * stats (mean chars, exact median). One grouped aggregate over the
+    * corpus plus a (source, lang) count for the modal language; every
+    * signal is the per-source rollup of an operator the engine already
+    * oracles individually. */
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(SubstringDedup.tokens(col("text")))).cast("long")
+        .as("total_tokens"),
+      countDistinct(col("lang")).cast("long").as("n_langs"),
+      round((count(lit(1)) - countDistinct(md5(col("text"))))
+        .cast("double") / count(lit(1)), 6).as("exact_dup_rate"),
+      round(avg(col("n_chars")), 2).as("mean_chars"),
+      round(expr("percentile(n_chars, 0.5D)"), 1).as("median_chars"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("lang"))
+    val topLang = d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(topLang, "source").orderBy("source")
+  }
+
+  private val q357Sql =
+    """WITH base AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  w -> w <> ''))) AS BIGINT) AS total_tokens,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                  / count(*), 6) AS exact_dup_rate,
+                round(avg(n_chars), 2) AS mean_chars,
+                round(quantile_cont(n_chars, 0.5), 1) AS median_chars
+         FROM documents GROUP BY source),
+       lc AS (
+         SELECT source, lang, count(*) AS n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY count(*) DESC, lang) AS rk
+         FROM documents GROUP BY source, lang)
+       SELECT b.*, lc.lang AS top_lang
+       FROM base b JOIN lc ON b.source = lc.source AND lc.rk = 1
+       ORDER BY b.source"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
@@ -466,7 +518,8 @@ object Extras54 extends QueryPack {
     "q353_k_anonymity"         -> q353 _,
     "q354_dp_release"          -> q354 _,
     "q355_deletion_cascade"    -> q355 _,
-    "q356_kmv_distinct"        -> q356 _)
+    "q356_kmv_distinct"        -> q356 _,
+    "q357_corpus_datasheet"    -> q357 _)
 
   override def oracles: Map[String, String] = Map(
     "q348_substring_profile"   -> q348Sql,
@@ -477,5 +530,6 @@ object Extras54 extends QueryPack {
     "q353_k_anonymity"         -> q353Sql,
     "q354_dp_release"          -> q354Sql,
     "q355_deletion_cascade"    -> q355Sql,
-    "q356_kmv_distinct"        -> q356Sql)
+    "q356_kmv_distinct"        -> q356Sql,
+    "q357_corpus_datasheet"    -> q357Sql)
 }

@@ -57,7 +57,11 @@ class CodegenHealthSpec extends GraftTestBase {
     "q333_sq8_error",       // quantization arithmetic
     "q343_minhash_scale",   // ShingleMinHash + MinHashFromHashes
     "q344_simhash_scale",   // TextSimHash
-    "q345_semantic_dedup"   // inlined-centroid argmax + DotProduct
+    "q345_semantic_dedup",  // inlined-centroid argmax + DotProduct
+    "q348_substring_profile", // gram-window substring dedup (round 7)
+    "q351_quantile_sketch",   // bottom-k sample + exact-percentile audit
+    "q354_dp_release",        // md5-uniform Laplace arithmetic
+    "q356_kmv_distinct"       // KMV estimator + WindowGroupLimit path
   )
 
   test("representative slice compiles clean: no codegen ERROR, no fallback") {
