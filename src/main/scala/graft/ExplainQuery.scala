@@ -15,7 +15,21 @@ object ExplainQuery {
     val names = if (name == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(name)
     names.foreach { n =>
       println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain(mode)
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain(mode)
+      // the two health counters the plan specs assert on
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case other => other
+      }
+      val nShuffle = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val nCodegen = p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.size
+      println(s"SHUFFLES=$nShuffle CODEGEN_SPANS=$nCodegen")
     }
     spark.stop()
   }

@@ -25,16 +25,12 @@ class SuiteIntegritySpec extends GraftTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("every registered query carries an oracle (minus the xxhash64 scale twins)") {
-    // q26/q27 run the production sketch pipelines with the md5 base-hash
-    // family (identical in DuckDB → true oracles). q343/q344 are the
-    // SAME pipelines on the xxhash64 scale hashes, registered so the
-    // driver benches the 100 TB path — DuckDB has no Spark-compatible
-    // xxhash64, so they get the contract's weaker rows-only check; their
-    // math is pinned by DedupSpec + the md5 twins + q43/q44.
-    val allowRowsOnly = Set("q343_minhash_scale", "q344_simhash_scale")
-    val unoracled =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowRowsOnly
+  test("every registered query carries an oracle — no rows-only checks left") {
+    // Since round 7 even the xxhash64 scale twins (q343/q344, which
+    // DuckDB cannot recompute) carry committed golden-parquet oracles
+    // (GoldenOracle.sql + RegenGoldens + GoldenScaleSpec freshness), so
+    // the set of oracle-less queries must stay EMPTY.
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled.isEmpty, s"oracle-less queries: $unoracled")
   }
 
