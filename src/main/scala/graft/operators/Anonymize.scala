@@ -53,11 +53,19 @@ object Anonymize {
     conv(substring(md5(concat_ws("-", key, lit(salt))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
-  /** Laplace(scale b) noise via inverse CDF over [[md5Uniform]]. */
+  /** Laplace(scale b) noise via inverse CDF over [[md5Uniform]]. The
+    * ln argument is floored at 2⁻³² (the uniform's own granularity):
+    * u = 0 exactly — probability 2⁻³² per key, a certainty across
+    * billions of release groups — would otherwise emit ±Infinity.
+    * Caps |noise| at 32·ln2·b ≈ 22·b, far outside any useful tail.
+    * NOTE: null keys hash as concat_ws skips them (the bare salt), so
+    * a null group still gets deterministic noise — but give release
+    * keys a non-null encoding if null is a real category. */
   def laplaceNoise(key: Column, salt: String, b: Double): Column = {
     val u = md5Uniform(key, salt) - lit(0.5)
     val sgn = when(u >= 0, 1.0).otherwise(-1.0)
-    -lit(b) * sgn * log(lit(1.0) - lit(2.0) * abs(u))
+    -lit(b) * sgn * log(greatest(lit(1.0) - lit(2.0) * abs(u),
+      lit(1.0 / 4294967296.0)))
   }
 
   /** ε-DP count release per group: true count + Laplace(1/ε) noise

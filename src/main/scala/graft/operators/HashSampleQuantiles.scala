@@ -41,6 +41,11 @@ object HashSampleQuantiles {
   def bottomKSample(df: DataFrame, valueCol: Column, sampleKey: Column,
                     k: Int): DataFrame =
     df.select(valueCol.as("v"), md5(sampleKey).as("h"))
+      // null values/keys are excluded: a quantile over nulls is
+      // undefined, and Spark sorts nulls FIRST where DuckDB sorts them
+      // LAST — admitting them would silently skew the cut differently
+      // per engine.
+      .filter(col("v").isNotNull && col("h").isNotNull)
       .orderBy("h", "v")
       .limit(k)
       .select("v")

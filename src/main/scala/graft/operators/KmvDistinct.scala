@@ -33,7 +33,11 @@ object KmvDistinct {
   def estimate(df: DataFrame, groupCol: String, valueCol: Column,
                k: Int, salt: String): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val d = df.select(col(groupCol), valueCol.as("v")).distinct()
+    // null values excluded: NULL is not a distinct value to a COUNT
+    // (DISTINCT ...) oracle, and a null hash would sort FIRST in Spark
+    // but LAST in DuckDB, shifting h(k) differently per engine.
+    val d = df.select(col(groupCol), valueCol.as("v"))
+      .filter(col("v").isNotNull).distinct()
       .withColumn("h", Anonymize.md5Uniform(col("v"), salt))
     val w = Window.partitionBy(groupCol).orderBy("h")
     d.withColumn("r", row_number().over(w))

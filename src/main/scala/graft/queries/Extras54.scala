@@ -340,7 +340,8 @@ object Extras54 extends QueryPack {
        n AS (
          SELECT c_nationkey, true_n,
                 -2.0 * (CASE WHEN uc >= 0 THEN 1.0 ELSE -1.0 END)
-                  * ln(1.0 - 2.0 * abs(uc)) AS noise
+                  * ln(greatest(1.0 - 2.0 * abs(uc),
+                                1.0 / 4294967296.0)) AS noise
          FROM u)
        SELECT c_nationkey, CAST(true_n AS BIGINT) AS true_n,
               greatest(0, CAST(round(true_n + noise, 0) AS BIGINT))
