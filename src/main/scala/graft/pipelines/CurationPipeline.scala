@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, SubstringDedup}
 
 /** End-to-end corpus curation — the composed production job the
   * individual operators exist for: raw documents in, training-ready
@@ -19,6 +19,10 @@ import graft.operators.Dedup
   *   2. NEAR DEDUP — MinHash+LSH banding; only banded candidate pairs
   *      compare, and the HIGHER doc_id of each confirmed near-dup pair
   *      is dropped (min-id canonical; no all-pairs work).
+  *   2b. SUBSTRING GATE — suffix-array-criterion duplicated-span mass
+  *      per doc (SubstringDedup, xxhash64 gram keys); drops docs whose
+  *      duplication is spread across many partners and therefore
+  *      invisible to pairwise MinHash similarity.
   *   3. DECONTAMINATION — drop documents sharing any word-3-gram with
   *      the benchmark set (tiny by construction → broadcast join).
   *   4. QUALITY GATE — length window + stopword-ratio floor per
@@ -49,6 +53,7 @@ object CurationPipeline {
           tokenBudget: Int = 512,
           nearDupThreshold: Double = 0.7,
           maxDupGramFrac: Double = 0.6,
+          maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue): (DataFrame, Seq[Report]) = {
     val funnel = Seq.newBuilder[Report]
     def count(stage: String, df: DataFrame): DataFrame = {
@@ -74,9 +79,22 @@ object CurationPipeline {
       exact.join(losers, Seq("doc_id"), "left_anti")
     })
 
+    // 2b. exact-substring gate (suffix-array criterion, production
+    // xxhash64 gram keys): drop documents whose corpus-duplicated span
+    // mass exceeds the threshold — catches template/boilerplate-heavy
+    // docs whose MinHash similarity to any single other doc stays low
+    // (their duplication is spread across MANY partners).
+    val substr = count("substring_gate", {
+      val heavy = SubstringDedup
+        .profile(near, "doc_id", "text", k = 8, SubstringDedup.xxGram)
+        .filter(col("dup_frac") > maxSubstringDupFrac)
+        .select("doc_id")
+      near.join(heavy, Seq("doc_id"), "left_anti")
+    })
+
     // 3. decontamination vs the benchmark slice
     val decon = count("decontaminate", {
-      val sh = near
+      val sh = substr
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -84,7 +102,7 @@ object CurationPipeline {
       val bench = sh.filter(benchmarkIds(col("doc_id"))).select("sh").distinct()
       val contaminated = sh.filter(!benchmarkIds(col("doc_id")))
         .join(broadcast(bench), "sh").select("doc_id").distinct()
-      near.filter(!benchmarkIds(col("doc_id")))
+      substr.filter(!benchmarkIds(col("doc_id")))
         .join(contaminated, Seq("doc_id"), "left_anti")
     })
 

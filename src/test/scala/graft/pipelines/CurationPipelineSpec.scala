@@ -12,8 +12,8 @@ class CurationPipelineSpec extends GraftTestBase {
 
   test("funnel is monotone and reports every stage") {
     assert(funnel.map(_.stage) == Seq("input", "exact_dedup", "near_dedup",
-      "decontaminate", "quality_gate", "repetition_gate", "domain_cap",
-      "hash_sample"))
+      "substring_gate", "decontaminate", "quality_gate", "repetition_gate",
+      "domain_cap", "hash_sample"))
     assert(funnel.sliding(2).forall { case Seq(a, b) => b.docs <= a.docs })
     assert(funnel.head.docs == 500) // sf0.001 documents
     assert(funnel.last.docs > 0, "pipeline filtered everything out")
@@ -33,7 +33,14 @@ class CurationPipelineSpec extends GraftTestBase {
 
   test("repetition gate drops a synthetic highly-repetitive doc") {
     import spark.implicits._
-    val repetitive = ("x y " * 200).trim  // one distinct 2-gram pair
+    // Repeated 2-grams ("x y"/"y x" dominate → dup-2-gram frac ≈ 0.66)
+    // but a unique token every 6 positions, so every word-8-gram is
+    // distinct and the doc sails PAST the substring gate — this pins
+    // that the repetition gate still has its own catch surface. (The
+    // old "x y "×200 plant is now caught earlier by the substring
+    // gate, which is the correct funnel order.)
+    def u(j: Int) = s"u${('a' + j / 26).toChar}${('a' + j % 26).toChar}"
+    val repetitive = (0 until 30).map(j => s"x y x y x ${u(j)}").mkString(" ")
     val docs = Tables(spark, sf001)("documents")
       .unionByName(Seq((100001L, repetitive, "en", "srcX", repetitive.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
@@ -43,6 +50,40 @@ class CurationPipelineSpec extends GraftTestBase {
     // and the stage (not an earlier one) dropped it: it reaches quality
     assert(f.find(_.stage == "quality_gate").get.docs >
            f.find(_.stage == "repetition_gate").get.docs)
+  }
+
+  test("substring gate drops a patchwork doc invisible to pairwise MinHash") {
+    import spark.implicits._
+    // four source docs: a 30-token run (copied into the patchwork) plus
+    // a 50-token unique tail → per-doc duplicated mass 30/80 < 0.5, and
+    // pairwise char-shingle jaccard vs the patchwork stays far below
+    // the 0.7 near-dup threshold. The patchwork concatenates all four
+    // runs → its duplicated mass is ~1.0, but spread across FOUR
+    // partners, which is exactly what pairwise similarity can't see.
+    def word(p: Char, i: Int, j: Int) =
+      s"$p${('a' + i).toChar}${('a' + j / 26).toChar}${('a' + j % 26).toChar}"
+    def run(i: Int) = (0 until 30).map(word('r', i, _)).mkString(" ")
+    def tail(i: Int) = (0 until 50).map(word('u', i, _)).mkString(" ")
+    val sources = (0 until 4).map(i =>
+      (200001L + i, s"${run(i)} ${tail(i)}", "en", "srcP", 400L))
+    val patchwork = (200000L, (0 until 4).map(run).mkString(" "), "en", "srcP", 600L)
+    val docs = Tables(spark, sf001)("documents")
+      .unionByName((sources :+ patchwork)
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the gate's own signal discriminates: patchwork > 0.5, sources < 0.5
+    val prof = graft.operators.SubstringDedup
+      .profile(docs, "doc_id", "text", 8, graft.operators.SubstringDedup.xxGram)
+      .filter(col("doc_id") >= 200000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(prof(200000L) > 0.5, s"patchwork dup_frac ${prof.get(200000L)}")
+    (200001L to 200004L).foreach(id =>
+      assert(prof.getOrElse(id, 0.0) <= 0.5, s"source $id over-flagged"))
+    // and the pipeline drops the patchwork at the substring stage
+    val (out, f) = CurationPipeline.run(spark, docs)
+    assert(out.filter(col("doc_id") === 200000L).count() == 0,
+      "patchwork doc survived curation")
+    assert(f.find(_.stage == "substring_gate").get.docs <
+           f.find(_.stage == "near_dedup").get.docs)
   }
 
   test("output carries no exact duplicates and no benchmark docs") {
