@@ -118,8 +118,14 @@ object Bench {
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""stalls":$stallsJson,""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
+    // A filtered run (local iteration args) must NOT clobber the full
+    // artifact: BENCH_FULL.json doubles as the committed stall-detection
+    // reference, and a partial map would silently disable the check for
+    // every query outside the filter. Subset runs write a scratch file.
+    val outName =
+      if (args.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"),
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), outName),
       (full + "\n").getBytes("UTF-8"))
 
     // Compact stdout line for the driver: headline queries only (one per
@@ -129,7 +135,7 @@ object Bench {
     val headlineSubset = results.filter { case (k, _) => Bench.headline(k) }
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(headlineSubset)},""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
+      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"$outName"}""")
     spark.stop()
   }
 

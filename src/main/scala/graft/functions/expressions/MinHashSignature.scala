@@ -87,6 +87,9 @@ case class MinHashFromHashes(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // nullable even over a non-null child: empty/all-null arrays produce
+  // a NULL signature (see compute)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_from_hashes"
 
   private val P = MinHashSignature.P
@@ -98,6 +101,7 @@ case class MinHashFromHashes(child: Expression, k: Int)
   def compute(hashes: ArrayData): ArrayData = {
     val mins = Array.fill[Long](k)(P)
     val n = hashes.numElements()
+    var contributed = false
     var j = 0
     while (j < n) {
       // null elements are skipped, matching the array_min∘transform
@@ -107,6 +111,7 @@ case class MinHashFromHashes(child: Expression, k: Int)
       // e.g. minhash_from_hashes(array(NULL, 7L), k) — would silently
       // unbox to 0L and poison every permutation's minimum.
       if (!hashes.isNullAt(j)) {
+        contributed = true
         val x = ((hashes.getLong(j) % P) + P) % P
         var i = 0
         while (i < k) {
@@ -117,7 +122,12 @@ case class MinHashFromHashes(child: Expression, k: Int)
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    // Empty / all-null input → NULL signature, not the all-P sentinel:
+    // the sentinel would make every such doc pair with every other at
+    // est_jaccard = 1.0. (The composition yields [NULL × k] here — a
+    // per-slot rather than whole-value NULL — a documented divergence
+    // in the safe direction: neither form produces band rows.)
+    if (contributed) new GenericArrayData(mins) else null
   }
 
   override protected def nullSafeEval(in: Any): Any =
@@ -126,7 +136,8 @@ case class MinHashFromHashes(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashFH", this, classOf[MinHashFromHashes].getName)
     nullSafeCodeGen(ctx, ev, in =>
-      s"${ev.value} = $ref.compute($in);")
+      s"""${ev.value} = $ref.compute($in);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =

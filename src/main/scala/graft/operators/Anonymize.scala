@@ -36,15 +36,28 @@ object Anonymize {
 
   /** k-suppression: drop every row whose quasi-identifier group has
     * fewer than k members. One shuffle on the qid (the profile), then
-    * a broadcast-able semi-join of the (rare) at-risk groups back
+    * a broadcast-able anti-join of the (rare) at-risk groups back
     * against the data — at 100 TB the at-risk group list is the small
     * side by construction (it is the tail of the group-size
-    * distribution), so the data itself never reshuffles. */
-  def kSuppress(df: DataFrame, qids: Seq[String], k: Int): DataFrame = {
-    val risky = kAnonymityProfile(df, qids, k)
-      .filter(col("at_risk") === 1)
-      .select(qids.map(col): _*)
-    df.join(broadcast(risky), qids, "left_anti")
+    * distribution), so the data itself never reshuffles.
+    *
+    * The anti-join is NULL-SAFE (`<=>`): groupBy treats NULL as a
+    * group, so an at-risk group whose quasi-identifier contains NULL
+    * must still match back — a plain equality join would let exactly
+    * the rarest (hence most identifying) rows slip through suppression. */
+  def kSuppress(df: DataFrame, qids: Seq[String], k: Int): DataFrame =
+    kSuppressGroups(df, qids,
+      kAnonymityProfile(df, qids, k).filter(col("at_risk") === 1))
+
+  /** [[kSuppress]] against a precomputed at-risk profile slice — use
+    * when the caller already materialized [[kAnonymityProfile]] so the
+    * dominant qid shuffle runs once, not twice. */
+  def kSuppressGroups(df: DataFrame, qids: Seq[String],
+                      riskyGroups: DataFrame): DataFrame = {
+    val risky = riskyGroups
+      .select(qids.map(q => col(q).as(s"__r_$q")): _*)
+    val cond = qids.map(q => df(q) <=> risky(s"__r_$q")).reduce(_ && _)
+    df.join(broadcast(risky), cond, "left_anti")
   }
 
   /** Deterministic uniform in [0, 1) from a release key: first 8 hex

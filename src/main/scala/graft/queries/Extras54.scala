@@ -282,7 +282,8 @@ object Extras54 extends QueryPack {
         sum("at_risk").cast("long").as("risk_groups"),
         sum(when(col("at_risk") === 1, col("group_n")).otherwise(0L))
           .cast("long").as("risk_rows"))
-    val released = Anonymize.kSuppress(c, qids, 5)
+    val released = Anonymize
+      .kSuppressGroups(c, qids, prof.filter(col("at_risk") === 1))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).cast("long").as("released_rows"))
     byNation.join(released, Seq("c_nationkey"), "left")

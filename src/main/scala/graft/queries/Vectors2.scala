@@ -134,7 +134,19 @@ object Vectors2 extends QueryPack {
     * is only last-ulp-stable — rounding makes every downstream dot
     * product bit-deterministic across session configs, which is what
     * lets a committed golden snapshot serve as the DuckDB oracle
-    * (DuckDB can't replay the FP-order-sensitive fit itself). */
+    * (DuckDB can't replay the FP-order-sensitive fit itself).
+    *
+    * Residual risk, accepted and fenced: INSIDE the fit, each Lloyd
+    * iteration's argmin reads the unrounded partition-order-sensitive
+    * sums, so a vector whose distance gap to two centroids is at
+    * summation-jitter scale could in principle flip buckets under a
+    * different partition count and move a centroid by more than 1e-6.
+    * Measured stable across local(4)/local(8)/local(32) at all three
+    * SFs (GoldenScaleSpec runs every `sbt test` at a different config
+    * than generated the goldens); if testdata regeneration ever lands
+    * on such a knife-edge, the spec goes red locally and the fix is a
+    * one-command regen (tools.RegenGoldens), not a silent driver
+    * mismatch. */
   private def q346(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir)("embeddings")
     val (cent, _) = graft.operators.KMeans.fit(all, "vec_id", "embedding",

@@ -44,8 +44,11 @@ object RegenGoldens {
       // output concatenates in partition order, so the single file keeps
       // the global ordering the oracle's ORDER BY expects.
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      val listing = Files.list(Paths.get(stage))
+      val part =
+        try listing.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+        finally listing.close()
       require(part.length == 1, s"expected 1 part file in $stage, got ${part.length}")
       val dest = Paths.get(goldenFile(q, sf))
       Files.createDirectories(dest.getParent)

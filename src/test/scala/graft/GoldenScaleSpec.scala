@@ -14,7 +14,10 @@ import graft.tools.RegenGoldens
   */
 class GoldenScaleSpec extends GraftTestBase {
 
-  for (q <- RegenGoldens.goldenQueries; sf <- Seq("0.001", "0.01")) {
+  // all three committed SFs: the driver verifies at sf0.001/sf0.01 and
+  // benches at sf0.1 — a drift that only manifests at bench volume
+  // (AQE behavior, broadcast thresholds) must fail HERE, not there
+  for (q <- RegenGoldens.goldenQueries; sf <- RegenGoldens.sfs) {
     test(s"$q sf$sf matches committed golden") {
       val path = RegenGoldens.goldenFile(q, sf)
       assert(Files.exists(Paths.get(path)), s"missing golden $path")

@@ -29,6 +29,18 @@ class AnonymizeSpec extends GraftTestBase {
       == Seq("a"))
   }
 
+  test("kSuppress is null-safe: a rare NULL-qid group is suppressed too") {
+    // NULL is a group to groupBy but not to an equality join — the
+    // suppression anti-join must use <=> or exactly the rarest (most
+    // identifying) rows survive.
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String]))
+      .toDF("id", "qid"))
+    val out = Anonymize.kSuppress(withNull, Seq("qid"), 5)
+    assert(out.count() == 6)
+    assert(out.filter(col("qid").isNull).count() == 0,
+      "NULL-qid singleton escaped suppression")
+  }
+
   test("laplace noise is deterministic per (key, salt) and salt-sensitive") {
     val keys = (0 until 100).map(_.toString).toDF("k")
     def noise(salt: String) = keys
