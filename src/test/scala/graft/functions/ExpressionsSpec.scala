@@ -195,10 +195,13 @@ class ExpressionsSpec extends GraftTestBase {
               composed.as("slow"))
       .filter(to_json($"native") =!= to_json($"slow"))
     assert(bad.count() == 0)
-    // empty array → sentinel P in every slot (never spuriously matches)
+    // empty array → NULL signature: the old all-P sentinel paired any
+    // two empty docs at est_jaccard 1.0; NULL produces zero band rows
+    // downstream (the composition yields [NULL × k] — same safe
+    // outcome, per-slot instead of whole-value)
     val empty = spark.sql("SELECT array()::array<long> a")
       .select(MinHashSignature.minhashFromHashes($"a", 4).as("s"))
-      .collect().head.getSeq[Long](0)
-    assert(empty == Seq.fill(4)(P))
+      .collect().head
+    assert(empty.isNullAt(0))
   }
 }
