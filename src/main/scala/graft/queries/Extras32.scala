@@ -447,7 +447,11 @@ object Extras32 extends QueryPack {
       .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("n_name"),
-        round(col("unit_price"), 4).as("best_price"))
+        // floor-truncate, not round: a unit price landing exactly on a
+        // .00005 boundary diverges between Spark's BigDecimal HALF_UP
+        // and DuckDB's multiply-and-rint (seen at sf0.001); floor of
+        // the same double is bit-identical everywhere
+        (floor(col("unit_price") * 10000.0) / 10000.0).as("best_price"))
       .orderBy("p_partkey", "s_suppkey")
       .limit(100)
   }
@@ -458,7 +462,7 @@ object Extras32 extends QueryPack {
                 min(l_extendedprice / l_quantity) AS unit_price
          FROM lineitem GROUP BY 1, 2)
        SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
-              round(unit_price, 4) AS best_price
+              floor(unit_price * 10000.0) / 10000.0 AS best_price
        FROM part
        JOIN offer    ON p_partkey = l_partkey
        JOIN supplier ON s_suppkey = l_suppkey
