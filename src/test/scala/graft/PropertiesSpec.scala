@@ -6,7 +6,7 @@ import org.scalacheck.Prop.{forAll, forAllNoShrink}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SasDate
-import graft.operators.{Dedup, Sessionize}
+import graft.operators.{Dedup, HashSampleQuantiles, KmvDistinct, Sessionize, SubstringDedup}
 
 /** Property-based invariants (SURVEY.md §5 item 4). Each property runs
   * a batched DataFrame per sample (10 samples — Spark jobs aren't free)
@@ -161,6 +161,73 @@ object PropertiesSpec extends Properties("graft") {
                 simhash64(TextFunctions.tokens($"text")).as("c"))
         .filter($"f" =!= $"c")
         .count() == 0
+    }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("substring spans == brute-force k-gram interval union") =
+    forAllNoShrink(
+      Gen.listOfN(6, Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d")))) { docs =>
+      val k = 3
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // driver-side reference: count every k-gram corpus-wide, mark
+      // window starts whose gram count >= 2, union intervals by the
+      // p2-p1<=k chain rule
+      val toks = docs.map(_.toVector)
+      val grams = toks.zipWithIndex.flatMap { case (t, d) =>
+        (0 to t.length - k).map(p => (t.slice(p, p + k).mkString(" "), d, p))
+      }
+      val counts = grams.groupBy(_._1).map { case (g, v) => g -> v.size }
+      val expected = grams.filter(g => counts(g._1) >= 2)
+        .groupBy(_._2)
+        .flatMap { case (d, gs) =>
+          val ps = gs.map(_._3).sorted
+          val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+          var start = ps.head; var prev = ps.head
+          ps.tail.foreach { p =>
+            if (p - prev <= k) prev = p
+            else { spans += ((start, prev + k - 1)); start = p; prev = p }
+          }
+          spans += ((start, prev + k - 1))
+          spans.map { case (s0, e0) => (d.toLong, s0, e0) }
+        }.toSet
+      val got = SubstringDedup.spans(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      got == expected
+    }
+
+  property("bottomKSample == driver-side (md5,value) total-order cut") =
+    forAllNoShrink(Gen.listOfN(40, Gen.choose(0, 10000))) { xs =>
+      // keys repeat (i % 25) so the duplicate-key tiebreak is exercised
+      val rows = xs.zipWithIndex.map { case (x, i) => (s"k${i % 25}", x.toDouble) }
+      val got = HashSampleQuantiles
+        .bottomKSample(rows.toDF("key", "x"), col("x"), col("key"), 10)
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      val expected = rows.map { case (kk, v) => (md5hex(kk), v) }
+        .sorted.take(10).map(_._2).sorted.toSeq
+      got == expected
+    }
+
+  property("kmv estimate == driver replay of (k-1)/h(k); exact below k") =
+    forAllNoShrink(Gen.listOfN(60, Gen.choose(0, 300))) { xs =>
+      val k = 16
+      val est = KmvDistinct
+        .estimate(xs.map(("g", _)).toDF("g", "v"), "g", col("v"), k, "s")
+        .collect().head.getDouble(2)
+      val distinct = xs.distinct
+      val expected =
+        if (distinct.size < k) distinct.size.toDouble
+        else {
+          val hs = distinct.map(v =>
+            java.lang.Long.parseLong(md5hex(s"$v-s").take(8), 16).toDouble
+              / 4294967296.0).sorted
+          (k - 1).toDouble / hs(k - 1)
+        }
+      est == expected
     }
 
   property("sessionize: session count per user == gap count + 1") =
