@@ -142,6 +142,28 @@ class PlanShapeSpec extends GraftTestBase {
     assert(bhj.nonEmpty, "n_toks join lost its broadcast")
   }
 
+  test("round-7 additions hold their exchange ceilings and broadcasts") {
+    // q353: qid profile agg + released agg + per-nation agg + join +
+    // sort = 5; the null-safe suppression anti-join must stay a
+    // broadcast HASH join (EqualNullSafe is an equi-key — a regression
+    // to nested-loop would be quadratic at scale).
+    val p353 = plan("q353_k_anonymity")
+    assert(shuffles(p353) <= 5, s"q353 saw ${shuffles(p353)}")
+    assert(p353.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }.nonEmpty, "suppression anti-join lost its broadcast hash form")
+    // q355: three per-table aggregates + cascade joins = 6 ceiling,
+    // request-list join broadcast
+    val p355 = plan("q355_deletion_cascade")
+    assert(shuffles(p355) <= 6, s"q355 saw ${shuffles(p355)}")
+    assert(p355.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // q356: (g,v) distinct + group window + estimate agg + exact-side
+    // agg + join/sort = 5
+    assert(shuffles(plan("q356_kmv_distinct")) <= 5)
+    // q357: grouped datasheet + modal-language window + join + sort = 5
+    assert(shuffles(plan("q357_corpus_datasheet")) <= 5)
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
