@@ -56,16 +56,22 @@ object ProductQuantizer {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
-  /** Encode: (id, codes array<int> of length m). One narrow projection. */
-  def encode(df: DataFrame, idCol: String, vecCol: String,
-             model: Model): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val codeCols = (0 until model.m).map { s =>
+  /** The full m-code array for a vector column — public so the IVF-PQ
+    * composition ([[IvfPq]]) can encode residual frames that carry
+    * extra columns (bucket ids) this projection must not drop. */
+  def codesExpr(vec: Column, model: Model): Column = {
+    val v = vec.cast("array<double>")
+    array((0 until model.m).map { s =>
       codeExpr(slice(v, s * model.subDim + 1, model.subDim),
                model.codebooks(s))
-    }
-    df.select(col(idCol).as("vid"), array(codeCols: _*).as("codes"))
+    }: _*)
   }
+
+  /** Encode: (id, codes array<int> of length m). One narrow projection. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame =
+    df.select(col(idCol).as("vid"),
+              codesExpr(col(vecCol), model).as("codes"))
 
   /** Reconstruct the quantized vector from codes (for diagnostics /
     * recall analysis; ADC scoring below never calls this per pair). */

@@ -163,13 +163,39 @@ object Vectors2 extends QueryPack {
   private val q346Sql = GoldenOracle.sql("q346_kmeans_semdedup",
     "bucket, id_a, id_b, cos", "bucket, id_a, id_b")
 
+  // --------------------------------------------------------------- q358
+  /** IVF-PQ top-k — the FULL 100 TB ANN composition (coarse k-means
+    * buckets + residual product-quantization codes + nprobe-pruned ADC
+    * scan; see [[graft.operators.IvfPq]]). The fitted state (coarse
+    * centroids, codebooks) is rounded to 6 dp inside fit() under the
+    * same cross-config determinism discipline (and residual risk fence)
+    * as q346's golden scheme; all ranking ties break on neighbor id, so
+    * the committed golden parquet is reproducible bit-for-bit. */
+  private def q358(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    val model = graft.operators.IvfPq.fit(all, "vec_id", "embedding",
+      dim = 64, coarseK = 8, m = 8, codes = 16, iters = 3)
+    val enc = graft.operators.IvfPq.encode(all, "vec_id", "embedding", model)
+    graft.operators.IvfPq.topK(enc,
+        all.filter(col("vec_id") < 10), "vec_id", "embedding",
+        model, k = 5, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("adist"), 6).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q358Sql = GoldenOracle.sql("q358_ivfpq_ann",
+    "query_id, rank, neighbor_id, adist", "query_id, rank")
+
   override val queries: Map[String, QueryFn] = Map(
     "q60_ivf_ann" -> q60 _,
     "q345_semantic_dedup" -> q345 _,
-    "q346_kmeans_semdedup" -> q346 _)
+    "q346_kmeans_semdedup" -> q346 _,
+    "q358_ivfpq_ann" -> q358 _)
 
   override val oracles: Map[String, String] = Map(
     "q60_ivf_ann" -> q60Sql,
     "q345_semantic_dedup" -> q345Sql,
-    "q346_kmeans_semdedup" -> q346Sql)
+    "q346_kmeans_semdedup" -> q346Sql,
+    "q358_ivfpq_ann" -> q358Sql)
 }

@@ -28,7 +28,8 @@ object RegenGoldens {
     * factors the driver may verify at (t1 smoke sf0.001, t2 correctness
     * sf0.01, bench sf0.1 — TESTDATA.md). */
   val goldenQueries: Seq[String] =
-    Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup")
+    Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup",
+        "q358_ivfpq_ann")
   val sfs: Seq[String] = Seq("0.001", "0.01", "0.1")
 
   def goldenFile(name: String, sf: String): String =
