@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.expressions.InterleaveBits
-import graft.operators.{Anonymize, Hits, Salting}
+import graft.operators.{Anonymize, Hits, RandomWalk, Salting}
 
 /** Round-7 pack, part 2: the scale-toolkit operators that had specs but
   * no driver-checkable query — explicit skew salting (q359) and the
   * Morton-curve interleave behind OPTIMIZE ZORDER BY (q360) — plus KMV
   * sketch set algebra (q361), distribution-drift monitoring via PSI
-  * (q362), and HITS hub/authority closing the graph family next to
-  * PageRank / label propagation / components / triangles (q363).
+  * (q362), HITS hub/authority closing the graph family next to
+  * PageRank / label propagation / components / triangles (q363), and
+  * deterministic random walks — the DeepWalk/node2vec sampling pass —
+  * replayed hop-for-hop by the oracle (q364).
   */
 object Extras55 extends QueryPack {
 
@@ -334,17 +336,76 @@ object Extras55 extends QueryPack {
       "\n       FROM s5 ORDER BY node"
   }
 
+  // --------------------------------------------------------------- q364
+  /** Deterministic random walks (DeepWalk/node2vec sampling prep) over
+    * the q363 sparse trade graph: one 4-hop walk per node, each hop the
+    * hash-argmin neighbor draw of [[graft.operators.RandomWalk]], dead
+    * ends NULL-padded. The oracle replays every hop bit-for-bit — same
+    * md5-uniform, same (u, dst) tie order — as an unrolled CTE chain
+    * (MATERIALIZED: each step's frontier feeds the next, and DuckDB 1.0
+    * would otherwise inline the chain multiplicatively). */
+  private def q364(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val pairs = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.crossJoin(pairs.agg(avg("w").as("wavg")))
+      .filter(col("w") > col("wavg")).select("src", "dst")
+    RandomWalk.walks(edges, steps = 4, salt = "walk")
+      .orderBy("start")
+  }
+
+  private val q364Sql: String = {
+    val base =
+      """WITH pairs AS MATERIALIZED (
+           SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         e AS MATERIALIZED (
+           SELECT src, dst FROM pairs
+           WHERE w > (SELECT avg(w) FROM pairs)),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         w0 AS MATERIALIZED (SELECT node AS start, node AS cur FROM nodes)"""
+    val steps = (1 to 4).map { k =>
+      val prev = (1 until k).map(i => s"w.s$i, ").mkString
+      s""",
+         c$k AS (
+           SELECT w.start, ${prev}e.dst,
+                  ('0x' || substr(md5(CAST(w.cur AS VARCHAR) || '|$k|'
+                    || CAST(e.dst AS VARCHAR) || '-walk'), 1, 8))::BIGINT
+                    / 4294967296.0 AS u
+           FROM w${k - 1} w LEFT JOIN e ON w.cur = e.src),
+         w$k AS MATERIALIZED (
+           SELECT start, ${prev.replace("w.", "")}dst AS s$k, dst AS cur
+           FROM (SELECT *, row_number() OVER (PARTITION BY start
+                   ORDER BY u ASC NULLS LAST, dst ASC NULLS LAST) AS r
+                 FROM c$k)
+           WHERE r = 1)"""
+    }.mkString
+    base + steps +
+      "\n       SELECT start, s1, s2, s3, s4 FROM w4 ORDER BY start"
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q359_salted_join"  -> q359 _,
     "q360_zorder_cells" -> q360 _,
     "q361_kmv_setops"   -> q361 _,
     "q362_psi_drift"    -> q362 _,
-    "q363_hits"         -> q363 _)
+    "q363_hits"         -> q363 _,
+    "q364_random_walks" -> q364 _)
 
   override def oracles: Map[String, String] = Map(
     "q359_salted_join"  -> q359Sql,
     "q360_zorder_cells" -> q360Sql,
     "q361_kmv_setops"   -> q361Sql,
     "q362_psi_drift"    -> q362Sql,
-    "q363_hits"         -> q363Sql)
+    "q363_hits"         -> q363Sql,
+    "q364_random_walks" -> q364Sql)
 }
