@@ -120,6 +120,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe SRP-LSH top-k: same index as [[srpTopK]] (the corpus
+    * side is byte-identical — `bands` band keys per vector), but each
+    * QUERY band additionally probes the `r` keys at Hamming distance 1
+    * (one sign-bit flip). The near-miss case SRP banding loses — a
+    * vector pair differing in exactly one hyperplane sign within a
+    * band — becomes a candidate again, so recall rises at the SAME
+    * index size; the cost is query-side only (×(r+1) probe rows), which
+    * is the multi-probe trade (Lv et al. 2007): probes are cheap,
+    * re-indexing is not. Candidates still pay exact re-rank, so
+    * precision is unaffected. At 100 TB the probe explosion happens on
+    * the small query side before the same banded equi-join — the corpus
+    * never re-shuffles and the index is shared with single-probe
+    * readers. */
+  def srpMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, dim: Int,
+                        bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val r = bits / bands
+    val mask = (1 << r) - 1
+
+    def prep(df: DataFrame, id: String, vecOut: String, normOut: String): DataFrame = {
+      val sig = srpSignature(col(vecCol), bits, dim)
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut), sig.as("sig"))
+        .withColumn(normOut, norm(col(vecOut)))
+        .select(col(id), col(vecOut), col(normOut),
+                posexplode(array((0 until bands).map(b =>
+                  shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    }
+
+    // query side: the exact key plus its r one-bit flips
+    val qb = prep(queries, "query_id", "qv", "qn")
+      .withColumn("band_key",
+        explode(array(col("band_key") +:
+          (0 until r).map(j => col("band_key").bitwiseXOR(lit(1 << j))): _*)))
+    val cb = prep(corpus, "neighbor_id", "cv", "cn")
+    val cand = qb.join(cb, Seq("band_idx", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              col("qv"), col("cv"), col("qn"), col("cn"))
+      .distinct()
+    val cos = when(col("qn") * col("cn") === 0.0, 0.0)
+      .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the third rung of the ANN
     * scale ladder: partition the corpus into centroid buckets once
     * (assignment is O(|C|·K·d)), then each query probes only its

@@ -5,15 +5,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SubstringDedup
+import graft.operators.{ConnectedComponents, Similarity, SubstringDedup}
 
 /** Round-7 pack, part 3: feature-engineering statistics — mutual
   * information between categorical features (q365, completing the
   * dependence ladder next to chi-square q218, eta-squared q342 and JS
-  * divergence q284) and the hashing-trick bucket audit (q366, the
-  * collision/load table that sizes a feature-hashed vectorizer).
+  * divergence q284), the hashing-trick bucket audit (q366, the
+  * collision/load table that sizes a feature-hashed vectorizer),
+  * multi-probe SRP-LSH (q367, the recall-at-same-index-size rung of
+  * the ANN ladder) and canonical-member selection per near-dup cluster
+  * (q368, the retention policy that turns q65's clusters into a kept
+  * set).
   */
 object Extras56 extends QueryPack {
+
+  private val Dim = 64
+
+  // DuckDB twins of VectorFunctions.dot/norm (same as the Vectors pack)
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
 
   // --------------------------------------------------------------- q365
   /** Mutual information between event type and 6-hour day band, in
@@ -127,11 +138,149 @@ object Extras56 extends QueryPack {
               round(CAST(n_occurrences AS DOUBLE) / total, 6) AS load_share
        FROM g, tot ORDER BY bucket"""
 
+  // --------------------------------------------------------------- q367
+  /** Multi-probe SRP-LSH (Lv et al. 2007): q30's index, but every query
+    * band also probes its r one-bit-flip keys — recall rises at the
+    * SAME index size, cost lands on the small query side only. The
+    * oracle bakes the identical hyperplane doubles and replays probe
+    * generation with xor over a correlated unnest; the zero-norm guard
+    * matches the Scala side (q345 discipline). Candidates ⊇ q30's by
+    * construction (the probe set contains the exact key). */
+  private def q367(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.srpMultiProbeTopK(all, queries, "vec_id", "embedding",
+        k = 5, dim = Dim)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+              round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q367Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    def hpList(b: Int): String =
+      Similarity.hyperplane(b, Dim)
+        .map { d =>
+          val s = d.toString
+          if (s.contains("E") || s.contains("e")) s else s + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    val probeList = ("band_key" +: (0 until r).map(j => s"xor(band_key, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH sigs AS (
+         SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       qprobes AS (
+         SELECT vec_id, band_idx, p.pk AS band_key
+         FROM bands, unnest($probeList) AS p(pk)
+         WHERE vec_id % 50 = 0),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM qprobes q JOIN bands c
+           ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         WHERE q.vec_id <> c.vec_id),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           CASE WHEN ${normSql("eq.embedding")} * ${normSql("ec.embedding")} = 0
+                THEN 0.0
+                ELSE ${dotSql("eq.embedding", "ec.embedding")} /
+                  (${normSql("eq.embedding")} * ${normSql("ec.embedding")})
+           END AS cos
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = query_id
+         JOIN embeddings ec ON ec.vec_id = neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  // --------------------------------------------------------------- q368
+  /** Canonical-member selection — the retention policy over q65's
+    * near-dup clusters: within each cluster keep the member with the
+    * largest L2 norm (deterministic centrality proxy; both engines sum
+    * the squared floats in array order, so the norms are bit-identical)
+    * and report what the policy drops. Composes ConnectedComponents
+    * with a per-cluster argmax (row_number over a size-bounded group,
+    * rides WindowGroupLimit) — at 100 TB the clusters table is the
+    * small output of the contraction, not the corpus. */
+  private def q368(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir)("embeddings")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val clusters = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("component").as("cluster"))
+    val withNorm = clusters.join(
+      emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.norm(
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding")))
+          .as("nrm")),
+      "vec_id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("nrm").desc, col("vec_id"))
+    withNorm.withColumn("rk", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        max(when(col("rk") === 1, col("vec_id"))).as("canonical_id"),
+        round(max(when(col("rk") === 1, col("nrm"))), 6).as("canonical_norm"),
+        (count(lit(1)) - 1).cast("long").as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  private val q368Sql: String = {
+    s"""WITH RECURSIVE
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${dotSql("a.embedding", "b.embedding")} /
+             (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id),
+       edges AS (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
+       und AS (SELECT id_a AS a, id_b AS b FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+       cc AS (
+         SELECT a, b FROM und
+         UNION
+         SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       clusters AS (
+         SELECT a AS vec_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a),
+       withnorm AS (
+         SELECT c.cluster, c.vec_id, ${normSql("e.embedding")} AS nrm
+         FROM clusters c JOIN embeddings e ON c.vec_id = e.vec_id),
+       ranked AS (
+         SELECT cluster, vec_id, nrm,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY nrm DESC, vec_id) AS rk
+         FROM withnorm)
+       SELECT cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              max(CASE WHEN rk = 1 THEN vec_id END) AS canonical_id,
+              round(max(CASE WHEN rk = 1 THEN nrm END), 6) AS canonical_norm,
+              CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       FROM ranked GROUP BY cluster ORDER BY cluster"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "q365_mutual_info"  -> q365 _,
-    "q366_feature_hash" -> q366 _)
+    "q365_mutual_info"    -> q365 _,
+    "q366_feature_hash"   -> q366 _,
+    "q367_multiprobe_srp" -> q367 _,
+    "q368_canonical_pick" -> q368 _)
 
   override def oracles: Map[String, String] = Map(
-    "q365_mutual_info"  -> q365Sql,
-    "q366_feature_hash" -> q366Sql)
+    "q365_mutual_info"    -> q365Sql,
+    "q366_feature_hash"   -> q366Sql,
+    "q367_multiprobe_srp" -> q367Sql,
+    "q368_canonical_pick" -> q368Sql)
 }

@@ -59,6 +59,26 @@ class SimilaritySpec extends GraftTestBase {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("multi-probe srp: recall >= single-probe at the same index size") {
+    val all = graft.Tables(spark, sf001)("embeddings")
+    val q = all.filter(pmod($"vec_id", lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val single = recallOf(
+      Similarity.srpTopK(all, q, "vec_id", "embedding", k = 5, dim = 64))
+    val multi = recallOf(
+      Similarity.srpMultiProbeTopK(all, q, "vec_id", "embedding", k = 5, dim = 64))
+    // The probe set contains the exact key, so candidates are a superset
+    // and recall cannot drop; on these structureless vectors the 1-bit
+    // flips lift it substantially (~0.48 -> ~0.9 measured).
+    assert(multi >= single, s"multi=$multi < single=$single")
+    assert(multi >= 0.6, s"multi-probe recall=$multi")
+  }
+
   test("ivf ANN: nprobe=all buckets degenerates to exact brute-force top-k") {
     // With every bucket probed, IVF must return exactly the brute-force
     // result — the approximation comes ONLY from unprobed buckets.
