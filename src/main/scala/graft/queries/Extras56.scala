@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Similarity, SubstringDedup}
+import graft.operators.{ConnectedComponents, SetSimilarityJoin, Similarity, SubstringDedup}
 
 /** Round-7 pack, part 3: feature-engineering statistics — mutual
   * information between categorical features (q365, completing the
@@ -272,15 +272,124 @@ object Extras56 extends QueryPack {
        FROM ranked GROUP BY cluster ORDER BY cluster"""
   }
 
+  // --------------------------------------------------------------- q369
+  /** Exact set-similarity join via prefix filtering (AllPairs/PPJoin):
+    * the deterministic ground truth for the MinHash sketch family, over
+    * the same word-shingle universe. The prefix rule (zero false
+    * negatives under a rarest-first global order — see
+    * [[graft.operators.SetSimilarityJoin]]) prunes the ~125k possible
+    * pairs to the ~25 genuine near-dups before any pairwise work; the
+    * output is EXACT Jaccard, not an estimate. */
+  private def q369(s: SparkSession, dir: String): DataFrame =
+    SetSimilarityJoin.pairs(Tables(s, dir)("documents"),
+        "doc_id", "text", k = 4, tau = 0.6)
+      .select(col("id_a"), col("id_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private val q369Sql =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  w -> w <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                substring(md5(array_to_string(t[i + 1:i + 4], ' ')), 1, 16)
+                  AS g
+         FROM toks, unnest(generate_series(0, len(t) - 4)) AS u(i)
+         WHERE len(t) >= 4),
+       gf AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+       ranked AS (
+         SELECT s.doc_id, s.g,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY gf.df, s.g) AS pos,
+                count(*) OVER (PARTITION BY s.doc_id) AS m
+         FROM sh s JOIN gf ON s.g = gf.g),
+       prefix AS (
+         SELECT doc_id, g FROM ranked
+         WHERE pos <= m - ceil(0.6 * m) + 1),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM prefix a JOIN prefix b
+           ON a.g = b.g AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.id_a, c.id_b, count(*) AS i
+         FROM cand c
+         JOIN sh x ON x.doc_id = c.id_a
+         JOIN sh y ON y.doc_id = c.id_b AND x.g = y.g
+         GROUP BY c.id_a, c.id_b),
+       j AS (
+         SELECT id_a, id_b, i, sa.m + sb.m - i AS u
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b)
+       SELECT id_a, id_b, CAST(i AS BIGINT) AS n_inter,
+              CAST(u AS BIGINT) AS n_union,
+              round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+       FROM j WHERE CAST(i AS DOUBLE) / u >= 0.6
+       ORDER BY id_a, id_b"""
+
+  // --------------------------------------------------------------- q370
+  /** Join-size estimation by keyed Bernoulli sampling — the optimizer's
+    * cardinality problem as a driver-checked query: |R ⋈_key R| = Σ c²
+    * over key counts, estimated from the keys whose md5-uniform falls
+    * below p = 0.1 (each sampled key contributes c²/p). Deterministic
+    * sampling makes the estimate replayable; at 100 TB the sample
+    * decision is a row-local predicate on the already-aggregated key
+    * counts — no second scan, no shuffle beyond the count itself. */
+  private def q370(s: SparkSession, dir: String): DataFrame = {
+    val p = 0.1
+    val counts = Tables(s, dir)("lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val exact = counts.agg(
+      sum(col("c") * col("c")).cast("long").as("exact_pairs"),
+      count(lit(1)).cast("long").as("n_keys"))
+    val est = counts
+      .filter(graft.operators.Anonymize.md5Uniform(col("l_partkey"), "js") < p)
+      .agg((sum(col("c") * col("c")) / p).as("est_raw"),
+           count(lit(1)).cast("long").as("n_sampled"))
+    exact.crossJoin(est)
+      .select(col("exact_pairs"), col("n_keys"), col("n_sampled"),
+        round(col("est_raw"), 2).as("est_pairs"),
+        round(abs(col("est_raw") - col("exact_pairs")) / col("exact_pairs"), 6)
+          .as("rel_err"))
+  }
+
+  private val q370Sql =
+    """WITH counts AS (
+         SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+       ex AS (
+         SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM counts),
+       est AS (
+         SELECT sum(c * c) / 0.1 AS est_raw,
+                CAST(count(*) AS BIGINT) AS n_sampled
+         FROM counts
+         WHERE ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '-js'),
+                  1, 8))::BIGINT / 4294967296.0 < 0.1)
+       SELECT exact_pairs, n_keys, n_sampled,
+              round(est_raw, 2) AS est_pairs,
+              round(abs(est_raw - exact_pairs) / exact_pairs, 6) AS rel_err
+       FROM ex, est"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q365_mutual_info"    -> q365 _,
     "q366_feature_hash"   -> q366 _,
     "q367_multiprobe_srp" -> q367 _,
-    "q368_canonical_pick" -> q368 _)
+    "q368_canonical_pick" -> q368 _,
+    "q369_setsim_join"    -> q369 _,
+    "q370_joinsize_est"   -> q370 _)
 
   override def oracles: Map[String, String] = Map(
     "q365_mutual_info"    -> q365Sql,
     "q366_feature_hash"   -> q366Sql,
     "q367_multiprobe_srp" -> q367Sql,
-    "q368_canonical_pick" -> q368Sql)
+    "q368_canonical_pick" -> q368Sql,
+    "q369_setsim_join"    -> q369Sql,
+    "q370_joinsize_est"   -> q370Sql)
 }
