@@ -172,6 +172,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding near-dup pairs for UNLABELED corpora: SRP bands as the
+    * blocking key (the path [[nearDupPairs]]' scaladoc promises when no
+    * label exists) — vectors sharing any signature band become
+    * candidates, exact cosine ≥ threshold verifies. Precision is exact
+    * (every emitted pair carries its true cosine); recall is the LSH
+    * collision probability (1−(1−p_bit^r)^bands, p_bit = 1−θ/π), tuned
+    * by bits/bands exactly as in [[srpTopK]]. Deterministic hyperplanes
+    * make the candidate set — and therefore the output — replayable by
+    * an SQL oracle and invariant to partitioning. At 100 TB: the only
+    * join is banded (never all-pairs), and each side carries its
+    * precomputed norm through the band explode. */
+  def nearDupPairsSrp(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int,
+                      bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sig = srpSignature(col(vecCol), bits, dim)
+    val banded = df
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"), sig.as("sig"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val cos = when(col("na") * col("nb") === 0.0, 0.0)
+      .otherwise(vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+    cand.select(col("id_a"), col("id_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k — the third rung of the ANN
     * scale ladder: partition the corpus into centroid buckets once
     * (assignment is O(|C|·K·d)), then each query probes only its

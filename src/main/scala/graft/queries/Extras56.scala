@@ -377,7 +377,60 @@ object Extras56 extends QueryPack {
               round(abs(est_raw - exact_pairs) / exact_pairs, 6) AS rel_err
        FROM ex, est"""
 
+  // --------------------------------------------------------------- q371
+  /** Unlabeled-corpus embedding near-dup: SRP bands as the blocking key
+    * (no label needed — the promise in nearDupPairs' scaladoc, now
+    * driver-checked). Exact cosine verifies every candidate, so
+    * precision is exact; recall is the banded collision probability and
+    * the oracle replays the SAME blocking (hyperplane literals), so the
+    * output is deterministic and engine-identical. */
+  private def q371(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsSrp(Tables(s, dir)("embeddings"),
+        "vec_id", "embedding", threshold = 0.4, dim = Dim)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  private val q371Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    def hpList(b: Int): String =
+      Similarity.hyperplane(b, Dim)
+        .map { d =>
+          val s = d.toString
+          if (s.contains("E") || s.contains("e")) s else s + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (
+         SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.vec_id < b.vec_id),
+       scored AS (
+         SELECT id_a, id_b,
+           CASE WHEN ${normSql("ea.embedding")} * ${normSql("eb.embedding")} = 0
+                THEN 0.0
+                ELSE ${dotSql("ea.embedding", "eb.embedding")} /
+                  (${normSql("ea.embedding")} * ${normSql("eb.embedding")})
+           END AS cos
+         FROM cand
+         JOIN embeddings ea ON ea.vec_id = id_a
+         JOIN embeddings eb ON eb.vec_id = id_b)
+       SELECT id_a, id_b, round(cos, 6) AS cos
+       FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "q371_srp_neardup"    -> q371 _,
     "q365_mutual_info"    -> q365 _,
     "q366_feature_hash"   -> q366 _,
     "q367_multiprobe_srp" -> q367 _,
@@ -386,6 +439,7 @@ object Extras56 extends QueryPack {
     "q370_joinsize_est"   -> q370 _)
 
   override def oracles: Map[String, String] = Map(
+    "q371_srp_neardup"    -> q371Sql,
     "q365_mutual_info"    -> q365Sql,
     "q366_feature_hash"   -> q366Sql,
     "q367_multiprobe_srp" -> q367Sql,
