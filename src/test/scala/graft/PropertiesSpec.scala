@@ -230,6 +230,78 @@ object PropertiesSpec extends Properties("graft") {
       est == expected
     }
 
+  property("interleave_bits == driver bit placement for 1-4 dims") =
+    forAllNoShrink(for {
+      n    <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(20, Gen.listOfN(n, Gen.choose(0, Int.MaxValue)))
+    } yield (n, rows)) { case (n, rows) =>
+      val bits = 63 / n
+      def ref(dims: Seq[Int]): Long = {
+        var out = 0L
+        for (i <- 0 until bits; d <- 0 until n)
+          out |= ((dims(d).toLong >>> i) & 1L) << (i * n + d)
+        out
+      }
+      val df = rows.map(r => Tuple1(r.toArray)).toDF("dims")
+      val cols = (0 until n).map(i => element_at($"dims", i + 1))
+      val got = df.select(graft.functions.expressions.InterleaveBits
+          .interleaveBits(cols).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      got == rows.map(ref)
+    }
+
+  property("hits == driver power iteration on random graphs") =
+    forAllNoShrink(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 12), Gen.choose(0, 12)))) { rawEdges =>
+      val edges = rawEdges.distinct.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val idx = nodes.zipWithIndex.toMap
+        var auth = Array.fill(nodes.size)(1.0)
+        var hub = Array.fill(nodes.size)(1.0)
+        for (_ <- 1 to 3) {
+          val a2 = Array.fill(nodes.size)(0.0)
+          for ((s, d) <- edges) a2(idx(d)) += hub(idx(s))
+          auth = a2.map(_ / a2.max)
+          val h2 = Array.fill(nodes.size)(0.0)
+          for ((s, d) <- edges) h2(idx(s)) += auth(idx(d))
+          hub = h2.map(_ / h2.max)
+        }
+        val got = graft.operators.Hits.run(edges.toDF("src", "dst"), iters = 3)
+          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+        nodes.forall { nd =>
+          math.abs(got(nd)._1 - auth(idx(nd))) < 1e-9 &&
+          math.abs(got(nd)._2 - hub(idx(nd))) < 1e-9
+        }
+      }
+    }
+
+  property("set-similarity join == brute-force jaccard over a tiny vocab") =
+    forAllNoShrink(Gen.listOfN(8,
+      Gen.listOfN(8, wordGen).map(_.mkString(" ")))) { texts =>
+      val tau = 0.5
+      val k = 3
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingles(text: String): Set[String] = {
+        val t = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        if (t.length < k) Set.empty
+        else t.sliding(k).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        i = (sa intersect sb).size; u = (sa union sb).size
+        if i.toDouble / u >= tau
+      } yield (ia, ib)).toSet
+      val got = graft.operators.SetSimilarityJoin
+        .pairs(docs.toDF("doc_id", "text"), "doc_id", "text", k, tau)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == want
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
