@@ -164,6 +164,39 @@ class PlanShapeSpec extends GraftTestBase {
     assert(shuffles(plan("q357_corpus_datasheet")) <= 5)
   }
 
+  test("scale-toolkit pack holds its exchange ceilings and broadcasts") {
+    // q359: the ×8-replicated part dim must STAY the broadcast side —
+    // that containment is the salted-join contract; brand agg + output
+    // sort = 2 exchanges.
+    val p359 = plan("q359_salted_join")
+    assert(shuffles(p359) <= 2, s"q359 saw ${shuffles(p359)}")
+    assert(p359.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "salted build side lost its broadcast")
+    // q360: one 64-cell aggregate + output sort — the interleave is a
+    // row-local codegen expression, nothing else may shuffle.
+    assert(shuffles(plan("q360_zorder_cells")) <= 2)
+    // q361: per-side distinct + three TakeOrdered bottom-k paths + the
+    // one-row agg crossJoins = 9 declarative ceiling; the guard is
+    // against the bottom-k regressing to a global sort (which would
+    // plan a range exchange on the full hash relation).
+    assert(shuffles(plan("q361_kmv_setops")) <= 9)
+    // q365: joint-table agg + single-partition window rollup = 2; the
+    // marginals must ride window sums, never rescan events.
+    assert(shuffles(plan("q365_mutual_info")) <= 2)
+    // q369: the (id, gram) relation feeds df-count, rank window,
+    // prefix index (both join sides) and the verify join — 15 exchanges
+    // in the initial plan, with identical shingle subtrees collapsed by
+    // ReuseExchange at execution.
+    assert(shuffles(plan("q369_setsim_join")) <= 15)
+    // q371: banded pair join (one exchange per side) — never all-pairs;
+    // no nested-loop join may appear.
+    val p371 = plan("q371_srp_neardup")
+    assert(shuffles(p371) <= 3, s"q371 saw ${shuffles(p371)}")
+    assert(p371.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "q371 planned a nested-loop join")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
