@@ -153,5 +153,6 @@ object Bench {
     "q58_tfidf", "q60_ivf_ann", "q61_stream_stream_join",
     "q64_corpus_pipeline", "q65_dup_clusters", "q68_sql_subqueries",
     "q75_decontaminate", "q84_tws_profile", "q87_session_window",
-    "q91_asof_native", "q101_cdc_merge", "q118_recursive_cte")
+    "q91_asof_native", "q101_cdc_merge", "q118_recursive_cte",
+    "q363_hits", "q369_setsim_join")
 }

@@ -56,13 +56,21 @@ object IvfPq {
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
           coarseK: Int = 8, m: Int = 8, codes: Int = 16,
           iters: Int = 3): Model = {
-    val (centDf, _) = KMeans.fit(df, idCol, vecCol, coarseK, iters)
+    val (centDf, _) = KMeans.fit(df, idCol, vecCol, coarseK, iters,
+      computeInertia = false)
     val coarse = centDf.orderBy("centroid_id").collect()
       .map(_.getSeq[Double](1).map(r6).toSeq).toSeq
+    // Cached across the PQ fit: each of the m sub-space k-means fits
+    // scans this frame ~10 times (seed + per-iteration jobs), and every
+    // uncached scan would re-run the coarse argmax + residual zip_with
+    // over the full corpus — ~m × 10 recomputations of the assignment
+    // expression. One materialization instead.
     val resid = df.select(col(idCol).as("vid"),
         residualExpr(col(vecCol), bucketExpr(col(vecCol), coarse), coarse)
           .as("rv"))
+      .cache()
     val pq = ProductQuantizer.fit(resid, "vid", "rv", dim, m, codes, iters)
+    resid.unpersist()
     Model(coarse, pq.copy(codebooks =
       pq.codebooks.map(_.map(_.map(r6)))))
   }

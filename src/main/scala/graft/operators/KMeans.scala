@@ -32,14 +32,25 @@ import graft.functions.expressions.DotProduct.vecDot
   */
 object KMeans {
 
+  /** `computeInertia = false` skips the per-iteration inertia aggregate
+    * — a full extra pass over the assignment per iteration that only
+    * matters when the caller wants the training curve (the spec does;
+    * the PQ / IVF-PQ fits don't). Centroids are identical either way. */
   def fit(df: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+          k: Int, iters: Int,
+          computeInertia: Boolean = true): (DataFrame, Seq[Double]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = df.sparkSession
+    // Cached for the whole fit: the seed query plus every iteration's
+    // assignment, inertia, and update jobs re-scan this frame — without
+    // the cache a 3-iteration fit reads (and recomputes any upstream
+    // projection of) the corpus ~10 times. Values are unchanged; this
+    // is the same iterative-input caching PageRank/Hits do.
     val vecs = df
       .select(col(idCol).cast("long").as("vid"),
               col(vecCol).cast("array<double>").as("v"))
       .withColumn("vnorm2", vecDot(col("v"), col("v")))
+      .cache()
 
     // deterministic seed: k smallest md5(vid)
     var centroids: Seq[(Long, Seq[Double])] = vecs
@@ -52,30 +63,58 @@ object KMeans {
     val inertia = Seq.newBuilder[Double]
 
     (1 to iters).foreach { _ =>
-      val centDf = broadcast(centroidsDf(spark, centroids)
-        .withColumn("cnorm2", vecDot(col("centroid"), col("centroid"))))
+      // Assignment. Literal path (k within the inlined-literal bound):
+      // centroids bake into one argmin-struct expression, so assignment
+      // is a ROW-LOCAL narrow projection — no crossJoin, no per-
+      // iteration groupBy(vid) shuffle; the only exchange left per
+      // iteration is the (cid, pos) update aggregate. The expression
+      // computes the identical (reldist, cid) doubles as the join form
+      // (same vecDot order, same Σx² centroid norm, same struct-min
+      // tie-break to the lowest id), so results are bit-equal — the
+      // golden oracles (q346/q358) pin that. Beyond the literal bound,
+      // fall back to the broadcast crossJoin form.
+      val assigned =
+        if (centroids.size <= Similarity.MaxLiteralCentroids) {
+          val scores = array(centroids.map { case (cid, c) =>
+            val cn2 = c.map(x => x * x).sum
+            struct(
+              (lit(-2.0) * vecDot(col("v"), typedLit(c)) + lit(cn2))
+                .as("reldist"),
+              lit(cid).as("centroid_id"))
+          }: _*)
+          vecs.withColumn("best", array_min(scores))
+            .select(col("vid"), col("v"),
+              col("best.centroid_id").as("cid"),
+              (col("best.reldist") + col("vnorm2")).as("dist2"))
+        } else {
+          val centDf = broadcast(centroidsDf(spark, centroids)
+            .withColumn("cnorm2", vecDot(col("centroid"), col("centroid"))))
+          vecs.crossJoin(centDf)
+            .withColumn("reldist",
+              lit(-2.0) * vecDot(col("v"), col("centroid")) + col("cnorm2"))
+            .groupBy(col("vid"))
+            .agg(min(struct(col("reldist"), col("centroid_id"))).as("best"),
+                 first(col("v")).as("v"), first(col("vnorm2")).as("vnorm2"))
+            .select(col("vid"), col("v"),
+              col("best.centroid_id").as("cid"),
+              (col("best.reldist") + col("vnorm2")).as("dist2"))
+        }
 
-      val assigned = vecs.crossJoin(centDf)
-        .withColumn("reldist",
-          lit(-2.0) * vecDot(col("v"), col("centroid")) + col("cnorm2"))
-        .groupBy(col("vid"))
-        .agg(min(struct(col("reldist"), col("centroid_id"))).as("best"),
-             first(col("v")).as("v"), first(col("vnorm2")).as("vnorm2"))
-        .select(col("vid"), col("v"),
-          col("best.centroid_id").as("cid"),
-          (col("best.reldist") + col("vnorm2")).as("dist2"))
+      if (computeInertia)
+        inertia += assigned.agg(sum(col("dist2"))).head.getDouble(0)
 
-      inertia += assigned.agg(sum(col("dist2"))).head.getDouble(0)
-
-      // per-(cluster, dim) mean -> per-cluster mean vector
+      // per-(cluster, dim) mean, assembled into vectors on the driver —
+      // k × dim rows, one shuffle (the former second groupBy added an
+      // exchange + collect_list job for what is a tiny driver-side zip)
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, p -> p.m)").as("centroid"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
 
       // empty clusters keep their previous centroid
       centroids = centroids.map { case (cid, old) =>
@@ -83,6 +122,7 @@ object KMeans {
       }
     }
 
+    vecs.unpersist()
     (centroidsDf(spark, centroids), inertia.result())
   }
 

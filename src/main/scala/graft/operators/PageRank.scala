@@ -77,4 +77,41 @@ object PageRank {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     out
   }
+
+  /** WEIGHTED PageRank over (src, dst, weight): mass flows along each
+    * edge in proportion to its weight share of the source's total
+    * out-weight — pr_{k+1}(n) = (1−d) + d·Σ_{m→n} pr_k(m)·w(m,n)/W(m).
+    * Same loop shape and eager/localCheckpoint contract as [[run]];
+    * duplicate (src, dst) rows are weight-summed first so the edge
+    * relation stays one row per edge. Weight shares are exact-integer
+    * ratios when weights are counts, so an unrolled SQL oracle replays
+    * the ranks bit-for-bit under the same rounding. */
+  def runWeighted(edges: DataFrame, iters: Int,
+                  damping: Double = 0.85): DataFrame = {
+    val e = edges.groupBy("src", "dst")
+      .agg(sum(col("weight")).as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outw = e.groupBy("src").agg(sum("w").as("tw")).cache()
+
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (it <- 1 to iters) {
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("tw")).as("c"))
+        .groupBy("node").agg(sum("c").as("in_mass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist(); outw.unpersist()
+    out
+  }
 }

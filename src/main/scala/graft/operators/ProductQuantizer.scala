@@ -37,7 +37,8 @@ object ProductQuantizer {
     val books = (0 until m).map { s =>
       val sub = df.select(col(idCol).as("vid"),
         slice(v, s * subDim + 1, subDim).as("sub"))
-      val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters)
+      val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters,
+        computeInertia = false)
       // codebook ordered by centroid_id so code ids are stable
       cents.orderBy("centroid_id").collect()
         .map(_.getSeq[Double](1).toSeq).toSeq

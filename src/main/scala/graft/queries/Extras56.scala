@@ -429,7 +429,62 @@ object Extras56 extends QueryPack {
        FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b"""
   }
 
+  // --------------------------------------------------------------- q372
+  /** WEIGHTED PageRank over the full nation trade graph: rank mass
+    * flows in proportion to each pair's line-count share of the
+    * source's out-volume, so the complete graph (which collapses
+    * unweighted HITS/PageRank toward uniformity) still yields a
+    * meaningful importance ordering — the weights ARE the structure.
+    * Five unrolled iterations; weight shares are exact-integer ratios,
+    * so the CTE-chain oracle replays the ranks bit-for-bit (q133
+    * discipline, weighted). */
+  private def q372(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val edges = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    graft.operators.PageRank.runWeighted(edges, iters = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  private val q372Sql: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+           SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         ow AS MATERIALIZED (
+           SELECT src, sum(w) AS tw FROM e GROUP BY src),
+         pr0 AS MATERIALIZED (
+           SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    val iters = (1 to 5).map { k =>
+      s""",
+         pr$k AS MATERIALIZED (
+           SELECT n.node,
+                  0.15::DOUBLE + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE)
+                    AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.rank * e.w / ow.tw) AS mass
+             FROM pr${k - 1} p
+             JOIN e ON p.node = e.src
+             JOIN ow ON e.src = ow.src
+             GROUP BY 1) m ON n.node = m.node)"""
+    }.mkString
+    base + iters +
+      "\n       SELECT node, round(rank, 6) AS rank FROM pr5 ORDER BY node"
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "q372_weighted_pagerank" -> q372 _,
     "q371_srp_neardup"    -> q371 _,
     "q365_mutual_info"    -> q365 _,
     "q366_feature_hash"   -> q366 _,
@@ -439,6 +494,7 @@ object Extras56 extends QueryPack {
     "q370_joinsize_est"   -> q370 _)
 
   override def oracles: Map[String, String] = Map(
+    "q372_weighted_pagerank" -> q372Sql,
     "q371_srp_neardup"    -> q371Sql,
     "q365_mutual_info"    -> q365Sql,
     "q366_feature_hash"   -> q366Sql,

@@ -20,6 +20,31 @@ class PageRankSpec extends GraftTestBase {
     assert(math.abs(r1("c") - 1.425) < 1e-12)
   }
 
+  test("weighted run with uniform weights equals the unweighted run") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val ew = e.withColumn("weight", org.apache.spark.sql.functions.lit(7L))
+    val plain = PageRank.run(e, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val weighted = PageRank.runWeighted(ew, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    plain.keySet.foreach { n =>
+      assert(math.abs(plain(n) - weighted(n)) < 1e-12, s"node $n")
+    }
+  }
+
+  test("weighted: mass follows the weight share, not the edge count") {
+    import spark.implicits._
+    // a sends 3/4 of its mass to b, 1/4 to c
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val r = PageRank.runWeighted(e, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // pr1(b) = .15 + .85 * (1.0 * 3/4); pr1(c) = .15 + .85 * (1.0 * 1/4)
+    assert(math.abs(r("b") - (0.15 + 0.85 * 0.75)) < 1e-12)
+    assert(math.abs(r("c") - (0.15 + 0.85 * 0.25)) < 1e-12)
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+  }
+
   test("mass is conserved when every node has out-edges") {
     import spark.implicits._
     val n = 20
