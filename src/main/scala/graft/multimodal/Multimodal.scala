@@ -94,6 +94,31 @@ object Multimodal {
       .toDF("media_id", "kind", "content", "orig_bytes", "new_bytes")
   }
 
+  /** Windowed audio-energy profile for audio rows: the payload is read
+    * as unsigned 8-bit PCM, cut into fixed windows, and each window
+    * reports its exact integer energy Σ(sample−128)² — the windowed-
+    * decode shape of VAD / loudness segmentation, all partition-local
+    * (one decoder pass per partition, no shuffle until the caller
+    * aggregates). Integer energies make the stub bit-exact for the
+    * oracle; a real PCM decoder replaces only the byte interpretation. */
+  def audioEnergy(media: DataFrame, window: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 == "audio").flatMap { case (id, _, bytes) =>
+          bytes.grouped(window).zipWithIndex.map { case (chunk, ix) =>
+            var s = 0L
+            chunk.foreach { b =>
+              val v = (b & 0xFF) - 128; s += v.toLong * v
+            }
+            (id, ix, chunk.length, s)
+          }
+        }
+      }
+      .toDF("media_id", "window_idx", "n_samples", "sum_sq")
+  }
+
   /** Frame sampling stub for video rows: one output row per sampled
     * frame index (every `stride`th of n_frames) — the explode shape a
     * real frame extractor produces. */

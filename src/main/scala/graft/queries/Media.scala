@@ -66,11 +66,57 @@ object Media extends QueryPack {
               n_frames
        FROM v ORDER BY media_id, frame_idx"""
 
+  // --------------------------------------------------------------- q373
+  /** Windowed audio-energy segmentation per media: the payload decodes
+    * as unsigned 8-bit PCM in 32-byte windows (partition-local, exact
+    * integer Σ(sample−128)² per window), rolled up per audio file into
+    * window count, total/peak energy and the count of "active" windows
+    * above a fixed threshold — the VAD/loudness profile shape. The
+    * documents payload is pure ASCII at every sf (byte length == char
+    * length, asserted by the oracle's construction), so the DuckDB twin
+    * replays each byte as ascii(substr(text, j, 1)). */
+  private def q373(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioEnergy(media(s, dir), window = 32)
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(col("sum_sq")).cast("long").as("total_sq"),
+        max(col("sum_sq")).cast("long").as("peak_sq"),
+        sum(when(col("sum_sq") > 50000, 1L).otherwise(0L)).cast("long")
+          .as("active_windows"))
+      .orderBy("media_id")
+
+  private val q373Sql =
+    """WITH m AS (
+         SELECT doc_id AS media_id, text, length(text) AS len
+         FROM documents WHERE doc_id % 3 = 1),
+       w AS (
+         SELECT media_id, text, len, CAST(u.i AS INT) AS window_idx
+         FROM m, unnest(generate_series(0, (len - 1) // 32)) AS u(i)),
+       e AS (
+         SELECT media_id, window_idx,
+                CAST(list_sum(list_transform(
+                  generate_series(window_idx * 32 + 1,
+                                  least(window_idx * 32 + 32, len)),
+                  j -> (ascii(substr(text, j, 1)) - 128)
+                       * (ascii(substr(text, j, 1)) - 128))) AS BIGINT)
+                  AS sum_sq
+         FROM w)
+       SELECT media_id,
+              CAST(count(*) AS BIGINT) AS n_windows,
+              CAST(sum(sum_sq) AS BIGINT) AS total_sq,
+              CAST(max(sum_sq) AS BIGINT) AS peak_sq,
+              CAST(sum(CASE WHEN sum_sq > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS active_windows
+       FROM e GROUP BY media_id ORDER BY media_id"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q36_media_features" -> q36 _,
-    "q37_frame_sample"   -> q37 _)
+    "q37_frame_sample"   -> q37 _,
+    "q373_audio_energy"  -> q373 _)
 
   override val oracles: Map[String, String] = Map(
     "q36_media_features" -> q36Sql,
-    "q37_frame_sample"   -> q37Sql)
+    "q37_frame_sample"   -> q37Sql,
+    "q373_audio_energy"  -> q373Sql)
 }

@@ -54,4 +54,25 @@ class MultimodalSpec extends GraftTestBase {
     // video kind only: media_id % 3 == 2
     assert(frames.filter(pmod(col("media_id"), lit(3)) =!= 2).count() == 0)
   }
+
+  test("audio energy windows cover every byte and match a driver recompute") {
+    val w = 32
+    val doc = graft.Tables(spark, sf001)("documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val want = bytes.grouped(w).map { chunk =>
+      chunk.map { b => val v = (b & 0xFF) - 128; v.toLong * v }.sum
+    }.toSeq
+    val got = Multimodal.audioEnergy(media, window = w)
+      .filter(col("media_id") === doc.getLong(0))
+      .orderBy("window_idx")
+      .collect()
+    assert(got.map(_.getLong(3)).toSeq == want)
+    // coverage: window sample counts sum to the payload length
+    assert(got.map(_.getInt(2)).sum == bytes.length)
+    // audio kind only: media_id % 3 == 1
+    val all = Multimodal.audioEnergy(media, window = w)
+    assert(all.filter(pmod(col("media_id"), lit(3)) =!= 1).count() == 0)
+  }
 }
