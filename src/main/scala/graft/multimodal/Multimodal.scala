@@ -119,6 +119,45 @@ object Multimodal {
       .toDF("media_id", "window_idx", "n_samples", "sum_sq")
   }
 
+  /** aHash-style perceptual fingerprint for image rows: the payload is
+    * cut into 64 equal byte blocks and bit b lights when block b's mean
+    * exceeds the global mean — compared in EXACT integer cross-products
+    * (block_sum·len > total_sum·block_len), so no float division can
+    * wobble a bit. Returned as four 16-bit chunks (c0..c3) rather than
+    * one 64-bit word: the chunks ARE the SimHash-style LSH band keys
+    * for near-dup blocking, and staying at 16 bits keeps every value
+    * positive in any engine. Partition-local decode; a real DCT pHash
+    * replaces only the block-mean step. */
+  def imageHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 == "image").map { case (id, _, bytes) =>
+          val len = bytes.length
+          val bsum = new Array[Long](64)
+          val blen = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val lo = b * len / 64; val hi = (b + 1) * len / 64
+            var j = lo; var s = 0L
+            while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }
+            bsum(b) = s; blen(b) = hi - lo; b += 1
+          }
+          val tsum = bsum.sum
+          val chunks = new Array[Int](4)
+          b = 0
+          while (b < 64) {
+            if (bsum(b) * len > tsum * blen(b))
+              chunks(b / 16) |= 1 << (b % 16)
+            b += 1
+          }
+          (id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+  }
+
   /** Frame sampling stub for video rows: one output row per sampled
     * frame index (every `stride`th of n_frames) — the explode shape a
     * real frame extractor produces. */

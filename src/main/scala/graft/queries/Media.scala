@@ -110,13 +110,94 @@ object Media extends QueryPack {
                 AS active_windows
        FROM e GROUP BY media_id ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q374
+  /** Image near-dup screen via perceptual aHash: per-image 64-bit
+    * block-mean fingerprint (exact integer bit decisions — see
+    * [[Multimodal.imageHash]]) carried as four 16-bit chunks that
+    * double as SimHash-style LSH band keys. Candidates = images sharing
+    * any chunk (banded equi-join, never all-pairs); every candidate is
+    * scored with its exact Hamming distance and flagged at the ≤6
+    * near-dup radius — the full candidate table is emitted so the
+    * blocking selectivity itself is driver-checked at every sf. */
+  private def q374(s: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.imageHash(media(s, dir))
+    val bands = fp.select(col("media_id"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"fa.c$i").bitwiseXOR(col(s"fb.c$i"))))
+      .reduce(_ + _)
+    cand
+      .join(fp.as("fa"), col("fa.media_id") === col("id_a"))
+      .join(fp.as("fb"), col("fb.media_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
+      .withColumn("is_neardup", (col("hamming") <= 6).cast("int"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q374Sql =
+    """WITH m AS (
+         SELECT doc_id AS media_id, text, length(text) AS len
+         FROM documents WHERE doc_id % 3 = 0),
+       blocks AS (
+         SELECT media_id, CAST(b AS INT) AS b,
+                ((b * len) // 64) AS lo, (((b + 1) * len) // 64) AS hi,
+                len,
+                CAST(coalesce(list_sum(list_transform(
+                  generate_series((b * len) // 64 + 1,
+                                  ((b + 1) * len) // 64),
+                  j -> ascii(substr(text, j, 1)))), 0) AS BIGINT) AS bsum
+         FROM m, unnest(generate_series(0, 63)) AS u(b)),
+       tot AS (SELECT media_id, sum(bsum) AS tsum, max(len) AS len
+               FROM blocks GROUP BY media_id),
+       bits AS (
+         SELECT blocks.media_id, b,
+                CASE WHEN bsum * tot.len > tot.tsum * (hi - lo)
+                     THEN 1 ELSE 0 END AS bit
+         FROM blocks JOIN tot ON blocks.media_id = tot.media_id),
+       chunks AS (
+         SELECT media_id, CAST(b // 16 AS INT) AS ci,
+                CAST(sum(bit * (1 << (b % 16))) AS INT) AS cv
+         FROM bits GROUP BY media_id, b // 16),
+       cand AS (
+         SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         FROM chunks a JOIN chunks b
+           ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id),
+       fp AS (
+         SELECT media_id,
+                max(CASE WHEN ci = 0 THEN cv END) AS c0,
+                max(CASE WHEN ci = 1 THEN cv END) AS c1,
+                max(CASE WHEN ci = 2 THEN cv END) AS c2,
+                max(CASE WHEN ci = 3 THEN cv END) AS c3
+         FROM chunks GROUP BY media_id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(fa.c0, fb.c0)) + bit_count(xor(fa.c1, fb.c1))
+                 + bit_count(xor(fa.c2, fb.c2)) + bit_count(xor(fa.c3, fb.c3))
+                AS INT) AS hamming,
+              CAST(CASE WHEN bit_count(xor(fa.c0, fb.c0))
+                           + bit_count(xor(fa.c1, fb.c1))
+                           + bit_count(xor(fa.c2, fb.c2))
+                           + bit_count(xor(fa.c3, fb.c3)) <= 6
+                        THEN 1 ELSE 0 END AS INT) AS is_neardup
+       FROM cand
+       JOIN fp fa ON fa.media_id = id_a
+       JOIN fp fb ON fb.media_id = id_b
+       ORDER BY id_a, id_b"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q36_media_features" -> q36 _,
     "q37_frame_sample"   -> q37 _,
-    "q373_audio_energy"  -> q373 _)
+    "q373_audio_energy"  -> q373 _,
+    "q374_image_phash"   -> q374 _)
 
   override val oracles: Map[String, String] = Map(
     "q36_media_features" -> q36Sql,
     "q37_frame_sample"   -> q37Sql,
-    "q373_audio_energy"  -> q373Sql)
+    "q373_audio_energy"  -> q373Sql,
+    "q374_image_phash"   -> q374Sql)
 }
