@@ -483,7 +483,83 @@ object Extras56 extends QueryPack {
       "\n       SELECT node, round(rank, 6) AS rank FROM pr5 ORDER BY node"
   }
 
+  // --------------------------------------------------------------- q375
+  /** Declarative expectations run (dbt-test / Deequ shape): eight rules
+    * over four tables compile into ONE aggregate per table plus one
+    * anti-join per FK rule — see [[graft.quality.Expectations]]. Rule
+    * e6 (l_tax ≤ 0.05) is deliberately tighter than the data, so the
+    * run demonstrates a non-zero violation count flowing through, not
+    * just a wall of green. */
+  private def q375(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Expectations._
+    val t = Tables(s, dir)
+    run(s, Map(
+      "customer"  -> t("customer"),
+      "orders"    -> t("orders"),
+      "lineitem"  -> t("lineitem"),
+      "events"    -> t("events"),
+      "documents" -> t("documents")),
+      Seq(
+        NotNull("e1", "customer", "c_custkey"),
+        Unique("e2", "customer", "c_custkey"),
+        ForeignKey("e3", "orders", "o_custkey", "customer", "c_custkey"),
+        InRange("e4", "lineitem", "l_quantity", 1, 50),
+        InRange("e5", "lineitem", "l_discount", 0, 0.1),
+        InRange("e6", "lineitem", "l_tax", 0, 0.05),
+        InSet("e7", "events", "event_type",
+          Seq("view", "click", "signup", "purchase", "error")),
+        Unique("e8", "documents", "doc_id")))
+  }
+
+  private val q375Sql =
+    """WITH u AS (
+         SELECT 'e1' AS rule_id, 'customer' AS tbl,
+                'not_null(c_custkey)' AS rule,
+                CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations
+         FROM customer
+         UNION ALL
+         SELECT 'e2', 'customer', 'unique(c_custkey)',
+                CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)
+         FROM customer
+         UNION ALL
+         SELECT 'e3', 'orders', 'fk(o_custkey -> customer.c_custkey)',
+                CAST(count(*) AS BIGINT)
+         FROM orders WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey IS NOT NULL)
+         UNION ALL
+         SELECT 'e4', 'lineitem', 'in_range(l_quantity, 1.0, 50.0)',
+                CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                              OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'e5', 'lineitem', 'in_range(l_discount, 0.0, 0.1)',
+                CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                              OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'e6', 'lineitem', 'in_range(l_tax, 0.0, 0.05)',
+                CAST(sum(CASE WHEN l_tax IS NULL OR l_tax < 0
+                              OR l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'e7', 'events', 'in_set(event_type)',
+                CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                              ('view','click','signup','purchase','error')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT 'e8', 'documents', 'unique(doc_id)',
+                CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+         FROM documents)
+       SELECT rule_id, tbl, rule, n_violations,
+              CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
+                AS passed
+       FROM u ORDER BY rule_id"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "q375_expectations"      -> q375 _,
     "q372_weighted_pagerank" -> q372 _,
     "q371_srp_neardup"    -> q371 _,
     "q365_mutual_info"    -> q365 _,
@@ -494,6 +570,7 @@ object Extras56 extends QueryPack {
     "q370_joinsize_est"   -> q370 _)
 
   override def oracles: Map[String, String] = Map(
+    "q375_expectations"      -> q375Sql,
     "q372_weighted_pagerank" -> q372Sql,
     "q371_srp_neardup"    -> q371Sql,
     "q365_mutual_info"    -> q365Sql,
