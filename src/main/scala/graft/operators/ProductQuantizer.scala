@@ -34,15 +34,26 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val v = col(vecCol).cast("array<double>")
-    val books = (0 until m).map { s =>
-      val sub = df.select(col(idCol).as("vid"),
-        slice(v, s * subDim + 1, subDim).as("sub"))
-      val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters,
-        computeInertia = false)
-      // codebook ordered by centroid_id so code ids are stable
-      cents.orderBy("centroid_id").collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
-    }
+    // The m sub-space fits are independent models over disjoint slices
+    // — submit them CONCURRENTLY so their (many, small) Spark jobs
+    // interleave instead of serializing m × iters round-trips. Results
+    // are collected back in sub-space order, and each fit is
+    // deterministic on its own, so the codebooks are identical to the
+    // sequential run's.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val books = Await.result(Future.sequence((0 until m).map { s =>
+      Future {
+        val sub = df.select(col(idCol).as("vid"),
+          slice(v, s * subDim + 1, subDim).as("sub"))
+        val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters,
+          computeInertia = false)
+        // codebook ordered by centroid_id so code ids are stable
+        cents.orderBy("centroid_id").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+      }
+    }), Duration.Inf)
     Model(m, subDim, books)
   }
 
