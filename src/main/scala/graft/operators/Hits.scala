@@ -47,6 +47,8 @@ object Hits {
     * Returns (node, auth, hub), one row per distinct src or dst. */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
+    require(!e.isEmpty,
+      "Hits.run needs a non-empty edge set (no max to normalize by)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
 

@@ -67,6 +67,7 @@ object Expectations {
     * (rule_id, tbl, rule, n_violations, passed), ordered by rule_id. */
   def run(spark: SparkSession, tables: Map[String, DataFrame],
           rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.run needs at least one rule")
     import spark.implicits._
     val (fkRules, aggRules) = rules.partition(_.isInstanceOf[ForeignKey])
 

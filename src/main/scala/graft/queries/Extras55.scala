@@ -119,11 +119,15 @@ object Extras55 extends QueryPack {
       o.filter(year(col("o_orderdate")) === yr)
         .select(col("o_custkey").as("v")).distinct()
         .withColumn("side", lit(tag))
+    // materialized once: the exact rollup, both side estimates and the
+    // union sketch all read this frame — uncut, the orders scan +
+    // distinct would execute four times in one query (q288 discipline)
     val m = yearKeys(1995, 1).unionByName(yearKeys(1996, 2))
       .groupBy("v")
       .agg(max(when(col("side") === 1, 1).otherwise(0)).as("inA"),
            max(when(col("side") === 2, 1).otherwise(0)).as("inB"))
       .withColumn("h", Anonymize.md5Uniform(col("v"), "kmvset"))
+      .localCheckpoint()
     val est: Column =
       when(col("nk") < K, col("nk").cast("double"))
         .otherwise(lit((K - 1).toDouble) / col("hk"))

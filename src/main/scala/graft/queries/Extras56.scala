@@ -102,7 +102,8 @@ object Extras56 extends QueryPack {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("tok")).as("n_distinct"),
         sum("sign").as("signed_mass"))
-      .crossJoin(toks.agg(count(lit(1)).as("total")))
+      .withColumn("total",
+        sum("n_occurrences").over(Window.partitionBy(lit(1))))
       .select(col("bucket"),
         col("n_occurrences").cast("long").as("n_occurrences"),
         col("n_distinct").cast("long").as("n_distinct"),
@@ -128,15 +129,15 @@ object Extras56 extends QueryPack {
        g AS (
          SELECT bucket, count(*) AS n_occurrences,
                 count(DISTINCT tok) AS n_distinct,
-                sum(sign) AS signed_mass
-         FROM hashed GROUP BY bucket),
-       tot AS (SELECT count(*) AS total FROM toks)
+                sum(sign) AS signed_mass,
+                sum(count(*)) OVER () AS total
+         FROM hashed GROUP BY bucket)
        SELECT bucket,
               CAST(n_occurrences AS BIGINT) AS n_occurrences,
               CAST(n_distinct AS BIGINT) AS n_distinct,
               CAST(signed_mass AS BIGINT) AS signed_mass,
               round(CAST(n_occurrences AS DOUBLE) / total, 6) AS load_share
-       FROM g, tot ORDER BY bucket"""
+       FROM g ORDER BY bucket"""
 
   // --------------------------------------------------------------- q367
   /** Multi-probe SRP-LSH (Lv et al. 2007): q30's index, but every query
@@ -470,8 +471,8 @@ object Extras56 extends QueryPack {
       s""",
          pr$k AS MATERIALIZED (
            SELECT n.node,
-                  0.15::DOUBLE + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE)
-                    AS rank
+                  (1.0::DOUBLE - 0.85::DOUBLE)
+                    + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, sum(p.rank * e.w / ow.tw) AS mass
              FROM pr${k - 1} p

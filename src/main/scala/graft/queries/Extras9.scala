@@ -49,7 +49,8 @@ object Extras9 extends QueryPack {
       s""",
          pr$k AS (
            SELECT n.node,
-                  0.15::DOUBLE + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
+                  (1.0::DOUBLE - 0.85::DOUBLE)
+                  + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, sum(p.rank / od.outdeg) AS mass
              FROM pr${k - 1} p
