@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.SubstringDedup
+
+/** Round-7 pack, part 4: cross-source language-model scoring — the
+  * CCNet-style "filter by LM perplexity" signal as a driver-checked
+  * matrix (q376).
+  */
+object Extras57 extends QueryPack {
+
+  // --------------------------------------------------------------- q376
+  /** Cross-source bigram-LM perplexity matrix: each source trains an
+    * add-1-smoothed bigram model — P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
+    * V the shared corpus vocabulary — and every source's text is scored
+    * under every model: avg negative log-prob per bigram occurrence,
+    * and its exp (the perplexity). A source scores lowest under its own
+    * model; high off-diagonal entries mark distribution mismatch — the
+    * quantity CCNet-style curation thresholds on. Every probability is
+    * an exact integer ratio, so both engines evaluate identical
+    * doubles before the rounded average.
+    *
+    * Scale shape: bigram counts are one (source, w1, w2) hash-agg; the
+    * scoring join matches data-side counts to model-side counts on the
+    * bigram key alone, producing each (model, data) pair in one
+    * relational join — no per-pair scans, and at 100 TB the model
+    * tables are the broadcast side (vocab-bounded, not corpus-bounded).
+    * Missing bigrams/unigrams fall back to the smoothing floor via
+    * left joins + coalesce, exactly as the math says. */
+  private def q376(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir)("documents")
+      .select(col("source"), SubstringDedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(col("source"), explode(
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+                      element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+    val bg = bigrams.groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val ug = bigrams.groupBy("source", "w1").agg(count(lit(1)).as("c1"))
+    val vocab = Tables(s, dir)("documents")
+      .select(explode(SubstringDedup.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+    // data-side bigram occurrences × model-side counts, joined on the
+    // bigram key; per (model, data) pair one weighted-average aggregate
+    val data = bg.select(col("source").as("data_source"),
+      col("w1"), col("w2"), col("c2").as("cb"))
+    val modelBg = bg.select(col("source").as("model_source"),
+      col("w1"), col("w2"), col("c2").as("ma"))
+    val modelUg = ug.select(col("source").as("model_source"),
+      col("w1"), col("c1").as("ua"))
+    val sources = bg.select(col("source").as("model_source")).distinct()
+    val scored = data
+      .crossJoin(sources)
+      .join(modelBg, Seq("model_source", "w1", "w2"), "left")
+      .join(modelUg, Seq("model_source", "w1"), "left")
+      .crossJoin(vocab)
+      .select(col("model_source"), col("data_source"), col("cb"),
+        (-log((coalesce(col("ma"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("ua"), lit(0L)) + col("v"))))
+          .as("nll"))
+    scored.groupBy("model_source", "data_source")
+      .agg(sum("cb").cast("long").as("n_bigrams"),
+        (sum(col("cb") * col("nll")) / sum("cb")).as("avg_nll"))
+      .select(col("model_source"), col("data_source"), col("n_bigrams"),
+        round(col("avg_nll"), 6).as("avg_nll"),
+        round(exp(col("avg_nll")), 4).as("perplexity"))
+      .orderBy("model_source", "data_source")
+  }
+
+  private val q376Sql =
+    """WITH toks AS (
+         SELECT source, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  w -> w <> '') AS t
+         FROM documents),
+       bigrams AS (
+         SELECT source, t[i + 1] AS w1, t[i + 2] AS w2
+         FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)
+         WHERE len(t) >= 2),
+       bg AS (SELECT source, w1, w2, count(*) AS c2
+              FROM bigrams GROUP BY source, w1, w2),
+       ug AS (SELECT source, w1, count(*) AS c1
+              FROM bigrams GROUP BY source, w1),
+       vocab AS (
+         SELECT count(DISTINCT w) AS v FROM (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             w -> w <> '')) AS w FROM documents)),
+       sources AS (SELECT DISTINCT source AS model_source FROM bg),
+       scored AS (
+         SELECT s.model_source, d.source AS data_source, d.c2 AS cb,
+                -ln(CAST(coalesce(mb.c2, 0) + 1 AS DOUBLE)
+                    / (coalesce(mu.c1, 0) + vocab.v)) AS nll
+         FROM bg d
+         CROSS JOIN sources s
+         LEFT JOIN bg mb ON mb.source = s.model_source
+                        AND mb.w1 = d.w1 AND mb.w2 = d.w2
+         LEFT JOIN ug mu ON mu.source = s.model_source AND mu.w1 = d.w1
+         CROSS JOIN vocab)
+       SELECT model_source, data_source,
+              CAST(sum(cb) AS BIGINT) AS n_bigrams,
+              round(sum(cb * nll) / sum(cb), 6) AS avg_nll,
+              round(exp(sum(cb * nll) / sum(cb)), 4) AS perplexity
+       FROM scored GROUP BY model_source, data_source
+       ORDER BY model_source, data_source"""
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q376_lm_crossppl" -> q376 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q376_lm_crossppl" -> q376Sql)
+}
