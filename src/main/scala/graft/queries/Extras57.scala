@@ -110,9 +110,113 @@ object Extras57 extends QueryPack {
        FROM scored GROUP BY model_source, data_source
        ORDER BY model_source, data_source"""
 
+  // --------------------------------------------------------------- q377
+  /** Dedup-savings forecast by duplicate-cluster size: exact-dup
+    * clusters (content md5) keep their min-doc_id member, and the
+    * rollup answers the capacity question curation planning starts
+    * from — how many bytes does exact dedup buy, and from which
+    * cluster sizes? One fingerprint hash-agg (the q07 shuffle) + a
+    * cluster-size regroup of the tiny cluster table; `min(struct)`
+    * picks the kept member's size deterministically (DuckDB twin:
+    * arg_min). */
+  private def q377(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Tables(s, dir)("documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_chars")).as("chars_total"),
+        min(struct(col("doc_id"), col("n_chars")))
+          .getField("n_chars").as("chars_kept"))
+    clusters.groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum("sz").cast("long").as("n_docs"),
+        sum("chars_total").cast("long").as("chars_total"),
+        sum(col("chars_total") - col("chars_kept")).cast("long")
+          .as("chars_saved"))
+      .withColumn("savings_share",
+        round(col("chars_saved").cast("double") /
+          sum("chars_total").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))), 6))
+      .orderBy("cluster_size")
+  }
+
+  private val q377Sql =
+    """WITH clusters AS (
+         SELECT md5(text) AS fp, count(*) AS sz,
+                sum(n_chars) AS chars_total,
+                arg_min(n_chars, doc_id) AS chars_kept
+         FROM documents GROUP BY md5(text)),
+       g AS (
+         SELECT CAST(sz AS BIGINT) AS cluster_size,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs,
+                CAST(sum(chars_total) AS BIGINT) AS chars_total,
+                CAST(sum(chars_total - chars_kept) AS BIGINT) AS chars_saved
+         FROM clusters GROUP BY sz)
+       SELECT cluster_size, n_clusters, n_docs, chars_total, chars_saved,
+              round(CAST(chars_saved AS DOUBLE)
+                    / sum(chars_total) OVER (), 6) AS savings_share
+       FROM g ORDER BY cluster_size"""
+
+  // --------------------------------------------------------------- q378
+  /** TEMPORAL split-leakage audit — the time-boundary companion of
+    * q290's hash-split audit: with a fixed train/test cut at
+    * 1996-01-01, every user whose events span the boundary leaks
+    * future behavior into training features. One (user, side)
+    * aggregate; the leak set is the both-sides intersection, reported
+    * per event_type with its share of test-side volume. */
+  private def q378(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir)("events")
+      .select(col("user_id"), col("event_type"),
+        (col("ts") < lit("1996-01-01").cast("timestamp")).as("is_train"))
+    val sides = e.groupBy("user_id")
+      .agg(max(when(col("is_train"), 1).otherwise(0)).as("has_train"),
+           max(when(!col("is_train"), 1).otherwise(0)).as("has_test"))
+    val leaky = sides.filter(col("has_train") === 1 && col("has_test") === 1)
+      .select("user_id")
+    e.filter(!col("is_train"))
+      .join(leaky.withColumn("leak", lit(1)), Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_test_events"),
+        sum(coalesce(col("leak"), lit(0))).cast("long")
+          .as("n_leaky_events"),
+        countDistinct(when(col("leak") === 1, col("user_id")))
+          .cast("long").as("n_leaky_users"))
+      .withColumn("leak_share",
+        round(col("n_leaky_events").cast("double") / col("n_test_events"), 6))
+      .orderBy("event_type")
+  }
+
+  private val q378Sql =
+    """WITH e AS (
+         SELECT user_id, event_type,
+                ts < TIMESTAMP '1996-01-01' AS is_train
+         FROM events),
+       sides AS (
+         SELECT user_id,
+                max(CASE WHEN is_train THEN 1 ELSE 0 END) AS has_train,
+                max(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS has_test
+         FROM e GROUP BY user_id),
+       leaky AS (
+         SELECT user_id, 1 AS leak FROM sides
+         WHERE has_train = 1 AND has_test = 1)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_test_events,
+              CAST(sum(coalesce(leak, 0)) AS BIGINT) AS n_leaky_events,
+              CAST(count(DISTINCT CASE WHEN leak = 1 THEN e.user_id END)
+                AS BIGINT) AS n_leaky_users,
+              round(CAST(sum(coalesce(leak, 0)) AS DOUBLE) / count(*), 6)
+                AS leak_share
+       FROM e LEFT JOIN leaky ON e.user_id = leaky.user_id
+       WHERE NOT is_train
+       GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Map[String, QueryFn] = Map(
-    "q376_lm_crossppl" -> q376 _)
+    "q376_lm_crossppl"    -> q376 _,
+    "q377_dedup_savings"  -> q377 _,
+    "q378_temporal_leak"  -> q378 _)
 
   override def oracles: Map[String, String] = Map(
-    "q376_lm_crossppl" -> q376Sql)
+    "q376_lm_crossppl"    -> q376Sql,
+    "q377_dedup_savings"  -> q377Sql,
+    "q378_temporal_leak"  -> q378Sql)
 }
