@@ -139,7 +139,11 @@ object Multimodal {
           val blen = new Array[Long](64)
           var b = 0
           while (b < 64) {
-            val lo = b * len / 64; val hi = (b + 1) * len / 64
+            // Long math: Int `b * len` overflows past ~33 MB payloads,
+            // and the q374 oracle's BIGINT math would diverge exactly
+            // in the large-payload regime this path exists for
+            val lo = (b.toLong * len / 64).toInt
+            val hi = ((b + 1).toLong * len / 64).toInt
             var j = lo; var s = 0L
             while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }
             bsum(b) = s; blen(b) = hi - lo; b += 1

@@ -36,24 +36,31 @@ object ProductQuantizer {
     val v = col(vecCol).cast("array<double>")
     // The m sub-space fits are independent models over disjoint slices
     // — submit them CONCURRENTLY so their (many, small) Spark jobs
-    // interleave instead of serializing m × iters round-trips. Results
-    // are collected back in sub-space order, and each fit is
-    // deterministic on its own, so the codebooks are identical to the
-    // sequential run's.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // interleave instead of serializing m × iters round-trips. A
+    // DEDICATED pool sized to m (not the global ForkJoin pool): each
+    // Future blocks on Spark actions, so on a small shared pool the
+    // fits would serialize or starve unrelated global-pool work, and a
+    // hung fit would block Await.result forever with no owner. Results
+    // come back in sub-space order and each fit is deterministic, so
+    // the codebooks are identical to the sequential run's.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val books = Await.result(Future.sequence((0 until m).map { s =>
-      Future {
-        val sub = df.select(col(idCol).as("vid"),
-          slice(v, s * subDim + 1, subDim).as("sub"))
-        val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters,
-          computeInertia = false)
-        // codebook ordered by centroid_id so code ids are stable
-        cents.orderBy("centroid_id").collect()
-          .map(_.getSeq[Double](1).toSeq).toSeq
-      }
-    }), Duration.Inf)
+    val pool = Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val books =
+      try Await.result(Future.sequence((0 until m).map { s =>
+        Future {
+          val sub = df.select(col(idCol).as("vid"),
+            slice(v, s * subDim + 1, subDim).as("sub"))
+          val (cents, _) = KMeans.fit(sub, "vid", "sub", codes, iters,
+            computeInertia = false)
+          // codebook ordered by centroid_id so code ids are stable
+          cents.orderBy("centroid_id").collect()
+            .map(_.getSeq[Double](1).toSeq).toSeq
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     Model(m, subDim, books)
   }
 

@@ -36,6 +36,11 @@ object SetSimilarityJoin {
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             k: Int, tau: Double): DataFrame = {
     require(k >= 2 && tau > 0.0 && tau <= 1.0)
+    // materialized ONCE: sh feeds five subtrees (df counts, the rank
+    // window, both prefix-join sides, both verify-join sides, sizes) —
+    // without this the corpus re-tokenizes per subtree unless
+    // ReuseExchange happens to collapse every copy (same discipline as
+    // minhashDedup's signature checkpoint / KMeans input caching)
     val sh = docs
       .select(col(idCol).as("id"),
         SubstringDedup.tokens(col(textCol)).as("t"))
@@ -45,6 +50,7 @@ object SetSimilarityJoin {
         i => SubstringDedup.md5Gram(
           concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("g"))
       .distinct()
+      .localCheckpoint()
     val gf = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val ranked = sh.join(gf, "g")
       .withColumn("pos",

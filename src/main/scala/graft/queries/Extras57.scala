@@ -19,9 +19,13 @@ object Extras57 extends QueryPack {
     * under every model: avg negative log-prob per bigram occurrence,
     * and its exp (the perplexity). A source scores lowest under its own
     * model; high off-diagonal entries mark distribution mismatch — the
-    * quantity CCNet-style curation thresholds on. Every probability is
-    * an exact integer ratio, so both engines evaluate identical
-    * doubles before the rounded average.
+    * quantity CCNet-style curation thresholds on. Every PER-TERM
+    * probability is an exact integer ratio, so both engines evaluate
+    * identical doubles per bigram; the weighted SUM of those terms is
+    * order-dependent in float (Spark's partial aggregation vs DuckDB's
+    * single-threaded scan), and round(…, 6) is the DELIBERATE tolerance
+    * absorbing that — the summands are O(10), the term count O(vocab²),
+    * so accumulated error stays orders of magnitude below 1e-6.
     *
     * Scale shape: bigram counts are one (source, w1, w2) hash-agg; the
     * scoring join matches data-side counts to model-side counts on the
