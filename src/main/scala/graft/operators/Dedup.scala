@@ -135,10 +135,75 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  // ------------------------------------------------- hot-bucket cap
+
+  /** Per-band-bucket size cap for every banded-LSH candidate stage.
+    *
+    * THE one data-dependent quadratic in the sketch family: a bucket
+    * holding B rows emits B·(B−1)/2 candidate pairs, and a
+    * boilerplate-heavy corpus (license headers, templated pages) can
+    * put millions of docs in ONE band bucket — 10⁶ docs → 5·10¹¹
+    * pairs from a single key. AQE skew-split cannot help: it splits
+    * partitions, not the pair count. The guard is semantic, not
+    * physical: buckets over `maxBucket` are SKIPPED ENTIRELY (their
+    * rows leave the candidate stage), which is the standard
+    * production trade — a bucket that hot is boilerplate by
+    * definition, and its members are still caught by their OTHER
+    * bands (bands−1 more chances) or by exact dedup upstream.
+    * Skipping (vs sub-sampling) keeps the result a pure function of
+    * the corpus — no sampling-order dependence, so oracles and
+    * goldens stay exact. [[bandCapReport]] accounts the skipped mass
+    * so a pipeline can alert instead of silently degrading. */
+  val DefaultMaxBucket: Int = 2000
+
+  /** Buckets (grouped by `keyCols`) holding more than `maxBucket`
+    * rows, with their sizes. Output: keyCols :+ bucket_n. */
+  def hotBuckets(rows: DataFrame, keyCols: Seq[String],
+                 maxBucket: Int): DataFrame =
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Drop all rows of over-cap buckets. The hot-bucket relation is at
+    * most |rows|/maxBucket keys (each holds > maxBucket rows), so the
+    * anti-join's build side is tiny by construction — AQE broadcasts
+    * it; the bucket count aggregate shares the candidate join's
+    * shuffle keys. No-op (and no extra stages) at Int.MaxValue. */
+  def dropHotBuckets(rows: DataFrame, keyCols: Seq[String],
+                     maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) rows
+    else rows.join(
+      hotBuckets(rows, keyCols, maxBucket).select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+
+  /** Skipped-mass accounting for a banded relation (the report a
+    * curation funnel emits next to its candidate counts): per
+    * band_idx, how many buckets exist, how many are over the cap, how
+    * many rows those hold, and the pair count the cap avoided
+    * (Σ B·(B−1)/2 over hot buckets). One aggregate over the band
+    * rows — same shuffle keys as the candidate join. */
+  def bandCapReport(bandRowsDf: DataFrame, maxBucket: Int): DataFrame =
+    bandRowsDf.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("band_idx")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L))
+          .as("rows_skipped"),
+        // B·(B−1) is even, so >>1 is the exact pair count in pure
+        // Long math (Spark's `/` would detour through double and lose
+        // exactness past 2^53)
+        sum(when(col("c") > maxBucket,
+          shiftright(col("c") * (col("c") - 1), 1)).otherwise(0L))
+          .as("pairs_avoided"))
+
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
                         threshold: Double,
-                        hashBandKeys: Boolean = true): DataFrame = {
-    val bandRowsDf = bandRows(sigs, idCol, k, bands, hashBandKeys)
+                        hashBandKeys: Boolean = true,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bandRowsDf = dropHotBuckets(
+      bandRows(sigs, idCol, k, bands, hashBandKeys),
+      Seq("band_idx", "band_key"), maxBucket)
     val candidates = bandRowsDf.select(col(idCol).as("id_a"),
                                        col("band_idx"), col("band_key"))
       .join(bandRowsDf.select(col(idCol).as("id_b"),
@@ -164,7 +229,8 @@ object Dedup {
     * to the charShingles→MinHashSignature composition (DedupSpec). */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.2): DataFrame = {
+                   threshold: Double = 0.2,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.expressions.ShingleMinHash.shingleMinhash
     // materialize signatures ONCE: minhashCandidates reads them three
     // times (band rows + two scoring re-joins) — without this the text
@@ -173,7 +239,7 @@ object Dedup {
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol), shingleMinhash(col(textCol), shingleLen, k).as("sig"))
       .localCheckpoint()
-    minhashCandidates(sigs, idCol, k, bands, threshold)
+    minhashCandidates(sigs, idCol, k, bands, threshold, maxBucket = maxBucket)
   }
 
   /** Oracle-checkable MinHash+LSH pipeline: same shape as
@@ -183,7 +249,8 @@ object Dedup {
     * candidate set exactly. k=16 keeps the generated oracle SQL sane. */
   def minhashDedupMd5(docs: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.2): DataFrame = {
+                      threshold: Double = 0.2,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val withShingles = docs
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol),
@@ -191,7 +258,23 @@ object Dedup {
     // materialized once for the same three-reads reason as minhashDedup
     val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
       .localCheckpoint()
-    minhashCandidates(sigs, idCol, k, bands, threshold, hashBandKeys = false)
+    minhashCandidates(sigs, idCol, k, bands, threshold, hashBandKeys = false,
+                      maxBucket = maxBucket)
+  }
+
+  /** Oracle twin of the md5 pipeline's [[bandCapReport]]: signature →
+    * raw-string band keys → per-band bucket-size rollup. The
+    * accounting a DuckDB oracle can reproduce exactly (q379). */
+  def minhashCapReportMd5(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val withShingles = docs
+      .filter(length(col(textCol)) >= shingleLen)
+      .select(col(idCol),
+              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
+    val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
+    bandCapReport(bandRows(sigs, idCol, k, bands, hashBandKeys = false),
+                  maxBucket)
   }
 
   // ------------------------------------------------------------ SimHash
@@ -223,24 +306,28 @@ object Dedup {
     * chunks would guarantee more but collapse the bucketing (2^w buckets
     * per w-bit chunk) into near-all-pairs joins at scale. */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame =
     simhashChunkCandidates(simhashSignatures(docs, idCol, textCol),
                            idCol, "simhash", chunkBits = 16, nChunks = 4,
-                           maxHamming = maxHamming)
+                           maxHamming = maxHamming, maxBucket = maxBucket)
 
   /** Shared chunk-candidate stage: signatures sharing any `chunkBits`-bit
     * chunk become candidates, verified with popcount(xor). Used by both
     * the 64-bit production path and the 16-bit md5 oracle twin. */
   def simhashChunkCandidates(sigs: DataFrame, idCol: String, sigCol: String,
                              chunkBits: Int, nChunks: Int,
-                             maxHamming: Int): DataFrame = {
+                             maxHamming: Int,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
     val mask = (1L << chunkBits) - 1
-    val chunked = sigs.select(
-      col(idCol), col(sigCol).as("__sig"),
-      posexplode(array((0 until nChunks).map(cix =>
-        shiftrightunsigned(col(sigCol), cix * chunkBits).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk_key")
+    val chunked = dropHotBuckets(
+      sigs.select(
+        col(idCol), col(sigCol).as("__sig"),
+        posexplode(array((0 until nChunks).map(cix =>
+          shiftrightunsigned(col(sigCol), cix * chunkBits).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk_key"),
+      Seq("chunk_idx", "chunk_key"), maxBucket)
     val a = chunked.select(col(idCol).as("id_a"), col("__sig").as("sim_a"),
                            col("chunk_idx"), col("chunk_key"))
     val b = chunked.select(col(idCol).as("id_b"), col("__sig").as("sim_b"),

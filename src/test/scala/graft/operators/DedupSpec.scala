@@ -186,6 +186,67 @@ class DedupSpec extends GraftTestBase {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  /** 10k docs sharing every band (identical boilerplate) + one genuine
+    * near-dup pair in its own cold buckets. Uncapped, the boilerplate
+    * alone is ~5·10⁷ candidate pairs; with the cap the stage must emit
+    * ONLY the cold pair — and finish fast enough to run as a unit test,
+    * which is itself the assertion that no quadratic blowup happened. */
+  private def boilerplateCorpus = {
+    val boiler = "copyright notice all rights reserved template page " * 3
+    val planted = (100L until 10100L).map(i => (i, boiler))
+    spark.createDataFrame(
+      planted :+ (0L, base) :+ (2L, base.replace("lazy dog", "sleepy dog")))
+      .toDF("doc_id", "text")
+  }
+
+  test("hot-bucket cap kills the boilerplate pair explosion, keeps cold-bucket pairs") {
+    val pairs = Dedup.minhashDedup(boilerplateCorpus, "doc_id", "text",
+        threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L })
+  }
+
+  test("uncapped minhashCandidates on the same corpus would pair the boilerplate") {
+    // sanity check on a 50-doc slice (the 10k uncapped run is the
+    // explosion this cap exists to prevent): without a cap the planted
+    // docs DO all pair, so the capped test above is a real difference
+    val slice = boilerplateCorpus.filter($"doc_id" < 150)
+    val pairs = Dedup.minhashDedup(slice, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.count { case (a, b) => a >= 100L && b >= 100L } == 50 * 49 / 2)
+  }
+
+  test("bandCapReport accounts the skipped boilerplate mass exactly") {
+    import graft.functions.expressions.ShingleMinHash.shingleMinhash
+    val sigs = boilerplateCorpus
+      .select($"doc_id", shingleMinhash($"text", 5, 64).as("sig"))
+    val rep = Dedup.bandCapReport(
+        Dedup.bandRows(sigs, "doc_id", 64, 16), maxBucket = 100)
+      .orderBy("band_idx").collect()
+    assert(rep.length == 16)
+    rep.foreach { r =>
+      // each band: the one boilerplate bucket is hot (10k rows), the
+      // near-dup pair's buckets are cold
+      assert(r.getAs[Long]("n_hot_buckets") == 1L)
+      assert(r.getAs[Long]("rows_skipped") == 10000L)
+      assert(r.getAs[Long]("pairs_avoided") == 10000L * 9999L / 2L)
+    }
+  }
+
+  test("simhash chunk cap suppresses identical-signature floods") {
+    // cold pair: identical texts (hamming 0, guaranteed candidate) in
+    // their own size-2 buckets; the 10k boilerplate signature floods
+    // every one of ITS chunk buckets past the cap
+    val corpus2 = boilerplateCorpus
+      .withColumn("text", when($"doc_id" === 2L, lit(base)).otherwise($"text"))
+    val pairs = Dedup.simhashDedup(corpus2, "doc_id", "text",
+        maxHamming = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(pairs.contains((0L, 2L)))
+  }
+
   test("signatures are stable across repartitioning (deterministic hashing)") {
     val a = Dedup.minhashSignatures(
       corpus.select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),
