@@ -52,38 +52,85 @@ object IvfPq {
     zip_with(vec.cast("array<double>"),
       element_at(typedLit(coarse), bucket + 1), (a, b) => a - b)
 
-  /** Train coarse quantizer + residual PQ codebooks. */
+  /** Train coarse quantizer + residual PQ codebooks on a BOUNDED
+    * deterministic sample — the `samplePerCentroid · max(coarseK,
+    * codes)` rows with the smallest md5(id) (standard quantizer
+    * practice: codebook quality saturates around 50 rows per centroid,
+    * and a fixed-size hash sample is reproducible under retries and
+    * independent of corpus scale). The cluster does ONE top-S job
+    * (per-partition md5 heaps, S rows to the driver — bounded model
+    * state like the centroid collects); both Lloyd loops then run
+    * driver-local ([[KMeans.fitLocal]]), which at O(10³) rows is faster
+    * than the job-scheduling overhead of even one distributed iteration
+    * — this was 12-13 s of tiny jobs at sf0.1, and is why a 100 TB fit
+    * wants the sample, not the corpus. Encode/probe stay distributed
+    * and scan-shaped. fitLocal's fixed accumulation order also removes
+    * the summation-order knife-edge the distributed fit documents:
+    * the model is bit-deterministic under any partitioning.
+    * `samplePerCentroid <= 0` falls back to the full corpus as the
+    * sample (exact legacy scope, still driver-fit). */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
           coarseK: Int = 8, m: Int = 8, codes: Int = 16,
-          iters: Int = 3): Model = {
-    val (centDf, _) = KMeans.fit(df, idCol, vecCol, coarseK, iters,
-      computeInertia = false)
-    val coarse = centDf.orderBy("centroid_id").collect()
-      .map(_.getSeq[Double](1).map(r6).toSeq).toSeq
-    // Cached across the PQ fit: each of the m sub-space k-means fits
-    // scans this frame ~10 times (seed + per-iteration jobs), and every
-    // uncached scan would re-run the coarse argmax + residual zip_with
-    // over the full corpus — ~m × 10 recomputations of the assignment
-    // expression. One materialization instead.
-    val resid = df.select(col(idCol).as("vid"),
-        residualExpr(col(vecCol), bucketExpr(col(vecCol), coarse), coarse)
-          .as("rv"))
-      .cache()
-    val pq = ProductQuantizer.fit(resid, "vid", "rv", dim, m, codes, iters)
-    resid.unpersist()
-    Model(coarse, pq.copy(codebooks =
-      pq.codebooks.map(_.map(_.map(r6)))))
+          iters: Int = 3, samplePerCentroid: Int = 50): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val base = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sampled =
+      if (samplePerCentroid <= 0) base
+      else base
+        .withColumn("h", md5(col("vid").cast("string")))
+        .orderBy(col("h"), col("vid"))
+        .limit(samplePerCentroid * math.max(coarseK, codes))
+        .select("vid", "v")
+    val sample = sampled.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toIndexedSeq
+    val coarse = KMeans.fitLocal(sample, coarseK, iters)
+      .map(_.map(r6).toSeq).toSeq
+    // residuals against the ROUNDED centroids (what encode() uses), so
+    // the codebooks quantize exactly the residual distribution the
+    // distributed encoder produces; bucket argmin mirrors bucketExpr
+    // (−2·v·c + |c|², strict < ties to the lowest bucket)
+    val resid = sample.map { case (id, v) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val cc = coarse(c)
+        var dot = 0.0
+        var cn2 = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * cc(i); cn2 += cc(i) * cc(i); i += 1 }
+        val d = -2.0 * dot + cn2
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (id, Array.tabulate(v.length)(i => v(i) - coarse(best)(i)))
+    }
+    val books = (0 until m).map { s =>
+      KMeans.fitLocal(
+        resid.map { case (id, rv) =>
+          (id, java.util.Arrays.copyOfRange(rv, s * subDim, (s + 1) * subDim))
+        }, codes, iters)
+        .map(_.map(r6).toSeq).toSeq
+    }
+    Model(coarse, ProductQuantizer.Model(m, subDim, books))
   }
 
-  /** Encode: (vid, bucket, codes). One narrow projection — at 100 TB,
-    * write it `partitionBy("bucket")` and the probe join prunes files. */
+  /** Encode: (vid, bucket, codes). Two stacked narrow projections (the
+    * bucket argmin evaluates ONCE, then feeds both the output column
+    * and the residual — inlining it twice doubled the analyzer work) —
+    * at 100 TB, write the result `partitionBy("bucket")` and the probe
+    * join prunes files. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             model: Model): DataFrame = {
-    val b = bucketExpr(col(vecCol), model.coarse)
-    df.select(col(idCol).as("vid"), b.as("bucket"),
-      ProductQuantizer.codesExpr(
-        residualExpr(col(vecCol), b, model.coarse), model.pq).as("codes"))
-  }
+             model: Model): DataFrame =
+    df.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("__v"),
+        bucketExpr(col(vecCol), model.coarse).as("bucket"))
+      .select(col("vid"), col("bucket"),
+        ProductQuantizer.codesExpr(
+          residualExpr(col("__v"), col("bucket"), model.coarse),
+          model.pq).as("codes"))
 
   /** Per-query nprobe nearest buckets: sort (score, bucket) structs,
     * slice, explode. The struct sort breaks score ties on bucket id. */

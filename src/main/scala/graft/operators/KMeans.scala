@@ -126,6 +126,60 @@ object KMeans {
     (centroidsDf(spark, centroids), inertia.result())
   }
 
+  /** Driver-side Lloyd's over a BOUNDED sample — the fit twin used by
+    * [[IvfPq.fit]]: at scale a quantizer is trained on O(50·k) rows,
+    * and at that size the distributed loop's cost is pure job-scheduling
+    * overhead (dozens of tiny jobs), so the sample fits locally in
+    * microseconds. Same math as the distributed path: seed = k smallest
+    * md5(id) (ordered (md5, id)), argmin of −2·v·c + |c|² with ties to
+    * the lowest centroid, per-cluster mean update, empty clusters keep
+    * their previous centroid. STRONGER determinism than the distributed
+    * form: accumulation runs in fixed ascending-id order, so results
+    * are bit-stable under any upstream partitioning by construction
+    * (no q346-style summation-order knife-edge).
+    * Returns min(k, n) centroids ordered by centroid id. */
+  def fitLocal(rows: IndexedSeq[(Long, Array[Double])], k: Int,
+               iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    require(rows.nonEmpty, "empty sample")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    var cents: Array[Array[Double]] = rows
+      .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+      .take(k).map(_._2.clone()).toArray
+    val data = rows.sortBy(_._1) // fixed accumulation order
+    val dim = data.head._2.length
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      data.foreach { case (_, v) =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cc = cents(c)
+          var dot = 0.0
+          var cn2 = 0.0
+          var i = 0
+          while (i < dim) { dot += v(i) * cc(i); cn2 += cc(i) * cc(i); i += 1 }
+          val d = -2.0 * dot + cn2
+          if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest id
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
   private def centroidsDf(spark: SparkSession,
                           cs: Seq[(Long, Seq[Double])]): DataFrame = {
     val schema = StructType(Seq(

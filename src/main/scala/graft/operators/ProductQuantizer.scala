@@ -64,27 +64,17 @@ object ProductQuantizer {
     Model(m, subDim, books)
   }
 
-  /** Nearest-code expression for one sub-space: argmin over the literal
-    * codebook of −2·v_s·c + |c|² (the |v_s|² term is constant per row).
-    * Ties break to the lowest code via array_position-of-min. */
-  private def codeExpr(sub: Column, book: Seq[Seq[Double]]): Column = {
-    val scores = array(book.map { c =>
-      val cn2 = c.map(x => x * x).sum
-      lit(-2.0) * vecDot(sub, typedLit(c)) + lit(cn2)
-    }: _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
-  }
-
   /** The full m-code array for a vector column — public so the IVF-PQ
     * composition ([[IvfPq]]) can encode residual frames that carry
-    * extra columns (bucket ids) this projection must not drop. */
-  def codesExpr(vec: Column, model: Model): Column = {
-    val v = vec.cast("array<double>")
-    array((0 until model.m).map { s =>
-      codeExpr(slice(v, s * model.subDim + 1, model.subDim),
-               model.codebooks(s))
-    }: _*)
-  }
+    * extra columns (bucket ids) this projection must not drop.
+    * One native [[graft.functions.expressions.PqCodes]] call: the
+    * earlier per-code literal composition (array of vecDots →
+    * array_position∘array_min, × m sub-spaces) built a ~m·codes·subDim
+    * expression tree that cost SECONDS of analyzer/codegen per plan;
+    * the native form is O(1) tree with identical score math and tie
+    * semantics, so codes are bit-unchanged. */
+  def codesExpr(vec: Column, model: Model): Column =
+    graft.functions.expressions.PqCodes.pqCodes(vec, model.codebooks)
 
   /** Encode: (id, codes array<int> of length m). One narrow projection. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
