@@ -44,8 +44,31 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   /** Hub/authority scores after `iters` full iterations.
-    * Returns (node, auth, hub), one row per distinct src or dst. */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+    * Returns (node, auth, hub), one row per distinct src or dst.
+    *
+    * `localThreshold > 0` opts into a driver-side iteration path when
+    * the DISTINCT edge count is at or below it — for graphs that are
+    * bounded by their SCHEMA, not the corpus (q363's nation→nation
+    * trade graph is ≤ 625 edges at any data scale): per-iteration cost
+    * there is pure job-scheduling latency (~0.6 s × iters for a
+    * 25-node graph), while the collected edge set is bounded state in
+    * the [[KMeans.fitLocal]] sense. The local loop accumulates in
+    * sorted (src, dst) edge order — deterministic — and computes the
+    * identical coalesce-0 / L∞-normalize math; scores agree with the
+    * distributed path to float summation order (callers round, q363 at
+    * 6 dp). Default 0 = always distributed. An over-threshold count
+    * falls through to the distributed path unchanged. */
+  def run(edges: DataFrame, iters: Int, localThreshold: Long = 0L): DataFrame = {
+    if (localThreshold > 0L) {
+      val eSmall = edges.select(col("src"), col("dst")).distinct()
+        .orderBy("src", "dst")
+        .limit(math.min(localThreshold + 1L, Int.MaxValue.toLong).toInt)
+        .localCheckpoint()
+      if (eSmall.count() <= localThreshold)
+        return runLocal(eSmall, edges.schema("src").dataType, iters)
+      // else: fall through; the distributed path re-derives its own
+      // cached distinct edge frame below (eSmall was capped by limit)
+    }
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     require(!e.isEmpty,
       "Hits.run needs a non-empty edge set (no max to normalize by)")
@@ -87,5 +110,49 @@ object Hits {
     val out = scores.localCheckpoint()
     e.unpersist(); nodes.unpersist()
     out
+  }
+
+  /** Driver-side HITS over a collected (bounded) edge list — same
+    * update math as the distributed loop, accumulation in sorted edge
+    * order. Node identity is kept as the untyped collected value (the
+    * output column re-declares the caller's src type). */
+  private def runLocal(eSmall: DataFrame, nodeType: org.apache.spark.sql.types.DataType,
+                       iters: Int): DataFrame = {
+    val spark = eSmall.sparkSession
+    val edgeRows = eSmall.collect().map(r => (r.get(0), r.get(1)))
+    require(edgeRows.nonEmpty,
+      "Hits.run needs a non-empty edge set (no max to normalize by)")
+    // insertion-ordered distinct node list (sorted edge order → stable)
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    edgeRows.foreach { case (s, d) => nodes += s; nodes += d }
+    var auth = nodes.iterator.map(_ -> 1.0).to(scala.collection.mutable.LinkedHashMap)
+    var hub = nodes.iterator.map(_ -> 1.0).to(scala.collection.mutable.LinkedHashMap)
+    (1 to iters).foreach { _ =>
+      val aRaw = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+      edgeRows.foreach { case (s, d) =>
+        aRaw(d) = aRaw.getOrElse(d, 0.0) + hub(s)
+      }
+      val amax = aRaw.valuesIterator.max
+      auth = nodes.iterator
+        .map(n => n -> aRaw.getOrElse(n, 0.0) / amax)
+        .to(scala.collection.mutable.LinkedHashMap)
+      val hRaw = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+      edgeRows.foreach { case (s, d) =>
+        hRaw(s) = hRaw.getOrElse(s, 0.0) + auth(d)
+      }
+      val hmax = hRaw.valuesIterator.max
+      hub = nodes.iterator
+        .map(n => n -> hRaw.getOrElse(n, 0.0) / hmax)
+        .to(scala.collection.mutable.LinkedHashMap)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = nodes.iterator.map(n =>
+      org.apache.spark.sql.Row(n, auth(n), hub(n))).toSeq
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 }

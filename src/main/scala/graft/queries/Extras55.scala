@@ -291,7 +291,9 @@ object Extras55 extends QueryPack {
       .agg(count(lit(1)).as("w"))
     val edges = pairs.crossJoin(pairs.agg(avg("w").as("wavg")))
       .filter(col("w") > col("wavg")).select("src", "dst")
-    Hits.run(edges, iters = 5)
+    // nation→nation graph: schema-bounded (≤ 625 edges at ANY corpus
+    // scale), so the driver-local iteration path applies — see Hits.run
+    Hits.run(edges, iters = 5, localThreshold = 1000L)
       .select(col("node"), round(col("auth"), 6).as("auth"),
         round(col("hub"), 6).as("hub"))
       .orderBy("node")

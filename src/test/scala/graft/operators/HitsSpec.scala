@@ -58,5 +58,25 @@ class HitsSpec extends GraftTestBase {
     // L∞ normalization: the top authority and top hub are exactly 1.0
     assert(got.values.map(_._1).max == 1.0)
     assert(got.values.map(_._2).max == 1.0)
+
+    // the driver-local path (schema-bounded graphs) agrees with the
+    // distributed loop to float summation order
+    val local = Hits.run(edges.toDF("src", "dst"), iters,
+        localThreshold = 10000L).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(local.keySet == got.keySet)
+    for (n <- nodes) {
+      assert(math.abs(local(n)._1 - got(n)._1) < 1e-9, s"local auth($n)")
+      assert(math.abs(local(n)._2 - got(n)._2) < 1e-9, s"local hub($n)")
+    }
+  }
+
+  test("localThreshold smaller than the edge count falls through to distributed") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = Hits.run(e, iters = 1, localThreshold = 2L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(r("b")._1 - 0.5) < 1e-12)
+    assert(math.abs(r("a")._2 - 1.0) < 1e-12)
   }
 }
