@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.BpeTrainer
+
+/** Round-8 pack, part 2: distributed BPE tokenizer training (q381) —
+  * the learned-subword companion of q21's fixed-lexer token stats.
+  */
+object Extras59 extends QueryPack {
+
+  private val Merges = 8
+
+  // --------------------------------------------------------------- q381
+  /** First 8 BPE merges learned from the documents corpus: per
+    * iteration, the most frequent adjacent symbol pair over the word
+    * dictionary (ties lexicographic on the pair), then a greedy
+    * leftmost rewrite of every word. Runs the DISTRIBUTED loop
+    * (localThreshold = 0) so the driver-verified path is the scale
+    * shape: one corpus tokenize+count shuffle, then vocab-bounded
+    * pair aggregates with a localCheckpoint lineage cut per merge.
+    *
+    * The oracle unrolls the identical small-step computation: per
+    * merge, a pair-count CTE + top-1 CTE + a RECURSIVE-CTE greedy
+    * walk over each word's symbol array (two-pointer i/i+2 skip —
+    * provably the same rewrite as the engine's fold, see
+    * [[BpeTrainer.mergeOnce]]). Every multiply-referenced CTE is
+    * MATERIALIZED (DuckDB 1.0 inlines otherwise and the chain
+    * expands exponentially). */
+  private def q381(s: SparkSession, dir: String): DataFrame =
+    BpeTrainer.train(Tables(s, dir)("documents"), "text", merges = Merges)
+      .orderBy("merge_rank")
+
+  private val q381Sql: String = {
+    val base =
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             w -> w <> '')) AS w
+           FROM documents),
+         s0 AS MATERIALIZED (
+           SELECT w, count(*) AS cnt,
+                  list_transform(generate_series(1, length(w)),
+                                 i -> substring(w, i, 1)) AS syms
+           FROM toks GROUP BY w)"""
+    val steps = (1 to Merges).map { k =>
+      s""",
+         pc$k AS MATERIALIZED (
+           SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS pc
+           FROM s${k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+           WHERE len(syms) >= 2 GROUP BY 1, 2),
+         top$k AS MATERIALIZED (
+           SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1),
+         s$k AS MATERIALIZED (
+           WITH RECURSIVE walk AS (
+             SELECT w, cnt, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+             FROM s${k - 1}
+             UNION ALL
+             SELECT w, cnt, syms,
+               CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM top$k)
+                         AND syms[i + 1] = (SELECT r FROM top$k)
+                    THEN i + 2 ELSE i + 1 END,
+               CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM top$k)
+                         AND syms[i + 1] = (SELECT r FROM top$k)
+                    THEN list_append(acc, (SELECT l || r FROM top$k))
+                    ELSE list_append(acc, syms[i]) END
+             FROM walk WHERE i <= len(syms))
+           SELECT w, cnt, acc AS syms FROM walk WHERE i = len(syms) + 1)"""
+    }.mkString
+    val sel = (1 to Merges).map { k =>
+      s"""SELECT $k AS merge_rank, l AS left_sym, r AS right_sym,
+              CAST(pc AS BIGINT) AS pair_count FROM top$k"""
+    }.mkString("\n       UNION ALL\n       ")
+    base + steps + "\n       " + sel + "\n       ORDER BY merge_rank"
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q381_bpe_train" -> q381 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q381_bpe_train" -> q381Sql)
+}
