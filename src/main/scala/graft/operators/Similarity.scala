@@ -373,4 +373,53 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), cos.as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** EMBEDDING-SPACE decontamination — the semantic companion of the
+    * n-gram path (q75): n-gram overlap misses PARAPHRASED benchmark
+    * leakage (same meaning, different surface form); cosine against
+    * the eval set's embeddings catches it. Composition: the eval set's
+    * SRP band index is tiny by contract (eval suites are KBs against a
+    * 100 TB corpus) so it BROADCASTS, and the corpus side is a narrow
+    * signature projection + band explode streaming map-side through
+    * the equi-join — the corpus never shuffles for candidate
+    * generation; only the (small) hit set moves for the per-doc
+    * rollup. Every candidate is verified with exact cosine, so flags
+    * are precise; recall is the banded SRP collision probability,
+    * tuned by bits/bands as in [[srpTopK]]. Deterministic hyperplanes
+    * keep the output SQL-replayable ([[hyperplane]]).
+    * Output: (id, n_eval_hits, max_cos) for corpus rows with at least
+    * one eval neighbor at cosine ≥ threshold. */
+  def decontaminateByEmbedding(corpus: DataFrame, evalSet: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double, dim: Int,
+                               bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    def banded(df: DataFrame, id: String, vecOut: String,
+               normOut: String): DataFrame = {
+      val sig = srpSignature(col(vecCol), bits, dim)
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut),
+          sig.as("sig"))
+        .withColumn(normOut, norm(col(vecOut)))
+        .select(col(id), col(vecOut), col(normOut),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    }
+    val cb = banded(corpus, "id", "cv", "cn")
+    val eb = banded(evalSet, "eval_id", "ev", "en")
+    val cos = when(col("cn") * col("en") === 0.0, 0.0)
+      .otherwise(vecDot(col("cv"), col("ev")) / (col("cn") * col("en")))
+    cb.join(broadcast(eb), Seq("band_idx", "band_key"))
+      .select(col("id"), col("eval_id"), col("cv"), col("ev"),
+        col("cn"), col("en"))
+      .distinct()
+      .select(col("id"), col("eval_id"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(col("cos")).as("max_cos"))
+  }
 }

@@ -129,11 +129,80 @@ object Extras58 extends QueryPack {
        FROM est WHERE e >= 0.2 ORDER BY id_a, id_b"""
   }
 
+  // --------------------------------------------------------------- q382
+  private val Dim = 64
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+
+  /** Embedding-space decontamination — the paraphrase-leakage
+    * companion of q75's n-gram path: eval rows (vec_id % 97 = 0, the
+    * q75 eval-suite convention) broadcast as a banded SRP index; every
+    * corpus row sharing a band with an eval row is verified with exact
+    * cosine and flagged at ≥ 0.4. The oracle replays the identical
+    * blocking (hyperplane literals, as q371), so the flag set is
+    * engine-identical. */
+  private def q382(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val all = Tables(s, dir)("embeddings")
+    Similarity.decontaminateByEmbedding(
+        all.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+        all.filter(pmod(col("vec_id"), lit(97)) === 0),
+        "vec_id", "embedding", threshold = 0.4, dim = Dim)
+      .select(col("id").as("vec_id"), col("n_eval_hits"),
+        round(col("max_cos"), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  private val q382Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    def hpList(b: Int): String =
+      graft.operators.Similarity.hyperplane(b, Dim)
+        .map { d =>
+          val s = d.toString
+          if (s.contains("E") || s.contains("e")) s else s + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS MATERIALIZED (
+         SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bnd AS MATERIALIZED (
+         SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT c.vec_id AS vec_id, e.vec_id AS eval_id
+         FROM bnd c JOIN bnd e
+           ON c.band_idx = e.band_idx AND c.band_key = e.band_key
+         WHERE c.vec_id % 97 <> 0 AND e.vec_id % 97 = 0),
+       scored AS (
+         SELECT cand.vec_id, cand.eval_id,
+           CASE WHEN ${normSql("ec.embedding")} * ${normSql("ee.embedding")} = 0
+                THEN 0.0
+                ELSE ${dotSql("ec.embedding", "ee.embedding")} /
+                  (${normSql("ec.embedding")} * ${normSql("ee.embedding")})
+           END AS cos
+         FROM cand
+         JOIN embeddings ec ON ec.vec_id = cand.vec_id
+         JOIN embeddings ee ON ee.vec_id = cand.eval_id)
+       SELECT vec_id,
+              count(DISTINCT eval_id) AS n_eval_hits,
+              round(max(cos), 6) AS max_cos
+       FROM scored WHERE cos >= 0.4
+       GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q379_lsh_bucket_cap" -> q379 _,
-    "q380_minhash_capped" -> q380 _)
+    "q380_minhash_capped" -> q380 _,
+    "q382_embed_decontam" -> q382 _)
 
   override def oracles: Map[String, String] = Map(
     "q379_lsh_bucket_cap" -> q379Sql,
-    "q380_minhash_capped" -> q380Sql)
+    "q380_minhash_capped" -> q380Sql,
+    "q382_embed_decontam" -> q382Sql)
 }

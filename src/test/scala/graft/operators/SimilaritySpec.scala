@@ -151,4 +151,25 @@ class SimilaritySpec extends GraftTestBase {
     val n = emb.count()
     assert(got.length < n * (n - 1) / 2)
   }
+
+  test("embedding decontamination flags a planted near-copy of an eval row") {
+    import spark.implicits._
+    val dim = 8
+    def v(seed: Int): Seq[Double] =
+      (0 until dim).map(d => math.sin(seed * 31 + d * 7).abs + 0.1)
+    // corpus row 1 = exact copy of eval row 100; row 2 = slight
+    // paraphrase (cos ~1); row 3 = orthogonal-ish noise
+    val evalSet = Seq((100L, v(5))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(5)),
+      (2L, v(5).zipWithIndex.map { case (x, i) => x * (1.0 + 0.01 * i) }),
+      (3L, (0 until dim).map(d => if (d % 2 == 0) 2.0 else -2.0).map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateByEmbedding(corpus, evalSet,
+        "vec_id", "embedding", threshold = 0.95, dim = dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.contains(1L) && out(1L)._2 > 0.9999)
+    assert(out.contains(2L) && out(2L)._2 >= 0.95)
+    assert(!out.contains(3L))
+  }
 }
