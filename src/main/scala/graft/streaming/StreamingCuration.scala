@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, SubstringDedup}
+
+/** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
+  * curation funnel applied at INGESTION time, with the historical
+  * corpus distilled once into broadcastable gate state and every
+  * micro-batch admitted through foreachBatch MERGE into a catalog
+  * table (the [[StreamingUpsertSpec]] exactly-once pattern — replays
+  * converge by doc_id key instead of duplicating).
+  *
+  * Stage mapping (batch → stream):
+  *   1. exact dedup        → broadcast (fingerprint, min_id) lookup;
+  *      a doc survives iff it IS its fingerprint group's minimum.
+  *   2. near dedup         → the [[StreamNearDup]] gate on the
+  *      production xxhash64 family: row-local fused signatures,
+  *      banded probe of the static hot-bucket-capped index, exact
+  *      est-Jaccard verify against idx_id < doc_id. On the same
+  *      corpus this reproduces the batch loser set EXACTLY (same
+  *      signatures, same capped buckets, same scoring).
+  *   2b/3. substring + decontamination → broadcast static heavy-id /
+  *      benchmark-shingle sets distilled from the batch stages.
+  *   4/5. quality + repetition gates → identical map-side expressions.
+  *   6. domain cap         → foreachBatch: per-source admission ranked
+  *      by the SAME deterministic hash order as the batch window,
+  *      offset by the admitted counts already in the catalog table —
+  *      derived from the (MERGE-deduped) table itself, so replayed
+  *      batches cannot double-count.
+  *   7. hash sample        → identical md5-bucket filter, carried as a
+  *      `sampled` flag so the admitted table keeps serving the cap
+  *      counts while the curated view filters on the flag.
+  *
+  * All gate state is micro relative to the corpus (fingerprint minima,
+  * signatures, band keys, heavy ids, bench shingles — never text), so
+  * at 100 TB every per-batch operation is a broadcast join or a
+  * map-side filter; the only shuffle is the per-batch cap window over
+  * the batch's own rows.
+  */
+object StreamingCuration {
+
+  private val ShingleLen = 5
+  private val K = 64
+  private val Bands = 16
+
+  /** Drains the full documents stream for `dir` through the curation
+    * gates into `resultTable` (a catalog table with columns
+    * (doc_id BIGINT, source STRING, lang STRING, sampled BOOLEAN)).
+    * Parameters mirror [[graft.pipelines.CurationPipeline.run]]'s
+    * defaults so the drained table matches the batch funnel. */
+  def curateToTable(spark: SparkSession, dir: String, resultTable: String,
+                    domainCap: Long = Long.MaxValue,
+                    nearDupThreshold: Double = 0.7,
+                    maxDupGramFrac: Double = 0.6,
+                    maxSubstringDupFrac: Double = 0.5): Unit =
+    EventsStream.withDrainPartitions(spark) {
+      import graft.functions.expressions.ShingleMinHash.shingleMinhash
+      val input = Tables(spark, dir)("documents")
+      val benchmark = (id: org.apache.spark.sql.Column) => pmod(id, lit(97)) === 0
+
+      // ---- static distillates (one-time index build; all tiny) ----
+      val fpMin = input
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("min_id"))
+        .localCheckpoint()
+      val exact = input.join(
+        fpMin.select(col("min_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val sigs = exact.filter(length(col("text")) >= ShingleLen)
+        .select(col("doc_id"),
+          shingleMinhash(col("text"), ShingleLen, K).as("sig"))
+        .localCheckpoint()
+      val statBands = Dedup.dropHotBuckets(
+          Dedup.bandRows(sigs, "doc_id", K, Bands),
+          Seq("band_idx", "band_key"), Dedup.DefaultMaxBucket)
+        .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key"))
+        .localCheckpoint()
+      val statSigs = sigs
+        .select(col("doc_id").as("idx_id"), col("sig").as("sig_idx"))
+      val losers = Dedup.minhashDedup(exact, "doc_id", "text",
+          threshold = nearDupThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      val near = exact.join(losers, Seq("doc_id"), "left_anti")
+      val heavy = SubstringDedup
+        .profile(near, "doc_id", "text", k = 8, SubstringDedup.xxGram)
+        .filter(col("dup_frac") > maxSubstringDupFrac)
+        .select(col("doc_id").as("heavy_id"))
+        .localCheckpoint()
+      val substrSet = near.join(heavy,
+        near("doc_id") === heavy("heavy_id"), "left_anti")
+      val benchSh = substrSet
+        .filter(benchmark(col("doc_id")))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+        .distinct()
+        .localCheckpoint()
+
+      // ---- per-batch gate: batch semantics inside foreachBatch ----
+      def curateBatch(batch: DataFrame): DataFrame = {
+        val s1 = batch
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .join(broadcast(fpMin), Seq("fp"))
+          .filter(col("doc_id") === col("min_id"))
+          .drop("fp", "min_id")
+        val inBands = Dedup.bandRows(
+          s1.filter(length(col("text")) >= ShingleLen)
+            .select(col("doc_id"),
+              shingleMinhash(col("text"), ShingleLen, K).as("sig")),
+          "doc_id", K, Bands, carrySig = true)
+        val est = size(filter(
+          zip_with(col("sig"), col("sig_idx"), (x, y) => x === y),
+          b => b)).cast("double") / lit(K.toDouble)
+        val flagged = inBands
+          .join(broadcast(statBands), Seq("band_idx", "band_key"))
+          .filter(col("idx_id") < col("doc_id"))
+          .select(col("doc_id"), col("idx_id"), col("sig")).distinct()
+          .join(broadcast(statSigs), Seq("idx_id"))
+          .filter(est >= nearDupThreshold)
+          .select("doc_id").distinct()
+        val s2 = s1.join(flagged, Seq("doc_id"), "left_anti")
+        val s2b = s2.join(broadcast(heavy),
+          s2("doc_id") === heavy("heavy_id"), "left_anti")
+        val contaminated = s2b.filter(!benchmark(col("doc_id")))
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+          .join(broadcast(benchSh), "sh")
+          .select("doc_id").distinct()
+        val s3 = s2b.filter(!benchmark(col("doc_id")))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val quality = s3
+          .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
+          .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+        val ws = split(col("text"), " ")
+        val grams = expr(
+          "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
+        quality
+          .withColumn("ws", ws)
+          .withColumn("__dup_frac",
+            lit(1.0) - size(array_distinct(grams)).cast("double") /
+              size(grams).cast("double"))
+          .filter(col("__dup_frac") <= maxDupGramFrac)
+          .drop("ws", "__dup_frac")
+      }
+
+      // ---- streaming drain: gate → cap → sample → MERGE ----
+      val schema = spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      val incoming = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sess = batch.sparkSession
+          val gated = curateBatch(batch)
+          val admitted =
+            if (domainCap == Long.MaxValue) gated
+            else {
+              // counts derive from the MERGE-deduped table, so replays
+              // of an applied batch admit nothing new (convergent)
+              val counts = sess.table(resultTable)
+                .groupBy("source").agg(count(lit(1)).as("__cnt"))
+              val w = Window.partitionBy(col("source"))
+                .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+                  col("doc_id"))
+              gated.withColumn("__rk", row_number().over(w))
+                .join(broadcast(counts), Seq("source"), "left")
+                .filter(col("__rk") + coalesce(col("__cnt"), lit(0L)) <= domainCap)
+            }
+          val bucket = pmod(
+            conv(substring(md5(encode(concat(lit("smp:"),
+              col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10)
+              .cast("long"), lit(1000))
+          val rate = when(col("lang") === "en", 800).otherwise(900)
+          admitted
+            .select(col("doc_id"), col("source"), col("lang"),
+              (bucket < rate).as("sampled"))
+            .createOrReplaceTempView("curation_updates")
+          sess.sql(
+            s"""MERGE INTO $resultTable t
+                USING curation_updates s ON t.doc_id = s.doc_id
+                WHEN NOT MATCHED THEN
+                  INSERT (doc_id, source, lang, sampled)
+                  VALUES (s.doc_id, s.source, s.lang, s.sampled)""")
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("curation_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+}
