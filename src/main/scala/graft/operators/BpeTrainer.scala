@@ -81,6 +81,34 @@ object BpeTrainer {
       }: _*), outSchema)
   }
 
+  /** APPLY the learned vocabulary: train `merges` merges, then rewrite
+    * the word dictionary through them in rank order (one projection of
+    * nested [[mergeOnce]] folds — row-local, no shuffle beyond the
+    * dict build). Output: (word, n_occurrences, n_subwords, segmented)
+    * — the segmentation a BPE tokenizer built from this corpus would
+    * produce for every corpus word, i.e. the train→apply round trip.
+    * Because apply replays exactly the training rewrites on the same
+    * corpus, the result equals the training loop's final symbol state
+    * (which is how the SQL oracle reproduces it). */
+  def segment(docs: DataFrame, textCol: String, merges: Int,
+              localThreshold: Long = 0L): DataFrame = {
+    val learned = train(docs, textCol, merges, localThreshold)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(explode(SubstringDedup.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val syms0: Column = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val symsN = learned.foldLeft(syms0) { case (c, (l, r)) =>
+      mergeOnce(c, l, r)
+    }
+    words.select(col("w").as("word"),
+      col("cnt").cast("long").as("n_occurrences"),
+      size(symsN).as("n_subwords"),
+      concat_ws(" ", symsN).as("segmented"))
+  }
+
   private def dictFits(words: DataFrame, threshold: Long): Boolean =
     // limit+count instead of a full count: stop scanning the dict the
     // moment it provably exceeds the threshold

@@ -33,7 +33,9 @@ object Extras59 extends QueryPack {
     BpeTrainer.train(Tables(s, dir)("documents"), "text", merges = Merges)
       .orderBy("merge_rank")
 
-  private val q381Sql: String = {
+  // shared unrolled CTE chain (base tokenization + per-merge
+  // pair-count / top-1 / recursive-walk steps) for q381 and q383
+  private val chainSql: String = {
     val base =
       """WITH toks AS (
            SELECT unnest(list_filter(
@@ -69,16 +71,41 @@ object Extras59 extends QueryPack {
              FROM walk WHERE i <= len(syms))
            SELECT w, cnt, acc AS syms FROM walk WHERE i = len(syms) + 1)"""
     }.mkString
+    base + steps
+  }
+
+  private val q381Sql: String = {
     val sel = (1 to Merges).map { k =>
       s"""SELECT $k AS merge_rank, l AS left_sym, r AS right_sym,
               CAST(pc AS BIGINT) AS pair_count FROM top$k"""
     }.mkString("\n       UNION ALL\n       ")
-    base + steps + "\n       " + sel + "\n       ORDER BY merge_rank"
+    chainSql + "\n       " + sel + "\n       ORDER BY merge_rank"
   }
 
+  // --------------------------------------------------------------- q383
+  /** BPE train→apply round trip: segment every corpus word with the
+    * q381-learned merges (rank order, greedy leftmost). Applying the
+    * merges to the training corpus replays exactly the training
+    * rewrites, so the oracle reads the CTE chain's FINAL symbol state
+    * — the cheap SQL proof that the engine's nested fold chain equals
+    * the per-merge recursive walks. */
+  private def q383(s: SparkSession, dir: String): DataFrame =
+    BpeTrainer.segment(Tables(s, dir)("documents"), "text", merges = Merges)
+      .orderBy("word")
+
+  private val q383Sql: String =
+    chainSql +
+      s"""
+       SELECT w AS word, CAST(cnt AS BIGINT) AS n_occurrences,
+              CAST(len(syms) AS INT) AS n_subwords,
+              array_to_string(syms, ' ') AS segmented
+       FROM s$Merges ORDER BY word"""
+
   override def queries: Map[String, QueryFn] = Map(
-    "q381_bpe_train" -> q381 _)
+    "q381_bpe_train" -> q381 _,
+    "q383_bpe_segment" -> q383 _)
 
   override def oracles: Map[String, String] = Map(
-    "q381_bpe_train" -> q381Sql)
+    "q381_bpe_train" -> q381Sql,
+    "q383_bpe_segment" -> q383Sql)
 }

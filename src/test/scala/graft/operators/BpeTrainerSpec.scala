@@ -47,6 +47,17 @@ class BpeTrainerSpec extends GraftTestBase {
     assert(got(1) == ((2, "aa", "a", 3L)))
   }
 
+  test("segment applies the learned merges in rank order (train->apply round trip)") {
+    val seg = BpeTrainer.segment(corpus, "text", merges = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    // merges: (w,e), (l,o), (s,t), (e,we)
+    assert(seg("low") == ((3L, 2, "lo w")))
+    assert(seg("lower") == ((2L, 3, "lo we r")))
+    assert(seg("newest") == ((4L, 3, "n ewe st")))
+    assert(seg("widest") == ((1L, 5, "w i d e st")))
+  }
+
   test("stops early when no adjacent pairs remain") {
     val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val got = BpeTrainer.train(df, "text", merges = 10).collect()
