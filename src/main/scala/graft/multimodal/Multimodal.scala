@@ -162,6 +162,39 @@ object Multimodal {
       .toDF("media_id", "c0", "c1", "c2", "c3")
   }
 
+  /** Image near-dup candidates over [[imageHash]] fingerprints: the
+    * four 16-bit chunks are the LSH band keys (images sharing any
+    * chunk pair up), each candidate scored with its exact Hamming
+    * distance. `maxBucket` applies the [[graft.operators.Dedup]]
+    * hot-bucket cap — a corpus of near-black thumbnails can drop
+    * thousands of images into one chunk bucket, and the B² candidate
+    * pairs from that bucket are the same quadratic the text LSH paths
+    * guard against; over-cap buckets are skipped deterministically
+    * (flooded fingerprints are boilerplate imagery by definition, and
+    * still have three other chunks to pair through). */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 6,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fp = imageHash(media)
+    val bands = graft.operators.Dedup.dropHotBuckets(
+      fp.select(col("media_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+        .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv"),
+      Seq("ci", "cv"), maxBucket)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"fa.c$i").bitwiseXOR(col(s"fb.c$i"))))
+      .reduce(_ + _)
+    cand
+      .join(fp.as("fa"), col("fa.media_id") === col("id_a"))
+      .join(fp.as("fb"), col("fb.media_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
+      .withColumn("is_neardup", (col("hamming") <= maxHamming).cast("int"))
+  }
+
   /** Frame sampling stub for video rows: one output row per sampled
     * frame index (every `stride`th of n_frames) — the explode shape a
     * real frame extractor produces. */

@@ -185,19 +185,25 @@ object Similarity {
     * precomputed norm through the band explode. */
   def nearDupPairsSrp(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int,
-                      bits: Int = 16, bands: Int = 4): DataFrame = {
+                      bits: Int = 16, bands: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits % bands == 0)
     val r = bits / bands
     val mask = (1 << r) - 1
     val sig = srpSignature(col(vecCol), bits, dim)
-    val banded = df
-      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"), sig.as("sig"))
-      .withColumn("n", norm(col("v")))
-      .select(col("id"), col("v"), col("n"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+    // maxBucket: the Dedup hot-bucket cap — an embedding corpus with a
+    // dominant mode (near-identical templated pages) floods one band
+    // bucket, and its B² candidate pairs are the same quadratic the
+    // text LSH paths guard; over-cap buckets skip deterministically
+    val banded = Dedup.dropHotBuckets(
+      df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"), sig.as("sig"))
+        .withColumn("n", norm(col("v")))
+        .select(col("id"), col("v"), col("n"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key"),
+      Seq("band_idx", "band_key"), maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -119,26 +119,11 @@ object Media extends QueryPack {
     * scored with its exact Hamming distance and flagged at the ≤6
     * near-dup radius — the full candidate table is emitted so the
     * blocking selectivity itself is driver-checked at every sf. */
-  private def q374(s: SparkSession, dir: String): DataFrame = {
-    val fp = Multimodal.imageHash(media(s, dir))
-    val bands = fp.select(col("media_id"),
-      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
-      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-      .distinct()
-    val ham = (0 to 3).map(i =>
-      bit_count(col(s"fa.c$i").bitwiseXOR(col(s"fb.c$i"))))
-      .reduce(_ + _)
-    cand
-      .join(fp.as("fa"), col("fa.media_id") === col("id_a"))
-      .join(fp.as("fb"), col("fb.media_id") === col("id_b"))
-      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
-      .withColumn("is_neardup", (col("hamming") <= 6).cast("int"))
+  private def q374(s: SparkSession, dir: String): DataFrame =
+    // uncapped here so the oracle reproduces the full candidate table;
+    // the hot-bucket cap path is stress-pinned by MultimodalSpec
+    Multimodal.imageNearDup(media(s, dir), maxHamming = 6)
       .orderBy("id_a", "id_b")
-  }
 
   private val q374Sql =
     """WITH m AS (

@@ -75,4 +75,27 @@ class MultimodalSpec extends GraftTestBase {
     val all = Multimodal.audioEnergy(media, window = w)
     assert(all.filter(pmod(col("media_id"), lit(3)) =!= 1).count() == 0)
   }
+
+  test("image near-dup hot-bucket cap kills an identical-payload flood") {
+    // 300 identical "images" (media_id ≡ 0 mod 3 ⇒ kind image) share
+    // every fingerprint chunk → 4 flooded buckets; plus one cold pair
+    // of a distinct payload. Capped, only the cold pair survives —
+    // and the test runtime itself proves no 300²/2 pair blowup ran.
+    val boiler = ("license header boilerplate " * 20)
+    val other = "a genuinely distinctive photograph description " * 9
+    val rows = (0L until 900L by 3L).map(i => (i, boiler)) ++
+      Seq((900L, other), (903L, other))
+    val docs = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val m = Multimodal.mediaFromDocuments(docs)
+    val capped = Multimodal.imageNearDup(m, maxHamming = 6, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((900L, 903L)))
+    // uncapped on a small slice: the boilerplate DOES pair (the cap is
+    // a real behavioral difference, not dead code)
+    val slice = Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 30))
+    val un = Multimodal.imageNearDup(slice, maxHamming = 6)
+      .collect()
+    assert(un.length == 10 * 9 / 2)
+  }
 }

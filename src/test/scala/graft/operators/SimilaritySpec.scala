@@ -152,6 +152,25 @@ class SimilaritySpec extends GraftTestBase {
     assert(got.length < n * (n - 1) / 2)
   }
 
+  test("SRP near-dup hot-bucket cap kills an identical-embedding flood") {
+    import spark.implicits._
+    val dim = 8
+    val boiler = (0 until dim).map(d => 1.0 + 0.1 * d)
+    val cold = (0 until dim).map(d => if (d % 2 == 0) 1.0 else -1.0)
+    val rows = (100L until 400L).map(i => (i, boiler)) ++
+      Seq((1L, cold), (2L, cold.map(_ * 1.01)))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairsSrp(df, "vec_id", "embedding",
+        threshold = 0.9, dim = dim, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // uncapped slice: the flood really pairs (cap is live behavior)
+    val slice = df.filter($"vec_id".between(100L, 109L))
+    val un = Similarity.nearDupPairsSrp(slice, "vec_id", "embedding",
+        threshold = 0.9, dim = dim).collect()
+    assert(un.length == 10 * 9 / 2)
+  }
+
   test("embedding decontamination flags a planted near-copy of an eval row") {
     import spark.implicits._
     val dim = 8
