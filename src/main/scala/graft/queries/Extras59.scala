@@ -101,11 +101,49 @@ object Extras59 extends QueryPack {
               array_to_string(syms, ' ') AS segmented
        FROM s$Merges ORDER BY word"""
 
+  // --------------------------------------------------------------- q384
+  /** Overlapping-window chunking over documents (64-token windows,
+    * 16-token overlap) with a per-doc coverage rollup so the driver
+    * checks both the window math and the no-degenerate-tail rule at
+    * every sf. Pure map-side — the long-context prep shape. */
+  private def q384(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker
+      .chunk(Tables(s, dir)("documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum("n_tokens").cast("long").as("tok_sum"),
+        max("start_tok").cast("int").as("last_start"),
+        min("n_tokens").cast("int").as("min_chunk"))
+      .orderBy("doc_id")
+
+  private val q384Sql =
+    """WITH d AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents),
+       starts AS (
+         SELECT doc_id, t, u.s AS start_tok
+         FROM d, unnest(generate_series(0,
+                greatest(len(t) - 16 - 1, 0), 48)) AS u(s)),
+       chunks AS (
+         SELECT doc_id, start_tok,
+                len(list_slice(t, start_tok + 1, start_tok + 64)) AS n_tokens
+         FROM starts)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+              CAST(max(start_tok) AS INT) AS last_start,
+              CAST(min(n_tokens) AS INT) AS min_chunk
+       FROM chunks GROUP BY doc_id ORDER BY doc_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q381_bpe_train" -> q381 _,
-    "q383_bpe_segment" -> q383 _)
+    "q383_bpe_segment" -> q383 _,
+    "q384_doc_chunks" -> q384 _)
 
   override def oracles: Map[String, String] = Map(
     "q381_bpe_train" -> q381Sql,
-    "q383_bpe_segment" -> q383Sql)
+    "q383_bpe_segment" -> q383Sql,
+    "q384_doc_chunks" -> q384Sql)
 }
