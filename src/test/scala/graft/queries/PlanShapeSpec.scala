@@ -197,6 +197,34 @@ class PlanShapeSpec extends GraftTestBase {
     }.isEmpty, "q371 planned a nested-loop join")
   }
 
+  test("round-8 additions hold their exchange ceilings and broadcasts") {
+    // q379: band-bucket agg + per-band rollup + output sort = 3; the
+    // report must stay two stacked aggregates, never a self-join.
+    val p379 = plan("q379_lsh_bucket_cap")
+    assert(shuffles(p379) <= 3, s"q379 saw ${shuffles(p379)}")
+    // q380: capped md5 candidate pipeline — the hot-bucket anti-join
+    // must not plan a nested-loop, and the whole pipeline stays
+    // equi-keyed (no cartesian anywhere).
+    val p380 = plan("q380_minhash_capped")
+    assert(p380.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.isEmpty, "q380 planned a non-equi join")
+    // q382: the eval-side band index must STAY the broadcast side —
+    // that containment is the whole scale story of the gate.
+    val p382 = plan("q382_embed_decontam")
+    assert(p382.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q382 lost its broadcast band join")
+    assert(p382.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.isEmpty, "q382 planned a non-equi join")
+    // q384: tokenize+sequence+slice are row-local; only the per-doc
+    // rollup and the output sort may exchange.
+    assert(shuffles(plan("q384_doc_chunks")) <= 2,
+      s"q384 saw ${shuffles(plan("q384_doc_chunks"))}")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
