@@ -137,13 +137,57 @@ object Extras59 extends QueryPack {
               CAST(min(n_tokens) AS INT) AS min_chunk
        FROM chunks GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q385
+  /** Tokenizer FERTILITY per language — subwords emitted per word
+    * under the q381-learned vocabulary, the number that prices a
+    * tokenizer choice (training cost and context usage scale with
+    * it). Join shape: the segmented dictionary is vocab-bounded →
+    * broadcast; the per-language word counts are one corpus
+    * tokenize+count aggregate. */
+  private def q385(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir)("documents")
+    val seg = BpeTrainer.segment(docs, "text", merges = Merges)
+    val langWords = docs
+      .select(col("lang"),
+        explode(graft.operators.SubstringDedup.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    langWords
+      .join(broadcast(seg.select(col("word"), col("n_subwords"))), "word")
+      .groupBy("lang")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * col("n_subwords")).cast("long").as("n_subwords"),
+        round(sum(col("cnt") * col("n_subwords")).cast("double") /
+          sum("cnt"), 6).as("fertility"))
+      .orderBy("lang")
+  }
+
+  private val q385Sql: String =
+    chainSql +
+      s""",
+       lang_words AS (
+         SELECT lang, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'),
+           w -> w <> '')) AS word
+         FROM documents),
+       lw AS (SELECT lang, word, count(*) AS cnt
+              FROM lang_words GROUP BY lang, word)
+       SELECT lang,
+              CAST(sum(lw.cnt) AS BIGINT) AS n_words,
+              CAST(sum(lw.cnt * len(syms)) AS BIGINT) AS n_subwords,
+              round(CAST(sum(lw.cnt * len(syms)) AS DOUBLE) / sum(lw.cnt), 6)
+                AS fertility
+       FROM lw JOIN s$Merges ON lw.word = s$Merges.w
+       GROUP BY lang ORDER BY lang"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q381_bpe_train" -> q381 _,
     "q383_bpe_segment" -> q383 _,
-    "q384_doc_chunks" -> q384 _)
+    "q384_doc_chunks" -> q384 _,
+    "q385_bpe_fertility" -> q385 _)
 
   override def oracles: Map[String, String] = Map(
     "q381_bpe_train" -> q381Sql,
     "q383_bpe_segment" -> q383Sql,
-    "q384_doc_chunks" -> q384Sql)
+    "q384_doc_chunks" -> q384Sql,
+    "q385_bpe_fertility" -> q385Sql)
 }

@@ -27,6 +27,29 @@ class KMeansSpec extends GraftTestBase {
       .map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("fitLocal is input-order invariant and tracks the distributed fit") {
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toIndexedSeq
+    val a = KMeans.fitLocal(rows, k = 8, iters = 3)
+    val b = KMeans.fitLocal(scala.util.Random.shuffle(rows.toVector).toIndexedSeq,
+      k = 8, iters = 3)
+    // bit-identical under ANY input order (fitLocal sorts internally)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 8 && a.forall(_.length == 64))
+    // same seed rule as the distributed fit -> centroids agree to
+    // float summation order (distributed means sum partition-wise)
+    val (cdf, _) = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val dist = cdf.orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    a.zip(dist).foreach { case (la, da) =>
+      la.zip(da).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, "local vs distributed centroid drift")
+      }
+    }
+  }
+
   test("trained centroids drive ivfTopK: nprobe=k recovers exact top-k") {
     val (cents, _) = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
     val queries = emb.filter(col("vec_id") < 5)
