@@ -277,6 +277,40 @@ object Dedup {
                   maxBucket)
   }
 
+  /** CROSS-corpus LSH gate: candidate pairs between an INCOMING and an
+    * INDEXED signature set — the incremental-snapshot dedup shape. A
+    * recurring crawl dedups each new snapshot against the accumulated
+    * corpus WITHOUT re-pairing the old corpus with itself: the old
+    * side's band index is built once (and at 100 TB written
+    * partitioned by band key), the new side explodes its own bands and
+    * equi-joins — new×old candidates only, never old×old, never
+    * all-pairs. Same banding, scoring, and hot-bucket cap as
+    * [[minhashCandidates]]; the batch twin of the streaming gate
+    * ([[graft.streaming.StreamNearDup]]).
+    * Output: (in_id, idx_id, est_jaccard) with est ≥ threshold. */
+  def minhashGate(inSigs: DataFrame, idxSigs: DataFrame, idCol: String,
+                  k: Int, bands: Int, threshold: Double,
+                  hashBandKeys: Boolean = true,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    def side(sigs: DataFrame, outId: String): DataFrame =
+      dropHotBuckets(bandRows(sigs, idCol, k, bands, hashBandKeys),
+          Seq("band_idx", "band_key"), maxBucket)
+        .select(col(idCol).as(outId), col("band_idx"), col("band_key"))
+    val cand = side(inSigs, "in_id")
+      .join(side(idxSigs, "idx_id"), Seq("band_idx", "band_key"))
+      .select(col("in_id"), col("idx_id"))
+      .distinct()
+    val est = size(filter(zip_with(col("sig_in"), col("sig_idx"),
+        (x, y) => x === y), b => b)).cast("double") / lit(k.toDouble)
+    cand
+      .join(inSigs.select(col(idCol).as("in_id"), col("sig").as("sig_in")),
+        "in_id")
+      .join(idxSigs.select(col(idCol).as("idx_id"), col("sig").as("sig_idx")),
+        "idx_id")
+      .select(col("in_id"), col("idx_id"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per doc from whitespace tokens: bit b is the sign of

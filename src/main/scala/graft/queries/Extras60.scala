@@ -53,9 +53,120 @@ object Extras60 extends QueryPack {
                    THEN 1 ELSE 0 END AS INT) AS kept
        FROM z ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q387
+  /** SOFT dedup — duplicate-aware sampling weights instead of hard
+    * removal (the D4/SemDeDup-ablation alternative): every member of
+    * an exact-dup cluster of size s keeps weight 1/s, so the cluster
+    * contributes ONE document's worth of probability mass while
+    * preserving in-cluster variety. Per-source rollup of raw vs
+    * effective docs/tokens and the inflation ratio — the number that
+    * says how over-counted each source is. One fingerprint hash-agg
+    * (the q07/q377 shuffle) + a broadcast-size cluster join. */
+  private def q387(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir)("documents")
+    val clusters = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("sz"))
+    docs.withColumn("fp", md5(col("text")))
+      .join(clusters, "fp")
+      .withColumn("w", lit(1.0) / col("sz"))
+      .withColumn("n_tok", size(graft.functions.TextFunctions.tokens(col("text"))))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(sum("w"), 6).as("docs_effective"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        round(sum(col("n_tok") * col("w")), 6).as("tokens_effective"),
+        round(sum("n_tok") / sum(col("n_tok") * col("w")), 6)
+          .as("inflation"))
+      .orderBy("source")
+  }
+
+  private val q387Sql =
+    s"""WITH cl AS (
+         SELECT md5(text) AS fp, count(*) AS sz
+         FROM documents GROUP BY md5(text)),
+       d AS (
+         SELECT source, 1.0 / sz AS w,
+                len($toksSql) AS n_tok
+         FROM documents JOIN cl ON md5(text) = cl.fp)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              round(sum(w), 6) AS docs_effective,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              round(sum(n_tok * w), 6) AS tokens_effective,
+              round(sum(n_tok) / sum(n_tok * w), 6) AS inflation
+       FROM d GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- q388
+  /** INCREMENTAL snapshot dedup — new docs (doc_id % 2 = 1) gated
+    * against the accumulated old corpus (doc_id % 2 = 0) with
+    * [[graft.operators.Dedup.minhashGate]]: new×old candidates only,
+    * never old×old — the recurring-crawl shape where the old side's
+    * band index is built once. md5 family + raw band keys so the
+    * oracle replays the exact candidate set. */
+  private def q388(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables(s, dir)("documents").filter(length(col("text")) >= 5)
+    def sigs(df: DataFrame) = Dedup.minhashSignaturesComposed(
+      df.select(col("doc_id"),
+        graft.functions.TextFunctions.charShingles(col("text"), 5).as("__sh")),
+      "doc_id", "__sh", 16, Dedup.mdBaseHash)
+    val newSigs = sigs(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .localCheckpoint()
+    val oldSigs = sigs(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .localCheckpoint()
+    Dedup.minhashGate(newSigs, oldSigs, "doc_id", k = 16, bands = 4,
+        threshold = 0.5, hashBandKeys = false)
+      .select(col("in_id").as("new_id"), col("idx_id").as("old_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
+  private val q388Sql = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val agree = (1 to 16)
+      .map(i => s"CASE WHEN na.sig[$i] = ob.sig[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH d AS (
+         SELECT doc_id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+               i -> substring(text, i, 5))),
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM documents WHERE length(text) >= 5),
+       sigs AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM d),
+       bands AS MATERIALIZED (
+         SELECT doc_id, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM bands n JOIN bands o
+           ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+         WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+       est AS (
+         SELECT new_id, old_id, ($agree) / 16.0 AS e
+         FROM cand
+         JOIN sigs na ON na.doc_id = new_id
+         JOIN sigs ob ON ob.doc_id = old_id)
+       SELECT new_id, old_id, round(e, 6) AS est_jaccard
+       FROM est WHERE e >= 0.5 ORDER BY new_id, old_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "q386_quality_model" -> q386 _)
+    "q386_quality_model" -> q386 _,
+    "q387_soft_dedup" -> q387 _,
+    "q388_incremental_dedup" -> q388 _)
 
   override def oracles: Map[String, String] = Map(
-    "q386_quality_model" -> q386Sql)
+    "q386_quality_model" -> q386Sql,
+    "q387_soft_dedup" -> q387Sql,
+    "q388_incremental_dedup" -> q388Sql)
 }

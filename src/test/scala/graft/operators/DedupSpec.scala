@@ -247,6 +247,24 @@ class DedupSpec extends GraftTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("minhashGate flags new-vs-old only, never old-vs-old") {
+    import graft.functions.expressions.ShingleMinHash.shingleMinhash
+    // old corpus: docs 0,1 identical; new snapshot: 10 = copy of 0,
+    // 11 = unrelated. The gate must flag (10 -> 0) and (10 -> 1) but
+    // never surface the old-old (0,1) duplicate — that's the whole
+    // point of incremental dedup.
+    val old = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val fresh = Seq((10L, base),
+      (11L, "completely different content about engines " * 6))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", shingleMinhash($"text", 5, 64).as("sig"))
+    val out = Dedup.minhashGate(sigs(fresh), sigs(old), "doc_id",
+        k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 0L), (10L, 1L)))
+  }
+
   test("signatures are stable across repartitioning (deterministic hashing)") {
     val a = Dedup.minhashSignatures(
       corpus.select($"doc_id", explode(graft.functions.TextFunctions.charShingles($"text", 5)).as("sh")),
