@@ -110,10 +110,11 @@ object Extras60 extends QueryPack {
       df.select(col("doc_id"),
         graft.functions.TextFunctions.charShingles(col("text"), 5).as("__sh")),
       "doc_id", "__sh", 16, Dedup.mdBaseHash)
-    val newSigs = sigs(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
-      .localCheckpoint()
-    val oldSigs = sigs(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
-      .localCheckpoint()
+    // one signature pass over the corpus, split after materialization
+    // (each side is read twice by the gate — bands + scoring re-join)
+    val allSigs = sigs(docs).localCheckpoint()
+    val newSigs = allSigs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oldSigs = allSigs.filter(pmod(col("doc_id"), lit(2)) === 0)
     Dedup.minhashGate(newSigs, oldSigs, "doc_id", k = 16, bands = 4,
         threshold = 0.5, hashBandKeys = false)
       .select(col("in_id").as("new_id"), col("idx_id").as("old_id"),
