@@ -56,8 +56,18 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue): (DataFrame, Seq[Report]) = {
     val funnel = Seq.newBuilder[Report]
+    // Each stage is MATERIALIZED once (localCheckpoint) before its
+    // funnel count: the count then reads cached partitions and — the
+    // real point — the next stage starts from materialized data
+    // instead of re-evaluating the whole growing prefix (count-only
+    // accounting made the S-stage pipeline do O(S²) prefix work, and
+    // the decon/substring stages re-derived their sub-frames from
+    // unmaterialized parents). At 100 TB the production equivalent is
+    // writing each stage's output dataset; localCheckpoint is the
+    // local-cluster stand-in with the same single-evaluation contract.
     def count(stage: String, df: DataFrame): DataFrame = {
-      funnel += Report(stage, df.count()); df
+      val mat = df.localCheckpoint()
+      funnel += Report(stage, mat.count()); mat
     }
 
     val input = count("input", docs)
