@@ -302,6 +302,55 @@ object PropertiesSpec extends Properties("graft") {
       got == want
     }
 
+  property("hot-bucket cap: capped candidates are a subset of uncapped") =
+    forAllNoShrink(Gen.listOfN(12, Gen.alphaLowerStr.suchThat(_.length >= 8)),
+                   Gen.choose(2, 6)) { (texts, cap) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, (t + " ") * 6) }
+        .toDF("doc_id", "text")
+      def pairs(mb: Int) = Dedup.minhashDedup(docs, "doc_id", "text",
+          threshold = 0.1, maxBucket = mb)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs(cap).subsetOf(pairs(Int.MaxValue))
+    }
+
+  property("minhashGate == self-join candidates restricted to new×old") =
+    forAllNoShrink(Gen.listOfN(10, Gen.alphaLowerStr.suchThat(_.length >= 8))) { texts =>
+      import graft.functions.expressions.ShingleMinHash.shingleMinhash
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, (t + " ") * 6) }
+        .toDF("doc_id", "text")
+      val sigs = docs.select($"doc_id", shingleMinhash($"text", 5, 32).as("sig"))
+      val newS = sigs.filter($"doc_id" % 2 === 1)
+      val oldS = sigs.filter($"doc_id" % 2 === 0)
+      val gate = Dedup.minhashGate(newS, oldS, "doc_id", 32, 8, 0.2)
+        .select("in_id", "idx_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val self = Dedup.minhashCandidates(sigs, "doc_id", 32, 8, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // self-join canonicalizes a<b; the gate flags new-vs-old in both
+      // orientations — restrict and re-orient for comparison
+      val want = self.collect {
+        case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+        case (a, b) if b % 2 == 1 && a % 2 == 0 => (b, a)
+      }
+      gate == want
+    }
+
+  private val shortWordGen: Gen[String] =
+    Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("BPE segmentation concatenates back to the original word") =
+    forAllNoShrink(Gen.listOfN(8, shortWordGen)) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val seg = graft.operators.BpeTrainer
+        .segment(docs, "text", merges = 4, localThreshold = 1000L)
+        .select("word", "segmented").collect()
+      seg.forall(r => r.getString(1).replace(" ", "") == r.getString(0))
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
