@@ -262,20 +262,28 @@ object Dedup {
                       maxBucket = maxBucket)
   }
 
-  /** Oracle twin of the md5 pipeline's [[bandCapReport]]: signature →
-    * raw-string band keys → per-band bucket-size rollup. The
-    * accounting a DuckDB oracle can reproduce exactly (q379). */
-  def minhashCapReportMd5(docs: DataFrame, idCol: String, textCol: String,
-                          shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** The raw md5-family band-row relation the cap-accounting queries
+    * aggregate over (q379 report, q389 sweep): shingle → composed md5
+    * signature → raw-string band keys. */
+  def minhashBandRowsMd5(docs: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 5, k: Int = 16,
+                         bands: Int = 4): DataFrame = {
     val withShingles = docs
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol),
               TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
     val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
-    bandCapReport(bandRows(sigs, idCol, k, bands, hashBandKeys = false),
-                  maxBucket)
+    bandRows(sigs, idCol, k, bands, hashBandKeys = false)
   }
+
+  /** Oracle twin of the md5 pipeline's [[bandCapReport]]: signature →
+    * raw-string band keys → per-band bucket-size rollup. The
+    * accounting a DuckDB oracle can reproduce exactly (q379). */
+  def minhashCapReportMd5(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    bandCapReport(minhashBandRowsMd5(docs, idCol, textCol, shingleLen, k, bands),
+                  maxBucket)
 
   /** CROSS-corpus LSH gate: candidate pairs between an INCOMING and an
     * INDEXED signature set — the incremental-snapshot dedup shape. A
