@@ -55,6 +55,47 @@ object CurationPipeline {
           maxDupGramFrac: Double = 0.6,
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue): (DataFrame, Seq[Report]) = {
+    val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
+      tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
+      domainCap)
+    (packed, funnel)
+  }
+
+  /** [[run]] plus the per-document DISPOSITION table (doc_id,
+    * dropped_at): the first stage each input document disappeared at,
+    * or "kept" — the answer to "why is doc X not in my training set",
+    * which funnel COUNTS cannot give. Derived from the materialized
+    * stage frames with one id-level anti-join per stage boundary, so
+    * the corpus text is never rescanned. */
+  def runWithDisposition(spark: SparkSession, docs: DataFrame,
+          benchmarkIds: Column => Column = _ % 97 === 0,
+          tokenBudget: Int = 512,
+          nearDupThreshold: Double = 0.7,
+          maxDupGramFrac: Double = 0.6,
+          maxSubstringDupFrac: Double = 0.5,
+          domainCap: Long = Long.MaxValue)
+      : (DataFrame, Seq[Report], DataFrame) = {
+    val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
+      tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
+      domainCap)
+    val dropped = frames.sliding(2).collect {
+      case Seq((_, prev), (stage, cur)) =>
+        prev.select(col("doc_id"))
+          .join(cur.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("dropped_at", lit(stage))
+    }.toSeq
+    val kept = frames.last._2.select(col("doc_id"))
+      .withColumn("dropped_at", lit("kept"))
+    (packed, funnel, (dropped :+ kept).reduce(_ unionByName _))
+  }
+
+  private def runStages(spark: SparkSession, docs: DataFrame,
+          benchmarkIds: Column => Column = _ % 97 === 0,
+          tokenBudget: Int = 512,
+          nearDupThreshold: Double = 0.7,
+          maxDupGramFrac: Double = 0.6,
+          maxSubstringDupFrac: Double = 0.5,
+          domainCap: Long): (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
     val funnel = Seq.newBuilder[Report]
     // Each stage is MATERIALIZED once (localCheckpoint) before its
     // funnel count: the count then reads cached partitions and — the
@@ -65,9 +106,14 @@ object CurationPipeline {
     // unmaterialized parents). At 100 TB the production equivalent is
     // writing each stage's output dataset; localCheckpoint is the
     // local-cluster stand-in with the same single-evaluation contract.
+    // The materialized stage frames also feed [[disposition]]'s
+    // per-doc drop attribution for free.
+    val stageFrames = Seq.newBuilder[(String, DataFrame)]
     def count(stage: String, df: DataFrame): DataFrame = {
       val mat = df.localCheckpoint()
-      funnel += Report(stage, mat.count()); mat
+      funnel += Report(stage, mat.count())
+      stageFrames += stage -> mat
+      mat
     }
 
     val input = count("input", docs)
@@ -167,7 +213,7 @@ object CurationPipeline {
       .withColumn("bin",
         floor((sum(col("tok")).over(w) - col("tok")) / lit(tokenBudget)))
 
-    (packed, funnel.result())
+    (packed, funnel.result(), stageFrames.result())
   }
 }
 

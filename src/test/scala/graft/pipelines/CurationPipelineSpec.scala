@@ -109,4 +109,20 @@ class CurationPipelineSpec extends GraftTestBase {
     val (again, _) = CurationPipeline.run(spark, Tables(spark, sf001)("documents"))
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
+
+  test("disposition attributes every input doc to exactly one stage") {
+    val (_, funnel, disp) = CurationPipeline.runWithDisposition(
+      spark, Tables(spark, sf001)("documents"))
+    val byStage = disp.groupBy("dropped_at").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // partition: one disposition row per input doc
+    assert(byStage.values.sum == funnel.head.docs)
+    assert(disp.select("doc_id").distinct().count() == funnel.head.docs)
+    // per-stage drop counts equal the funnel deltas
+    funnel.sliding(2).foreach { case Seq(prev, cur) =>
+      assert(byStage.getOrElse(cur.stage, 0L) == prev.docs - cur.docs,
+        s"stage ${cur.stage}")
+    }
+    assert(byStage("kept") == funnel.last.docs)
+  }
 }
