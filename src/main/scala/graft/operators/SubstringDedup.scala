@@ -108,6 +108,39 @@ object SubstringDedup {
       .drop("run")
   }
 
+  /** SCRUB the duplicated spans out of each document — the transform
+    * half of the Lee et al. pipeline (their dedup DELETES the
+    * duplicated substrings rather than dropping whole documents,
+    * because most affected docs are mostly unique). Tokens covered by
+    * any [[spans]] interval are removed; the remainder re-joins with
+    * single spaces. Per-doc span lists are tiny (collect_list of a few
+    * (start, end) structs — bounded state per row, not corpus state),
+    * and the keep/drop decision is a row-local indexed filter with an
+    * interval `exists` probe, so beyond the spans computation itself
+    * the scrub adds one small aggregate + one broadcast-sized join.
+    * Output: (idCol, n_toks, kept_toks, scrubbed) for EVERY input
+    * document (span-free docs pass through untouched). */
+  def scrub(docs: DataFrame, idCol: String, textCol: String, k: Int,
+            gramKey: Column => Column = md5Gram): DataFrame = {
+    val sp = spans(docs, idCol, textCol, k, gramKey)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(
+        struct(col("start_tok"), col("end_tok")))).as("__sp"))
+    val emptySpans =
+      array().cast("array<struct<start_tok:int,end_tok:int>>")
+    val kept = filter(col("__t"), (t, i) =>
+      !exists(col("__sp"), s =>
+        i >= s.getField("start_tok") && i <= s.getField("end_tok")))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .join(sp, Seq(idCol), "left")
+      .withColumn("__sp", coalesce(col("__sp"), emptySpans))
+      .select(col(idCol),
+        size(col("__t")).as("n_toks"),
+        size(kept).as("kept_toks"),
+        concat_ws(" ", kept).as("scrubbed"))
+  }
+
   /** Per-document duplicated-mass profile over [[spans]]: span count,
     * duplicated token mass, total tokens, duplicated fraction. Only
     * documents with >= 1 span appear (join back against the tokenized

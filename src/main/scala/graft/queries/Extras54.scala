@@ -511,7 +511,41 @@ object Extras54 extends QueryPack {
        FROM base b JOIN lc ON b.source = lc.source AND lc.rk = 1
        ORDER BY b.source"""
 
+  // --------------------------------------------------------------- q391
+  /** Span SCRUBBING — the transform half of the Lee et al. pipeline
+    * (delete the duplicated substrings, keep the documents): every
+    * token covered by a q348-family maximal span is removed and the
+    * remainder re-joins with single spaces. Emits every doc (span-free
+    * docs pass through untouched), so both the surgery and the
+    * pass-through contract are driver-checked. sf0.01 output carries
+    * ~500 full scrubbed texts — the deliberate price of value-checking
+    * actual text surgery rather than just counts. */
+  private def q391(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.scrub(docs(s, dir), "doc_id", "text", K)
+      .select(col("doc_id"), col("n_toks"), col("kept_toks"),
+        col("scrubbed"))
+      .orderBy("doc_id")
+
+  private val q391Sql =
+    s"""$spansCte,
+       dropped AS (
+         SELECT doc_id, unnest(generate_series(start_tok, end_tok)) AS p
+         FROM spans),
+       keep AS (
+         SELECT toks.doc_id, u.i - 1 AS p, t[u.i] AS w
+         FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+         WHERE NOT EXISTS (
+           SELECT 1 FROM dropped
+           WHERE dropped.doc_id = toks.doc_id AND dropped.p = u.i - 1))
+       SELECT toks.doc_id,
+              CAST(len(t) AS INT) AS n_toks,
+              CAST(count(k.p) AS INT) AS kept_toks,
+              coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS scrubbed
+       FROM toks LEFT JOIN keep k ON k.doc_id = toks.doc_id
+       GROUP BY toks.doc_id, len(t) ORDER BY toks.doc_id"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "q391_substring_scrub"     -> q391 _,
     "q348_substring_profile"   -> q348 _,
     "q349_substring_topspans"  -> q349 _,
     "q350_substring_retention" -> q350 _,
@@ -524,6 +558,7 @@ object Extras54 extends QueryPack {
     "q357_corpus_datasheet"    -> q357 _)
 
   override def oracles: Map[String, String] = Map(
+    "q391_substring_scrub"     -> q391Sql,
     "q348_substring_profile"   -> q348Sql,
     "q349_substring_topspans"  -> q349Sql,
     "q350_substring_retention" -> q350Sql,

@@ -91,4 +91,28 @@ class SubstringDedupSpec extends GraftTestBase {
       .sorted.toSeq
     assert(s20 == Seq((0, 3), (5, 8)))
   }
+
+  test("scrub deletes exactly the duplicated spans, pass-through otherwise") {
+    // docs 1,2 share the 4-gram "pa pb pc pd"; doc 3 is fully unique.
+    // Scrub must cut the shared window (plus its interval extension)
+    // from both carriers and leave doc 3 byte-identical.
+    val docs = Seq(
+      (1L, "pa pb pc pd alpha beta gamma delta"),
+      (2L, "intro pa pb pc pd closing words here"),
+      (3L, "a completely unique document with fresh content")).toDF("doc_id", "text")
+    val out = SubstringDedup.scrub(docs, "doc_id", "text", K)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((8, 4, "alpha beta gamma delta")))
+    assert(out(2L) == ((8, 4, "intro closing words here")))
+    assert(out(3L)._3 == "a completely unique document with fresh content")
+    assert(out(3L)._1 == out(3L)._2)
+    // conservation: kept + dup span mass == n_toks per doc
+    val dup = SubstringDedup.spans(docs, "doc_id", "text", K)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("span_toks").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == dup.getOrElse(id, 0L), s"doc $id")
+    }
+  }
 }
