@@ -48,6 +48,17 @@ object GraftFunctions {
       exprs => graft.functions.expressions.TextSimHash(
         Cast(exprs.head, StringType)),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "unicode_normalize",
+      exprs => graft.functions.expressions.UnicodeNormalize(
+        Cast(exprs.head, StringType),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) =>
+            v.toString.toUpperCase
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }),
+      "scala_udf")
     // table-generating function (UDTF): LATERAL VIEW chunk_split(text, n)
     // ("scala_udf" is only the error-message label — the returned
     // Generator expression is what makes this a UDTF to the analyzer)

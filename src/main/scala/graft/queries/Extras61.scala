@@ -170,11 +170,44 @@ object Extras61 extends QueryPack {
        GROUP BY exact.query_id ORDER BY exact.query_id"""
   }
 
+  // --------------------------------------------------------------- q392
+  /** Unicode NFC normalization ([[graft.functions.expressions.
+    * UnicodeNormalize]]) — the pre-tokenization stage Spark lacks a
+    * built-in for, oracled against DuckDB's utf8proc nfc_normalize().
+    * The corpus is ASCII (already NFC), so the query APPENDS a
+    * decomposed "é" (e + U+0301 combining acute) to every text inside
+    * the plan: NFC must compose it (length shrinks by exactly one) and
+    * leave the ASCII prefix byte-identical — both engines must agree
+    * on the normalized STRING, not just lengths. */
+  private def q392(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.UnicodeNormalize
+    val decomposed = concat(col("text"), lit(" e\u0301"))
+    Tables(s, dir)("documents")
+      .select(col("doc_id"),
+        length(decomposed).as("len_raw"),
+        length(UnicodeNormalize.nfc(decomposed)).as("len_nfc"),
+        substring(UnicodeNormalize.nfc(decomposed), -2, 2).as("tail_nfc"))
+      .orderBy("doc_id")
+  }
+
+  private val q392Sql =
+    """WITH d AS (
+         SELECT doc_id, text || ' e' || chr(769) AS raw
+         FROM documents)
+       SELECT doc_id,
+              CAST(length(raw) AS INT) AS len_raw,
+              CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+              substring(nfc_normalize(raw),
+                        length(nfc_normalize(raw)) - 1, 2) AS tail_nfc
+       FROM d ORDER BY doc_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q389_cap_sweep" -> q389 _,
-    "q390_ann_recall" -> q390 _)
+    "q390_ann_recall" -> q390 _,
+    "q392_unicode_nfc" -> q392 _)
 
   override def oracles: Map[String, String] = Map(
     "q389_cap_sweep" -> q389Sql,
-    "q390_ann_recall" -> q390Sql)
+    "q390_ann_recall" -> q390Sql,
+    "q392_unicode_nfc" -> q392Sql)
 }

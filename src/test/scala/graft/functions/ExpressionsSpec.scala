@@ -204,4 +204,26 @@ class ExpressionsSpec extends GraftTestBase {
       .collect().head
     assert(empty.isNullAt(0))
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms, fast path intact") {
+    import graft.functions.expressions.UnicodeNormalize
+    val df = Seq(
+      (1L, "cafe\u0301"),        // decomposed acute -> caf\u00e9 (4 chars)
+      (2L, "already ascii"),      // fast path: returned as-is
+      (3L, "\uFF11\uFF12")      // fullwidth digits -> "12" under NFKC only
+    ).toDF("id", "s")
+    val out = df.select($"id",
+        UnicodeNormalize.nfc($"s").as("nfc"),
+        UnicodeNormalize.nfkc($"s").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "caf\u00e9" && out(1L)._1.length == 4)
+    assert(out(2L)._1 == "already ascii")
+    assert(out(3L)._1 == "\uFF11\uFF12" && out(3L)._2 == "12")
+    // SQL registration surfaces the same expression
+    df.createOrReplaceTempView("un_t")
+    val viaSql = spark.sql(
+      "SELECT id, unicode_normalize(s, 'nfc') AS n FROM un_t ORDER BY id")
+      .collect().map(_.getString(1))
+    assert(viaSql(0) == "caf\u00e9")
+  }
 }
