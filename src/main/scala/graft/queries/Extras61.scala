@@ -201,13 +201,70 @@ object Extras61 extends QueryPack {
                         length(nfc_normalize(raw)) - 1, 2) AS tail_nfc
        FROM d ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q393
+  /** EPOCH planner — the over-sampling half of data mixing (q292 plans
+    * the under-supply direction, capping rates at 1): with a token
+    * budget of 2× the corpus split equally across sources, a source
+    * whose equal share EXCEEDS its supply is repeated — full_epochs
+    * whole passes plus a fractional pass at an exact-ratio rate
+    * (deterministically realized downstream by the q76 md5-bucket
+    * filter). The "repeat Wikipedia N times" table, in exact integer
+    * arithmetic. */
+  private def q393(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val perSrc = d.select(col("source"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("toks"))
+      .groupBy("source").agg(sum("toks").as("tok"))
+    val tot = perSrc.agg(sum("tok").as("tt"), count(lit(1)).as("ns"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target", floor(lit(2) * col("tt") / col("ns")).cast("long"))
+      .withColumn("full_epochs", floor(col("target") / col("tok")).cast("long"))
+      .withColumn("frac_rate",
+        round((col("target") - col("full_epochs") * col("tok"))
+          .cast("double") / col("tok"), 6))
+      .select(col("source"), col("tok").cast("long").as("n_tokens"),
+        col("target"), col("full_epochs"), col("frac_rate"),
+        (col("full_epochs") * col("tok") +
+          floor(((col("target") - col("full_epochs") * col("tok"))
+            .cast("double") / col("tok")) * col("tok")))
+          .cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  private val q393Sql =
+    """WITH per AS (
+         SELECT source,
+                sum(len(list_filter(regexp_split_to_array(trim(text),
+                  '\s+'), w -> w <> ''))) AS tok
+         FROM documents GROUP BY 1),
+       tot AS (SELECT sum(tok) AS tt, count(*) AS ns FROM per),
+       plan AS (
+         SELECT source, tok,
+                CAST(floor(2.0 * tt / ns) AS BIGINT) AS target
+         FROM per CROSS JOIN tot),
+       ep AS (
+         SELECT source, tok, target,
+                CAST(floor(CAST(target AS DOUBLE) / tok) AS BIGINT)
+                  AS full_epochs
+         FROM plan)
+       SELECT source, CAST(tok AS BIGINT) AS n_tokens, target, full_epochs,
+              round(CAST(target - full_epochs * tok AS DOUBLE) / tok, 6)
+                AS frac_rate,
+              CAST(full_epochs * tok +
+                floor(CAST(target - full_epochs * tok AS DOUBLE)
+                      / tok * tok) AS BIGINT) AS expected_tokens
+       FROM ep ORDER BY source"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q389_cap_sweep" -> q389 _,
     "q390_ann_recall" -> q390 _,
-    "q392_unicode_nfc" -> q392 _)
+    "q392_unicode_nfc" -> q392 _,
+    "q393_epoch_plan" -> q393 _)
 
   override def oracles: Map[String, String] = Map(
     "q389_cap_sweep" -> q389Sql,
     "q390_ann_recall" -> q390Sql,
-    "q392_unicode_nfc" -> q392Sql)
+    "q392_unicode_nfc" -> q392Sql,
+    "q393_epoch_plan" -> q393Sql)
 }
