@@ -26,4 +26,28 @@ object Sessionize {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new_session")
   }
+
+  /** Same semantics through the native
+    * [[graft.functions.expressions.SessionId]] window function: ONE
+    * Window operator instead of the lag + running-sum pair (same
+    * shuffle, half the window passes, no intermediate column).
+    * Bit-identical ids — NativeSessionizeSpec and q394's shared
+    * oracle pin the equivalence. */
+  def sessionizeNative(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.graft.ColumnBridge
+    // Spark 4's Column.over does not wrap a raw custom WindowFunction,
+    // so the WindowExpression is built directly in Catalyst; the
+    // UnspecifiedFrame resolves to the function's own running frame.
+    val spec = WindowSpecDefinition(
+      Seq(ColumnBridge.expression(col(keyCol))),
+      Seq(SortOrder(ColumnBridge.expression(col(tsCol)), Ascending),
+          SortOrder(ColumnBridge.expression(col(tieCol)), Ascending)),
+      UnspecifiedFrame)
+    df.withColumn("session_id", ColumnBridge.column(WindowExpression(
+      graft.functions.expressions.SessionId(
+        ColumnBridge.expression(col(tsCol)), gapSeconds * 1000000L),
+      spec)))
+  }
 }

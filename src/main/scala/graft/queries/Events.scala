@@ -49,6 +49,21 @@ object Events extends QueryPack {
                    .cast("double") / 1e6, 6).as("duration_s"))
       .orderBy(col("user_id"), col("session_id"))
 
+  // --------------------------------------------------------------- q394
+  /** q33's sessionization through the NATIVE SessionId window function
+    * (one Window operator instead of the lag + running-sum pair; see
+    * graft.functions.expressions.SessionId). Shares q33's oracle
+    * verbatim: the driver hash-compare IS the bit-equality proof. */
+  private def q394(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionizeNative(ev(s, dir), "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"),
+           round((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+                   .cast("double") / 1e6, 6).as("duration_s"))
+      .orderBy(col("user_id"), col("session_id"))
+
   private val q33Sql =
     """WITH e AS (
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -112,12 +127,14 @@ object Events extends QueryPack {
   override val queries: Map[String, QueryFn] = Map(
     "q32_event_window" -> q32 _,
     "q33_sessionize"   -> q33 _,
+    "q394_native_sessionize" -> q394 _,
     "q34_asof_join"    -> q34 _,
     "q35_stream_window"-> q35 _)
 
   override val oracles: Map[String, String] = Map(
     "q32_event_window" -> q32Sql,
     "q33_sessionize"   -> q33Sql,
+    "q394_native_sessionize" -> q33Sql,
     "q34_asof_join"    -> q34Sql,
     "q35_stream_window"-> q32Sql)
 }
