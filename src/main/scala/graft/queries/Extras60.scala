@@ -161,13 +161,61 @@ object Extras60 extends QueryPack {
        FROM est WHERE e >= 0.5 ORDER BY new_id, old_id"""
   }
 
+  // --------------------------------------------------------------- q395
+  /** Lexicon/blocklist gate — the list-based filter stage next to the
+    * statistical (q22/q386) and regex (q78) gates: a curated term list
+    * broadcasts as a literal set, each document reports its distinct
+    * hits and hit mass, and the gate trips past a threshold. Pure
+    * map-side (array_intersect against a literal array — no join, no
+    * shuffle); at 100 TB a large lexicon would broadcast as a real
+    * table or Bloom filter with the same plan shape. The list here is
+    * a stand-in quality lexicon over corpus-frequent terms so every sf
+    * has both gated and clean docs. */
+  private def q395(s: SparkSession, dir: String): DataFrame = {
+    val lexicon = Seq("forbidden", "restricted", "classified",
+      "data", "sample", "common")
+    val toks = graft.operators.SubstringDedup.tokens(col("text"))
+    val hits = array_sort(array_intersect(array_distinct(toks),
+      typedLit(lexicon)))
+    Tables(s, dir)("documents")
+      .select(col("doc_id"),
+        size(hits).as("n_hit_terms"),
+        size(filter(toks, t => t.isInCollection(lexicon))).as("hit_mass"),
+        concat_ws(",", hits).as("hit_terms"))
+      .withColumn("gated", (col("n_hit_terms") >= 2).cast("int"))
+      .filter(col("n_hit_terms") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val q395Sql = {
+    val lex = "['forbidden', 'restricted', 'classified', 'data', 'sample', 'common']"
+    val toksAz =
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+    s"""WITH d AS (
+         SELECT doc_id,
+           list_sort(list_intersect(list_distinct($toksAz), $lex))
+             AS hits,
+           len(list_filter($toksAz, t -> list_contains($lex, t)))
+             AS hit_mass
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(hits) AS INT) AS n_hit_terms,
+              CAST(hit_mass AS INT) AS hit_mass,
+              array_to_string(hits, ',') AS hit_terms,
+              CAST(CASE WHEN len(hits) >= 2 THEN 1 ELSE 0 END AS INT)
+                AS gated
+       FROM d WHERE len(hits) > 0 ORDER BY doc_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q386_quality_model" -> q386 _,
     "q387_soft_dedup" -> q387 _,
-    "q388_incremental_dedup" -> q388 _)
+    "q388_incremental_dedup" -> q388 _,
+    "q395_blocklist_gate" -> q395 _)
 
   override def oracles: Map[String, String] = Map(
     "q386_quality_model" -> q386Sql,
     "q387_soft_dedup" -> q387Sql,
-    "q388_incremental_dedup" -> q388Sql)
+    "q388_incremental_dedup" -> q388Sql,
+    "q395_blocklist_gate" -> q395Sql)
 }
