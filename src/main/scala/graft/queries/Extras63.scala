@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Round-8 pack, part 6: embedding-training data mining — hard-negative
+  * triplet mining (q400) and margin-based bitext mining (q401).
+  */
+object Extras63 extends QueryPack {
+
+  /** Shared DuckDB cosine fragment (the q390 pattern: double-promoted
+    * sequential fold, zero-norm guard). */
+  private val Dim = 64
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0
+        ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END"""
+
+  // --------------------------------------------------------------- q400
+  /** Hard-negative TRIPLET mining (the FaceNet/SBERT training-data
+    * shape): per anchor, the top-1 same-label neighbor (positive) and
+    * the top-1 other-label neighbor (hardest negative) by cosine, the
+    * triplet margin, and the margin-violation flag that selects which
+    * triplets are worth training on. 100 TB shape: anchors broadcast
+    * (bounded query set), the corpus streams map-side through the
+    * scored join, and each ranking is one partitioned window — at full
+    * corpus-as-anchors scale the scored join becomes the SRP-blocked
+    * candidate path (q367) with identical downstream ranking. Ranks
+    * are decided on RAW cosines (deterministic IEEE folds, id
+    * tie-break); rounding happens only in the output projection. */
+  private def q400(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir)("embeddings")
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("av"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"),
+        col("vec_id").as("cand_id"), col("label").as("c_label"),
+        VectorFunctions.cosine(col("av"), col("embedding")).as("c"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("c").desc, col("cand_id"))
+    val pos = scored.filter(col("c_label") === col("a_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("cand_id").as("pos_id"), col("c").as("pc"))
+    val neg = scored.filter(col("c_label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"), col("c").as("nc"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"),
+        col("pos_id"), round(col("pc"), 6).as("pos_cos"),
+        col("neg_id"), round(col("nc"), 6).as("neg_cos"),
+        round(col("pc") - col("nc"), 6).as("margin"),
+        when(col("nc") > col("pc"), 1L).otherwise(0L).as("is_hard"))
+      .orderBy("anchor_id")
+  }
+
+  private val q400Sql =
+    s"""WITH a AS (
+         SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+         FROM embeddings WHERE vec_id < 20),
+       scored AS MATERIALIZED (
+         SELECT a.anchor_id, a.a_label, e.vec_id AS cand_id,
+                e.label AS c_label, ${cosSql("a.av", "e.embedding")} AS c
+         FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id),
+       pos AS (
+         SELECT anchor_id, a_label AS label, cand_id AS pos_id, c AS pc
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY c DESC, cand_id) AS rn
+           FROM scored WHERE c_label = a_label)
+         WHERE rn = 1),
+       neg AS (
+         SELECT anchor_id, cand_id AS neg_id, c AS nc
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY c DESC, cand_id) AS rn
+           FROM scored WHERE c_label <> a_label)
+         WHERE rn = 1)
+       SELECT pos.anchor_id, label, pos_id, round(pc, 6) AS pos_cos,
+              neg_id, round(nc, 6) AS neg_cos,
+              round(pc - nc, 6) AS margin,
+              CAST(CASE WHEN nc > pc THEN 1 ELSE 0 END AS BIGINT) AS is_hard
+       FROM pos JOIN neg ON neg.anchor_id = pos.anchor_id
+       ORDER BY pos.anchor_id"""
+
+  // --------------------------------------------------------------- q401
+  /** Margin-based BITEXT mining (Artetxe & Schwenk, ACL 2019): treat
+    * label 0 as the source collection and label 1 as the target; for
+    * every source vector pick the target maximizing the RATIO margin
+    * cos(x,y) / ((avg₄(x→T) + avg₄(y→S)) / 2) — the normalization that
+    * beats raw cosine because hub vectors with uniformly high
+    * similarity get discounted by their own k-NN average. The k-NN
+    * averages use k=4 cosines summed in EXPLICIT rank order
+    * (c1+c2+c3+c4 via a conditional-aggregation pivot), so no
+    * float-summation order can diverge between engines. 100 TB shape:
+    * one S×T scored join (blocked by the SRP band index at full scale,
+    * exactly as q382), two window ranks over it, and a pivot aggregate
+    * per side; the matrix never materializes more than its scored
+    * rows. */
+  private def q401(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    val emb = Tables(s, dir)("embeddings")
+    val src = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("sv"))
+    val tgt = emb.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+    val cos = src.join(tgt)
+      .select(col("src_id"), col("tgt_id"),
+        VectorFunctions.cosine(col("sv"), col("tv")).as("c"))
+    def knnAvg(part: String, order: String, out: String): DataFrame = {
+      val w = Window.partitionBy(part).orderBy(col("c").desc, col(order))
+      val ranked = cos.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+      def cAt(i: Int): Column = max(when(col("rk") === i, col("c")))
+      ranked.groupBy(part)
+        .agg(((cAt(1) + cAt(2) + cAt(3) + cAt(4)) / K).as(out))
+    }
+    val ax = knnAvg("src_id", "tgt_id", "ax")
+    val ay = knnAvg("tgt_id", "src_id", "ay")
+    val margins = cos.join(ax, Seq("src_id")).join(ay, Seq("tgt_id"))
+      .withColumn("m", col("c") / ((col("ax") + col("ay")) / 2))
+    val w = Window.partitionBy("src_id").orderBy(col("m").desc, col("tgt_id"))
+    margins.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("c"), 6).as("cos"),
+        round(col("ax"), 6).as("src_knn_avg"),
+        round(col("ay"), 6).as("tgt_knn_avg"),
+        round(col("m"), 6).as("margin"))
+      .orderBy("src_id")
+  }
+
+  private val q401Sql = {
+    val K = 4
+    def pivot =
+      (1 to K).map(i => s"max(CASE WHEN rk = $i THEN c END)").mkString(" + ")
+    s"""WITH s AS (SELECT vec_id AS src_id, embedding AS sv
+                   FROM embeddings WHERE label = 0),
+       t AS (SELECT vec_id AS tgt_id, embedding AS tv
+             FROM embeddings WHERE label = 1),
+       cos AS MATERIALIZED (
+         SELECT src_id, tgt_id, ${cosSql("s.sv", "t.tv")} AS c
+         FROM s CROSS JOIN t),
+       rs AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY c DESC, tgt_id) AS rk FROM cos),
+       ax AS (SELECT src_id, ($pivot) / $K AS ax
+              FROM rs WHERE rk <= $K GROUP BY src_id),
+       rt AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY c DESC, src_id) AS rk FROM cos),
+       ay AS (SELECT tgt_id, ($pivot) / $K AS ay
+              FROM rt WHERE rk <= $K GROUP BY tgt_id),
+       m AS (SELECT cos.src_id, cos.tgt_id, cos.c, ax.ax, ay.ay,
+               cos.c / ((ax.ax + ay.ay) / 2) AS m
+             FROM cos JOIN ax ON ax.src_id = cos.src_id
+                      JOIN ay ON ay.tgt_id = cos.tgt_id)
+       SELECT src_id, tgt_id, round(c, 6) AS cos,
+              round(ax, 6) AS src_knn_avg,
+              round(ay, 6) AS tgt_knn_avg,
+              round(m, 6) AS margin
+       FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                         ORDER BY m DESC, tgt_id) AS rn FROM m)
+       WHERE rn = 1 ORDER BY src_id"""
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q400_triplet_mining" -> q400 _,
+    "q401_bitext_margin" -> q401 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q400_triplet_mining" -> q400Sql,
+    "q401_bitext_margin" -> q401Sql)
+}
