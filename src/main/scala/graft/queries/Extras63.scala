@@ -8,7 +8,8 @@ import graft.Tables
 import graft.functions.VectorFunctions
 
 /** Round-8 pack, part 6: embedding-training data mining — hard-negative
-  * triplet mining (q400) and margin-based bitext mining (q401).
+  * triplet mining (q400), margin-based bitext mining (q401), and the
+  * cluster-respecting train/test split audit (q402).
   */
 object Extras63 extends QueryPack {
 
@@ -170,11 +171,103 @@ object Extras63 extends QueryPack {
        WHERE rn = 1 ORDER BY src_id"""
   }
 
+  // --------------------------------------------------------------- q402
+  /** CLUSTER-respecting train/test split with a leakage audit — the
+    * "dedup before you split" rule made checkable: near-dup components
+    * (q65's spanning-forest clustering over the same-label cosine>=0.3
+    * pairs, singletons = their own cluster) are assigned WHOLLY to
+    * train or test by an md5 hash of the cluster representative
+    * (bucket 0 of 5 => test, ~20%), versus the naive per-document hash
+    * split. The audit counts near-dup pairs STRADDLING the boundary
+    * under each policy: the cluster split's count is 0 by construction
+    * — and the driver-checked value IS that proof — while the naive
+    * split leaks. One row; every count is exact integer math off the
+    * replayable md5 family. */
+  private def q402(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, Similarity}
+    val emb = Tables(s, dir)("embeddings")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("component"))
+    def bucket(c: Column): Column =
+      conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long") % 5
+    val assigned = emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("vec_id")))
+      .select(col("vec_id"),
+        (bucket(col("cluster")) === 0).cast("int").as("cl_test"),
+        (bucket(col("vec_id")) === 0).cast("int").as("nv_test"))
+    val counts = assigned.agg(
+      sum(when(col("cl_test") === 0, 1L).otherwise(0L)).as("n_train_cluster"),
+      sum(col("cl_test").cast("long")).as("n_test_cluster"),
+      sum(when(col("nv_test") === 0, 1L).otherwise(0L)).as("n_train_naive"),
+      sum(col("nv_test").cast("long")).as("n_test_naive"))
+    val a = assigned.select(col("vec_id").as("id_a"),
+      col("cl_test").as("cla"), col("nv_test").as("nva"))
+    val b = assigned.select(col("vec_id").as("id_b"),
+      col("cl_test").as("clb"), col("nv_test").as("nvb"))
+    val straddle = pairs.join(a, Seq("id_a")).join(b, Seq("id_b")).agg(
+      sum(when(col("cla") =!= col("clb"), 1L).otherwise(0L))
+        .as("straddle_cluster"),
+      sum(when(col("nva") =!= col("nvb"), 1L).otherwise(0L))
+        .as("straddle_naive"))
+    counts.crossJoin(straddle)
+  }
+
+  private val q402Sql =
+    s"""WITH RECURSIVE
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${dotSql("a.embedding", "b.embedding")} /
+             (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id),
+       edges AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
+       und AS (SELECT id_a AS a, id_b AS b FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+       cc AS (
+         SELECT a, b FROM und
+         UNION
+         SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       comp AS MATERIALIZED (
+         SELECT a AS vec_id, least(a, min(b)) AS component
+         FROM cc GROUP BY a),
+       assigned AS MATERIALIZED (
+         SELECT e.vec_id,
+           CASE WHEN ('0x' || substr(md5(CAST(coalesce(comp.component,
+                  e.vec_id) AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
+                THEN 1 ELSE 0 END AS cl_test,
+           CASE WHEN ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)),
+                  1, 8))::BIGINT % 5 = 0
+                THEN 1 ELSE 0 END AS nv_test
+         FROM embeddings e LEFT JOIN comp ON comp.vec_id = e.vec_id),
+       counts AS (
+         SELECT CAST(sum(CASE WHEN cl_test = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_train_cluster,
+                CAST(sum(cl_test) AS BIGINT) AS n_test_cluster,
+                CAST(sum(CASE WHEN nv_test = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_train_naive,
+                CAST(sum(nv_test) AS BIGINT) AS n_test_naive
+         FROM assigned),
+       str AS (
+         SELECT CAST(sum(CASE WHEN a.cl_test <> b.cl_test THEN 1 ELSE 0 END)
+                  AS BIGINT) AS straddle_cluster,
+                CAST(sum(CASE WHEN a.nv_test <> b.nv_test THEN 1 ELSE 0 END)
+                  AS BIGINT) AS straddle_naive
+         FROM edges JOIN assigned a ON a.vec_id = edges.id_a
+                    JOIN assigned b ON b.vec_id = edges.id_b)
+       SELECT * FROM counts CROSS JOIN str"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q400_triplet_mining" -> q400 _,
-    "q401_bitext_margin" -> q401 _)
+    "q401_bitext_margin" -> q401 _,
+    "q402_cluster_split" -> q402 _)
 
   override def oracles: Map[String, String] = Map(
     "q400_triplet_mining" -> q400Sql,
-    "q401_bitext_margin" -> q401Sql)
+    "q401_bitext_margin" -> q401Sql,
+    "q402_cluster_split" -> q402Sql)
 }
