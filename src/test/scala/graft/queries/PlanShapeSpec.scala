@@ -225,6 +225,29 @@ class PlanShapeSpec extends GraftTestBase {
       s"q384 saw ${shuffles(plan("q384_doc_chunks"))}")
   }
 
+  test("round-8 final-wave queries hold their plan shapes") {
+    // q396: winnowing is ZERO-shuffle map-side array math — only the
+    // output sort's exchange may appear.
+    assert(shuffles(plan("q396_winnowing")) <= 1,
+      s"q396 saw ${shuffles(plan("q396_winnowing"))}")
+    // q400: the 20-anchor side must STAY broadcast against the corpus;
+    // the scored join is the only corpus-sized relation.
+    val p400 = plan("q400_triplet_mining")
+    assert(p400.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q400 lost its anchor broadcast")
+    // q399: the gram self-join must stay equi-keyed; the only designed
+    // cartesian is the S×S cross of the per-source COUNT relation.
+    val p399 = plan("q399_source_containment")
+    assert(p399.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.size <= 1, "q399 planned more than the designed tiny count-cross")
+    // q403: each policy is one global rank + one batch agg + one scalar
+    // agg; ceiling 8 across the two-policy union and output sort.
+    assert(shuffles(plan("q403_batch_padding")) <= 8,
+      s"q403 saw ${shuffles(plan("q403_batch_padding"))}")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
