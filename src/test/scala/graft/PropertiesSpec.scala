@@ -351,6 +351,33 @@ object PropertiesSpec extends Properties("graft") {
       seg.forall(r => r.getString(1).replace(" ", "") == r.getString(0))
     }
 
+  property("winnowing selections == driver window-min replay (ties via tiny vocab)") =
+    forAllNoShrink(Gen.choose(7, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))) { words =>
+      val (k, w) = (4, 4)
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.Winnowing
+        .selections(docs, "doc_id", "text", k, w)
+        .select("sel").collect().headOption
+        .map(_.getSeq[Long](0).toSet).getOrElse(Set.empty[Long])
+      // driver replay: md5-32 gram hashes, packed, per-window min
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h32(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val grams = words.sliding(k).map(_.mkString(" ")).toVector
+      val packed = grams.zipWithIndex.map { case (g, i) =>
+        h32(g) * graft.operators.Winnowing.Shift +
+          (graft.operators.Winnowing.Shift - (i + 1))
+      }
+      val expected =
+        if (words.size < k + w - 1) Set.empty[Long]
+        else packed.sliding(w).map(_.min).toSet
+      got == expected
+    }
+
   property("sessionize: session count per user == gap count + 1") =
     forAllNoShrink(Gen.listOfN(30, Gen.choose(0L, 100000L))) { offsets =>
       val base = 1700000000000L
