@@ -304,15 +304,85 @@ object Extras62 extends QueryPack {
        ORDER BY src_a, src_b"""
   }
 
+  // --------------------------------------------------------------- q407
+  /** Winnowing MATCH pairs — the use the fingerprints exist for (the
+    * MOSS plagiarism-candidate table): document pairs sharing >= 2
+    * selected fingerprints, with each side's fingerprint-set size and
+    * the overlap fraction vs the smaller set. The fingerprint
+    * equi-join rides [[graft.operators.Dedup.dropHotBuckets]] (cap
+    * 50) exactly like every banded-LSH path — a boilerplate
+    * fingerprint shared by B docs would otherwise emit B²/2 pairs.
+    * Denominators use the UNCAPPED per-doc counts (the cap prunes the
+    * join, not the truth). Top-50 under a total order. */
+  private def q407(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val fps = Winnowing.fingerprints(docs(s, dir), "doc_id", "text",
+      k = 4, w = 4)
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val capped = Dedup.dropHotBuckets(fps, Seq("fp"), maxBucket = 50)
+    val a = capped.select(col("doc_id").as("id_a"), col("fp"))
+    val b = capped.select(col("doc_id").as("id_b"), col("fp"))
+    val pairs = a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    pairs
+      .join(perDoc.select(col("doc_id").as("id_a"), col("nf").as("nf_a")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("nf").as("nf_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared").cast("long").as("shared"),
+        col("nf_a").cast("long").as("nf_a"), col("nf_b").cast("long").as("nf_b"),
+        round(col("shared").cast("double") / least(col("nf_a"), col("nf_b")), 6)
+          .as("overlap"))
+      .orderBy(col("shared").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private val q407Sql = {
+    val K = 4; val W = 4; val Sh = Winnowing.Shift
+    s"""WITH $toksCte,
+       g AS (
+         SELECT doc_id,
+           list_transform(generate_series(1, len(t) - ${K - 1}),
+             i -> ('0x' || substring(md5(array_to_string(t[i:i + ${K - 1}],
+                     ' ')), 1, 8))::BIGINT * $Sh + ($Sh - i)) AS c
+         FROM toks WHERE len(t) >= ${K + W - 1}),
+       m AS (
+         SELECT doc_id,
+           list_distinct(list_transform(
+             list_distinct(list_transform(generate_series(1, len(c) - ${W - 1}),
+               j -> list_min(c[j:j + ${W - 1}]))),
+             x -> x // $Sh)) AS fps
+         FROM g),
+       fp AS MATERIALIZED (
+         SELECT doc_id, u.fp FROM m, unnest(fps) AS u(fp)),
+       per_doc AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+       hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+       capped AS (SELECT doc_id, fp FROM fp ANTI JOIN hot USING (fp)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         FROM capped a JOIN capped b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+              CAST(pa.nf AS BIGINT) AS nf_a, CAST(pb.nf AS BIGINT) AS nf_b,
+              round(shared * 1.0 / least(pa.nf, pb.nf), 6) AS overlap
+       FROM pairs JOIN per_doc pa ON pa.doc_id = id_a
+                  JOIN per_doc pb ON pb.doc_id = id_b
+       ORDER BY shared DESC, id_a, id_b LIMIT 50"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q396_winnowing" -> q396 _,
     "q397_rrf_fusion" -> q397 _,
     "q398_curriculum" -> q398 _,
-    "q399_source_containment" -> q399 _)
+    "q399_source_containment" -> q399 _,
+    "q407_winnow_matches" -> q407 _)
 
   override def oracles: Map[String, String] = Map(
     "q396_winnowing" -> q396Sql,
     "q397_rrf_fusion" -> q397Sql,
     "q398_curriculum" -> q398Sql,
-    "q399_source_containment" -> q399Sql)
+    "q399_source_containment" -> q399Sql,
+    "q407_winnow_matches" -> q407Sql)
 }
