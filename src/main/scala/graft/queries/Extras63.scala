@@ -261,13 +261,132 @@ object Extras63 extends QueryPack {
                     JOIN assigned b ON b.vec_id = edges.id_b)
        SELECT * FROM counts CROSS JOIN str"""
 
+  // --------------------------------------------------------------- q408
+  /** SRP-blocked bitext mining audit — the scale-path certification
+    * for q401 (the q390 discipline applied to bitext): band the source
+    * and target collections with the shared 16-bit SRP signature
+    * (4 bands × 4 bits, hyperplanes replayed as literals), take the
+    * band-collision pairs as the candidate set, and measure (a) what
+    * fraction of q401's exact-margin best pairs the candidates
+    * contain (recall) and (b) what fraction of the full S×T matrix
+    * the candidates are (cost). One row: the recall/cost trade that
+    * decides whether the blocked path may replace the exact matrix at
+    * scale. */
+  private def q408(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val Bits = 16; val Bands = 4; val R = Bits / Bands
+    val emb = Tables(s, dir)("embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"),
+        Similarity.srpSignature(col("embedding"), Bits, Dim).as("sig"))
+    val bandCols = (0 until Bands).map(b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("sig"), b * R) % (1 << R)).cast("int").as("key")))
+    val bnd = emb.select(col("vec_id"), col("label"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("label"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bnd.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("band"), col("key"))
+      .join(bnd.filter(col("label") === 1)
+        .select(col("vec_id").as("tgt_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+    val best = q401(s, dir).select(col("src_id"), col("tgt_id"))
+    val hit = best.join(cand.withColumn("inc", lit(1)),
+        Seq("src_id", "tgt_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_src"),
+        sum(coalesce(col("inc"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_src"), 6))
+    val sizes = emb.filter(col("label") === 0).agg(count(lit(1)).as("ns"))
+      .crossJoin(emb.filter(col("label") === 1).agg(count(lit(1)).as("nt")))
+      .crossJoin(cand.agg(count(lit(1)).as("nc")))
+      .select((col("ns") * col("nt")).cast("long").as("n_full_pairs"),
+        col("nc").cast("long").as("n_cand_pairs"),
+        round(col("nc").cast("double") / (col("ns") * col("nt")), 6)
+          .as("cand_frac"))
+    hit.crossJoin(sizes)
+  }
+
+  private val q408Sql = {
+    val Bits = 16; val Bands = 4; val R = Bits / Bands
+    val mask = (1 << R) - 1
+    def hpList(b: Int): String =
+      graft.operators.Similarity.hyperplane(b, Dim)
+        .map { d =>
+          val str = d.toString
+          if (str.contains("E") || str.contains("e")) str else str + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until Bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    def pivot =
+      (1 to 4).map(i => s"max(CASE WHEN rk = $i THEN c END)").mkString(" + ")
+    s"""WITH sv AS (SELECT vec_id AS src_id, embedding AS s_emb
+                    FROM embeddings WHERE label = 0),
+       tv AS (SELECT vec_id AS tgt_id, embedding AS t_emb
+              FROM embeddings WHERE label = 1),
+       sigs AS MATERIALIZED (
+         SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig
+         FROM embeddings WHERE label IN (0, 1)),
+       bnd AS MATERIALIZED (
+         SELECT vec_id, label, u.b AS band, (sig >> ($R * u.b)) & $mask AS key
+         FROM sigs, unnest(generate_series(0, ${Bands - 1})) AS u(b)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT sb.vec_id AS src_id, tb.vec_id AS tgt_id
+         FROM bnd sb JOIN bnd tb
+           ON sb.band = tb.band AND sb.key = tb.key
+         WHERE sb.label = 0 AND tb.label = 1),
+       cos AS MATERIALIZED (
+         SELECT src_id, tgt_id, ${cosSql("sv.s_emb", "tv.t_emb")} AS c
+         FROM sv CROSS JOIN tv),
+       rs AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY c DESC, tgt_id) AS rk FROM cos),
+       ax AS (SELECT src_id, ($pivot) / 4 AS ax
+              FROM rs WHERE rk <= 4 GROUP BY src_id),
+       rt AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY c DESC, src_id) AS rk FROM cos),
+       ay AS (SELECT tgt_id, ($pivot) / 4 AS ay
+              FROM rt WHERE rk <= 4 GROUP BY tgt_id),
+       m AS (SELECT cos.src_id, cos.tgt_id,
+               cos.c / ((ax.ax + ay.ay) / 2) AS m
+             FROM cos JOIN ax ON ax.src_id = cos.src_id
+                      JOIN ay ON ay.tgt_id = cos.tgt_id),
+       best AS (
+         SELECT src_id, tgt_id
+         FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                           ORDER BY m DESC, tgt_id) AS rn FROM m)
+         WHERE rn = 1),
+       hit AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_src,
+                CAST(sum(CASE WHEN cand.src_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM best LEFT JOIN cand
+           ON cand.src_id = best.src_id AND cand.tgt_id = best.tgt_id),
+       sizes AS (
+         SELECT CAST((SELECT count(*) FROM sv) *
+                     (SELECT count(*) FROM tv) AS BIGINT) AS n_full_pairs,
+                CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand_pairs)
+       SELECT n_src, n_hit,
+              round(n_hit * 1.0 / n_src, 6) AS recall,
+              n_full_pairs, n_cand_pairs,
+              round(n_cand_pairs * 1.0 / n_full_pairs, 6) AS cand_frac
+       FROM hit CROSS JOIN sizes"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q400_triplet_mining" -> q400 _,
     "q401_bitext_margin" -> q401 _,
-    "q402_cluster_split" -> q402 _)
+    "q402_cluster_split" -> q402 _,
+    "q408_bitext_blocked" -> q408 _)
 
   override def oracles: Map[String, String] = Map(
     "q400_triplet_mining" -> q400Sql,
     "q401_bitext_margin" -> q401Sql,
-    "q402_cluster_split" -> q402Sql)
+    "q402_cluster_split" -> q402Sql,
+    "q408_bitext_blocked" -> q408Sql)
 }
