@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.SubstringDedup
 
-/** Round-8 pack, part 8: importance-weighted data selection (q406).
+/** Round-8 pack, part 8: importance-weighted data selection (q406)
+  * and containment-vs-resemblance dedup (q409).
   */
 object Extras65 extends QueryPack {
 
@@ -103,9 +104,118 @@ object Extras65 extends QueryPack {
        ORDER BY p.logw DESC, p.doc_id LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- q409
+  /** CONTAINMENT-vs-resemblance dedup (Broder 1997's distinction,
+    * applied): resemblance (Jaccard) misses near-SUBSET pairs — a
+    * quote fully contained in a longer document scores low Jaccard but
+    * containment |A∩B|/min(|A|,|B|) near 1. Candidates come from the
+    * capped md5 LSH pipeline with NO est-Jaccard floor (the floor is
+    * exactly what would drop subset pairs); each candidate is then
+    * scored EXACTLY on the raw 5-char shingle relation — pair →
+    * shingles-of-a → equi-join shingles-of-b on (doc, shingle), never
+    * arrays on a shuffle — and flagged near_subset when containment
+    * >= 0.8 while Jaccard < 0.5. Top-100 under a total order. */
+  private def q409(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val d = Tables(s, dir)("documents")
+    val cand = Dedup.minhashDedupMd5(d, "doc_id", "text",
+        threshold = 0.0, maxBucket = 10)
+      .select(col("id_a"), col("id_b"))
+    val g = d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(TextFunctions.charShingles(col("text"), 5)).as("g"))
+    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(g.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+    val scored = cand.join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("ix", coalesce(col("ix"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jac", col("ix").cast("double") /
+        (col("na") + col("nb") - col("ix")))
+      .withColumn("cont", col("ix").cast("double") / least(col("na"), col("nb")))
+    scored.select(col("id_a"), col("id_b"),
+        col("ix").cast("long").as("shared"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("jac"), 6).as("jaccard"),
+        round(col("cont"), 6).as("containment"),
+        when(col("cont") >= 0.8 && col("jac") < 0.5, 1L).otherwise(0L)
+          .as("near_subset"))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  private val q409Sql = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH sh AS MATERIALIZED (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, length(text) - 4),
+             i -> substring(text, i, 5))) AS shs
+         FROM documents WHERE length(text) >= 5),
+       d AS (
+         SELECT doc_id,
+           list_transform(shs,
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM sh),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM d),
+       bands AS MATERIALIZED (
+         SELECT doc_id, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       hot AS (
+         SELECT band_idx, band_key FROM bands
+         GROUP BY band_idx, band_key HAVING count(*) > 10),
+       cold AS (
+         SELECT bands.* FROM bands
+         WHERE NOT EXISTS (
+           SELECT 1 FROM hot
+           WHERE hot.band_idx = bands.band_idx
+             AND hot.band_key = bands.band_key)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM cold a JOIN cold b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+       g AS MATERIALIZED (
+         SELECT doc_id, u.g FROM sh, unnest(shs) AS u(g)),
+       cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       ix AS (
+         SELECT c.id_a, c.id_b, count(*) AS ix
+         FROM cand c JOIN g a ON a.doc_id = c.id_a
+                     JOIN g b ON b.doc_id = c.id_b AND b.g = a.g
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT c.id_a, c.id_b, coalesce(ix.ix, 0) AS ix, ca.n AS na, cb.n AS nb
+         FROM cand c LEFT JOIN ix ON ix.id_a = c.id_a AND ix.id_b = c.id_b
+                     JOIN cnt ca ON ca.doc_id = c.id_a
+                     JOIN cnt cb ON cb.doc_id = c.id_b)
+       SELECT id_a, id_b, CAST(ix AS BIGINT) AS shared,
+              CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              round(ix * 1.0 / (na + nb - ix), 6) AS jaccard,
+              round(ix * 1.0 / least(na, nb), 6) AS containment,
+              CAST(CASE WHEN ix * 1.0 / least(na, nb) >= 0.8
+                         AND ix * 1.0 / (na + nb - ix) < 0.5
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_subset
+       FROM scored
+       ORDER BY containment DESC, id_a, id_b LIMIT 100"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "q406_dsir_weights" -> q406 _)
+    "q406_dsir_weights" -> q406 _,
+    "q409_containment_dedup" -> q409 _)
 
   override def oracles: Map[String, String] = Map(
-    "q406_dsir_weights" -> q406Sql)
+    "q406_dsir_weights" -> q406Sql,
+    "q409_containment_dedup" -> q409Sql)
 }
