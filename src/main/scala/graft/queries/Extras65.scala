@@ -114,7 +114,17 @@ object Extras65 extends QueryPack {
     * scored EXACTLY on the raw 5-char shingle relation — pair →
     * shingles-of-a → equi-join shingles-of-b on (doc, shingle), never
     * arrays on a shuffle — and flagged near_subset when containment
-    * >= 0.8 while Jaccard < 0.5. Top-100 under a total order. */
+    * >= 0.8 while Jaccard < 0.5. Top-100 under a total order.
+    *
+    * Honest recall note: banding on SYMMETRIC minhash collides with
+    * probability j^bands, so extreme subset pairs (tiny B inside huge
+    * A, Jaccard near |B|/|A|) rarely surface here — that structural
+    * gap is Broder's argument for a containment-oriented sketch. The
+    * production remedy is ASYMMETRIC banding (band only the smaller
+    * side's minima, probe the larger side's full shingle stream —
+    * exactly the [[graft.operators.Dedup.minhashGate]] new-vs-index
+    * shape with the small doc as the "new" side); this table audits
+    * what the symmetric candidate set does contain. */
   private def q409(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     import graft.operators.Dedup
