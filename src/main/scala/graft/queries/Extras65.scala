@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -221,11 +222,111 @@ object Extras65 extends QueryPack {
        ORDER BY containment DESC, id_a, id_b LIMIT 100"""
   }
 
+  // --------------------------------------------------------------- q410
+  /** Bottom-k CONTAINMENT gate — the asymmetric remedy q409's scaladoc
+    * promises: each document's k smallest (cold) shingle hashes are a
+    * uniform sample of its shingle set, so the count m of those
+    * sampled hashes present in another document estimates containment
+    * |A∩B|/|A| as m/k — INDEPENDENT of Jaccard, which is exactly what
+    * symmetric minhash banding cannot do for subset pairs. Pipeline:
+    * hot shingles (in > 200 docs) are capped out first (the
+    * boilerplate guard — and the estimator is then containment w.r.t.
+    * the capped universe, stated honestly); per-doc bottom-16 via one
+    * partitioned window over the capped gram relation; probe rows
+    * equi-join the same relation on the hash (fan-out bounded by the
+    * cap); pairs with m >= k/2 are verified EXACTLY on the uncapped
+    * sets. Everything is integers until the two output ratios. */
+  private def q410(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val K = 16; val Cap = 200
+    val d = Tables(s, dir)("documents")
+    val g = d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(TextFunctions.charShingles(col("text"), 5)).as("sg"))
+      .select(col("doc_id"),
+        conv(substring(md5(encode(col("sg"), "UTF-8")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val gCold = Dedup.dropHotBuckets(g, Seq("h"), Cap)
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    val bottoms = gCold.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("doc_id").as("qid"), col("h"))
+    val m = bottoms
+      .join(gCold.select(col("doc_id").as("did"), col("h")), Seq("h"))
+      .filter(col("did") =!= col("qid"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= K / 2)
+    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ix = m
+      .join(g.select(col("doc_id").as("qid"), col("h")), Seq("qid"))
+      .join(g.select(col("doc_id").as("did"), col("h")), Seq("did", "h"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
+    m.join(ix, Seq("qid", "did"))
+      .join(cnt.select(col("doc_id").as("qid"), col("n").as("n_q")), Seq("qid"))
+      .join(cnt.select(col("doc_id").as("did"), col("n").as("n_d")), Seq("did"))
+      .select(col("qid"), col("did"),
+        col("m").cast("long").as("m"),
+        round(col("m").cast("double") / K, 6).as("est_containment"),
+        col("shared").cast("long").as("shared"),
+        col("n_q").cast("long").as("n_q"), col("n_d").cast("long").as("n_d"),
+        round(col("shared").cast("double") / col("n_q"), 6)
+          .as("containment"),
+        round(col("shared").cast("double") /
+          (col("n_q") + col("n_d") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("containment").desc, col("qid"), col("did"))
+      .limit(50)
+  }
+
+  private val q410Sql = {
+    val K = 16; val Cap = 200
+    s"""WITH sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, length(text) - 4),
+             i -> substring(text, i, 5))) AS shs
+         FROM documents WHERE length(text) >= 5),
+       g AS MATERIALIZED (
+         SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(u.sg), 1, 8))::BIGINT AS h
+         FROM sh, unnest(shs) AS u(sg)),
+       hot AS (SELECT h FROM g GROUP BY h HAVING count(*) > $Cap),
+       gcold AS MATERIALIZED (SELECT doc_id, h FROM g ANTI JOIN hot USING (h)),
+       bottoms AS MATERIALIZED (
+         SELECT doc_id AS qid, h FROM (
+           SELECT doc_id, h,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+           FROM gcold)
+         WHERE rk <= $K),
+       m AS MATERIALIZED (
+         SELECT b.qid, gc.doc_id AS did, count(*) AS m
+         FROM bottoms b JOIN gcold gc ON gc.h = b.h AND gc.doc_id <> b.qid
+         GROUP BY 1, 2 HAVING count(*) >= ${K / 2}),
+       cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       ix AS (
+         SELECT m.qid, m.did, count(*) AS shared
+         FROM m JOIN g ga ON ga.doc_id = m.qid
+                JOIN g gb ON gb.doc_id = m.did AND gb.h = ga.h
+         GROUP BY 1, 2)
+       SELECT m.qid, m.did, CAST(m.m AS BIGINT) AS m,
+              round(m.m * 1.0 / $K, 6) AS est_containment,
+              CAST(ix.shared AS BIGINT) AS shared,
+              CAST(cq.n AS BIGINT) AS n_q, CAST(cd.n AS BIGINT) AS n_d,
+              round(ix.shared * 1.0 / cq.n, 6) AS containment,
+              round(ix.shared * 1.0 / (cq.n + cd.n - ix.shared), 6) AS jaccard
+       FROM m JOIN ix ON ix.qid = m.qid AND ix.did = m.did
+              JOIN cnt cq ON cq.doc_id = m.qid
+              JOIN cnt cd ON cd.doc_id = m.did
+       ORDER BY containment DESC, m.qid, m.did LIMIT 50"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q406_dsir_weights" -> q406 _,
-    "q409_containment_dedup" -> q409 _)
+    "q409_containment_dedup" -> q409 _,
+    "q410_containment_gate" -> q410 _)
 
   override def oracles: Map[String, String] = Map(
     "q406_dsir_weights" -> q406Sql,
-    "q409_containment_dedup" -> q409Sql)
+    "q409_containment_dedup" -> q409Sql,
+    "q410_containment_gate" -> q410Sql)
 }
