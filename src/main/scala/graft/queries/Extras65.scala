@@ -130,12 +130,20 @@ object Extras65 extends QueryPack {
     import graft.functions.TextFunctions
     import graft.operators.Dedup
     val d = Tables(s, dir)("documents")
+    // materialized once: the whole LSH candidate pipeline feeds both
+    // the intersection join and the scored left-join spine
     val cand = Dedup.minhashDedupMd5(d, "doc_id", "text",
         threshold = 0.0, maxBucket = 10)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    // materialized once: the exploded shingle relation feeds both
+    // intersection sides AND the per-doc counts (the SetSimilarityJoin
+    // input-caching discipline — without this the tokenize+explode
+    // subtree runs three times)
     val g = d.filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         explode(TextFunctions.charShingles(col("text"), 5)).as("g"))
+      .localCheckpoint()
     val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(g.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
@@ -241,6 +249,9 @@ object Extras65 extends QueryPack {
     import graft.operators.Dedup
     val K = 16; val Cap = 200
     val d = Tables(s, dir)("documents")
+    // materialized once: the distinct (doc, hash) relation feeds the
+    // cold-filter build, the exact-count side, and BOTH exact-verify
+    // joins — five subtree reads without the checkpoint
     val g = d.filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         explode(TextFunctions.charShingles(col("text"), 5)).as("sg"))
@@ -248,7 +259,8 @@ object Extras65 extends QueryPack {
         conv(substring(md5(encode(col("sg"), "UTF-8")), 1, 8), 16, 10)
           .cast("long").as("h"))
       .distinct()
-    val gCold = Dedup.dropHotBuckets(g, Seq("h"), Cap)
+      .localCheckpoint()
+    val gCold = Dedup.dropHotBuckets(g, Seq("h"), Cap).localCheckpoint()
     val w = Window.partitionBy("doc_id").orderBy("h")
     val bottoms = gCold.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
