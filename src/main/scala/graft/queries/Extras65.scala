@@ -332,13 +332,83 @@ object Extras65 extends QueryPack {
        ORDER BY containment DESC, m.qid, m.did LIMIT 50"""
   }
 
+  // --------------------------------------------------------------- q411
+  /** EVAL-side contamination report — q75's flip side, the table a
+    * benchmark maintainer publishes: per benchmark item (the doc_id %
+    * 97 == 0 convention), how many corpus documents share a word
+    * 3-gram with it, how many of ITS OWN distinct 3-grams are
+    * compromised, the compromised fraction, and the >= 10% flag that
+    * retires the item. Same scalable shape as q75: the tiny benchmark
+    * side broadcasts, the corpus streams map-side through the
+    * inverted-index join, and the rollup keys on the handful of bench
+    * ids. */
+  private def q411(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sh = Tables(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    val benchCnt = bench.groupBy("bench_id")
+      .agg(countDistinct("sh").as("n_grams"))
+    val hits = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("bench_id")
+      .agg(countDistinct("doc_id").as("nc"), countDistinct("sh").as("nh"))
+    benchCnt.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("nc"), lit(0L)).cast("long").as("n_corpus_docs"),
+        coalesce(col("nh"), lit(0L)).cast("long").as("n_hit_grams"),
+        round(coalesce(col("nh"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("hit_frac"),
+        when(coalesce(col("nh"), lit(0L)).cast("double") / col("n_grams")
+          >= 0.1, 1L).otherwise(0L).as("retire"))
+      .orderBy("bench_id")
+  }
+
+  private val q411Sql = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH base AS (
+         SELECT doc_id, $toksSql AS toks FROM documents
+         WHERE len($toksSql) >= 3),
+       sh AS MATERIALIZED (
+         SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         FROM base),
+       bcnt AS (
+         SELECT doc_id AS bench_id, count(DISTINCT sh) AS n_grams
+         FROM sh WHERE doc_id % 97 = 0 GROUP BY 1),
+       hits AS (
+         SELECT b.doc_id AS bench_id,
+                count(DISTINCT c.doc_id) AS nc,
+                count(DISTINCT c.sh) AS nh
+         FROM sh b JOIN sh c ON c.sh = b.sh
+         WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         GROUP BY 1)
+       SELECT bcnt.bench_id,
+              CAST(n_grams AS BIGINT) AS n_grams,
+              CAST(coalesce(nc, 0) AS BIGINT) AS n_corpus_docs,
+              CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_grams,
+              round(coalesce(nh, 0) * 1.0 / n_grams, 6) AS hit_frac,
+              CAST(CASE WHEN coalesce(nh, 0) * 1.0 / n_grams >= 0.1
+                   THEN 1 ELSE 0 END AS BIGINT) AS retire
+       FROM bcnt LEFT JOIN hits ON hits.bench_id = bcnt.bench_id
+       ORDER BY bcnt.bench_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q406_dsir_weights" -> q406 _,
     "q409_containment_dedup" -> q409 _,
-    "q410_containment_gate" -> q410 _)
+    "q410_containment_gate" -> q410 _,
+    "q411_eval_compromise" -> q411 _)
 
   override def oracles: Map[String, String] = Map(
     "q406_dsir_weights" -> q406Sql,
     "q409_containment_dedup" -> q409Sql,
-    "q410_containment_gate" -> q410Sql)
+    "q410_containment_gate" -> q410Sql,
+    "q411_eval_compromise" -> q411Sql)
 }
