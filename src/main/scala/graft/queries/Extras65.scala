@@ -400,15 +400,73 @@ object Extras65 extends QueryPack {
        ORDER BY bcnt.bench_id"""
   }
 
+  // --------------------------------------------------------------- q412
+  /** Cross-source SYNDICATION matrix — the whole-document complement
+    * of q399's gram containment: for every unordered source pair, how
+    * many exact content fingerprints (q64's md5-of-normalized-text
+    * convention) appear in BOTH — the republished-verbatim signal that
+    * decides which feed is redundant. One distinct over (fp, source),
+    * a fingerprint-keyed self-join whose fan-out is bounded by the
+    * source count, and the S²/2-row matrix keeps zero-overlap pairs
+    * via the tiny count-relation cross join. */
+  private def q412(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(s, dir)("documents")
+      .select(md5(encode(
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))), "UTF-8"))
+        .as("fp"), col("source"))
+      .distinct()
+    val cnt = fp.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("sh"))
+    val pairs = cnt.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(cnt.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("sh"), lit(0L)).cast("long").as("n_shared_fp"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(coalesce(col("sh"), lit(0L)).cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("syndication"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val q412Sql =
+    """WITH fp AS MATERIALIZED (
+         SELECT DISTINCT
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           source
+         FROM documents),
+       cnt AS MATERIALIZED (SELECT source, count(*) AS n FROM fp GROUP BY 1),
+       sh AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS sh
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT ca.source AS src_a, cb.source AS src_b,
+                ca.n AS n_a, cb.n AS n_b
+         FROM cnt ca CROSS JOIN cnt cb WHERE ca.source < cb.source)
+       SELECT src_a, src_b,
+              CAST(coalesce(sh.sh, 0) AS BIGINT) AS n_shared_fp,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              round(coalesce(sh.sh, 0) * 1.0 / least(n_a, n_b), 6)
+                AS syndication
+       FROM pairs LEFT JOIN sh USING (src_a, src_b)
+       ORDER BY src_a, src_b"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q406_dsir_weights" -> q406 _,
     "q409_containment_dedup" -> q409 _,
     "q410_containment_gate" -> q410 _,
-    "q411_eval_compromise" -> q411 _)
+    "q411_eval_compromise" -> q411 _,
+    "q412_syndication" -> q412 _)
 
   override def oracles: Map[String, String] = Map(
     "q406_dsir_weights" -> q406Sql,
     "q409_containment_dedup" -> q409Sql,
     "q410_containment_gate" -> q410Sql,
-    "q411_eval_compromise" -> q411Sql)
+    "q411_eval_compromise" -> q411Sql,
+    "q412_syndication" -> q412Sql)
 }
