@@ -378,15 +378,97 @@ object Extras63 extends QueryPack {
        FROM hit CROSS JOIN sizes"""
   }
 
+  // --------------------------------------------------------------- q413
+  /** Johnson-Lindenstrauss PROJECTION distortion audit — the
+    * real-valued rung between exact 64-d search and the sign-quantized
+    * SRP bits: project every vector onto the 16 shared hyperplanes
+    * (the q30/q408 literals, WITHOUT sign quantization), and compare
+    * projected-space cosine against exact 64-d cosine over all pairs
+    * of the first 40 vectors. Reported as INTEGER error-band counts
+    * (floor(|err|·20), capped at band 10) plus per-band min/max —
+    * deterministic without any float summation, where a mean would
+    * depend on reduction order. Projections are computed once per
+    * VECTOR (40×16 dots), never per pair. */
+  private def q413(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.Similarity
+    val P = 16
+    val emb = Tables(s, dir)("embeddings").filter(col("vec_id") < 40)
+    val projCols = (0 until P).map { j =>
+      VectorFunctions.dot(col("embedding"),
+        array(Similarity.hyperplane(j, Dim).map(lit): _*))
+    }
+    val proj = emb.select(col("vec_id"),
+      col("embedding"), array(projCols: _*).as("p"))
+    val a = proj.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("p").as("pb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("c64"),
+        VectorFunctions.cosine(col("pa"), col("pb")).as("c16"))
+      .withColumn("err", col("c16") - col("c64"))
+      .withColumn("band",
+        least(floor(abs(col("err")) * 20), lit(10L)).cast("long"))
+    pairs.groupBy("band")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(min("err"), 6).as("min_err"),
+        round(max("err"), 6).as("max_err"))
+      .orderBy("band")
+  }
+
+  private val q413Sql = {
+    val P = 16
+    def hpList(j: Int): String =
+      graft.operators.Similarity.hyperplane(j, Dim)
+        .map { d =>
+          val str = d.toString
+          if (str.contains("E") || str.contains("e")) str else str + "e0"
+        }
+        .mkString("[", ", ", "]")
+    val projList = (0 until P)
+      .map(j => dotSql("embedding", s"(${hpList(j)})"))
+      .mkString("[", ", ", "]")
+    def dot16(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, $P), i -> $x[i] * $y[i]))"
+    def norm16(v: String) = s"sqrt(${dot16(v, v)})"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+       proj AS MATERIALIZED (
+         SELECT vec_id, embedding, $projList AS p FROM e),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CASE WHEN ${normSql("a.embedding")} * ${normSql("b.embedding")} = 0
+                THEN 0.0
+                ELSE ${dotSql("a.embedding", "b.embedding")} /
+                  (${normSql("a.embedding")} * ${normSql("b.embedding")})
+           END AS c64,
+           CASE WHEN ${norm16("a.p")} * ${norm16("b.p")} = 0
+                THEN 0.0
+                ELSE ${dot16("a.p", "b.p")} / (${norm16("a.p")} * ${norm16("b.p")})
+           END AS c16
+         FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
+       banded AS (
+         SELECT least(CAST(floor(abs(c16 - c64) * 20) AS BIGINT), 10) AS band,
+                c16 - c64 AS err
+         FROM pairs)
+       SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(min(err), 6) AS min_err,
+              round(max(err), 6) AS max_err
+       FROM banded GROUP BY band ORDER BY band"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q400_triplet_mining" -> q400 _,
     "q401_bitext_margin" -> q401 _,
     "q402_cluster_split" -> q402 _,
-    "q408_bitext_blocked" -> q408 _)
+    "q408_bitext_blocked" -> q408 _,
+    "q413_jl_distortion" -> q413 _)
 
   override def oracles: Map[String, String] = Map(
     "q400_triplet_mining" -> q400Sql,
     "q401_bitext_margin" -> q401Sql,
     "q402_cluster_split" -> q402Sql,
-    "q408_bitext_blocked" -> q408Sql)
+    "q408_bitext_blocked" -> q408Sql,
+    "q413_jl_distortion" -> q413Sql)
 }
