@@ -118,12 +118,9 @@ object Extras62 extends QueryPack {
   }
 
   private val q397Sql = {
-    val Dim = 64
-    def dotSql(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+    import OracleVec.{dotSql, normSql}
     s"""WITH $toksCte,
-       td AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       td AS MATERIALIZED (SELECT doc_id, list_distinct(t) AS ts FROM toks),
        q AS (SELECT doc_id AS query_id, ts AS qts FROM td WHERE doc_id < 5),
        cand AS (
          SELECT q.query_id, td.doc_id AS neighbor_id,
@@ -278,7 +275,7 @@ object Extras62 extends QueryPack {
   private val q399Sql = {
     val K = 8
     s"""WITH $toksCte,
-       g AS (
+       g AS MATERIALIZED (
          SELECT DISTINCT source,
                 substring(md5(array_to_string(t[i:i + ${K - 1}], ' ')), 1, 16)
                   AS gram
@@ -356,9 +353,9 @@ object Extras62 extends QueryPack {
          FROM g),
        fp AS MATERIALIZED (
          SELECT doc_id, u.fp FROM m, unnest(fps) AS u(fp)),
-       per_doc AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+       per_doc AS MATERIALIZED (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
        hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
-       capped AS (SELECT doc_id, fp FROM fp ANTI JOIN hot USING (fp)),
+       capped AS MATERIALIZED (SELECT doc_id, fp FROM fp ANTI JOIN hot USING (fp)),
        pairs AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          FROM capped a JOIN capped b

@@ -13,15 +13,8 @@ import graft.functions.VectorFunctions
   */
 object Extras63 extends QueryPack {
 
-  /** Shared DuckDB cosine fragment (the q390 pattern: double-promoted
-    * sequential fold, zero-norm guard). */
   private val Dim = 64
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
-  private def cosSql(a: String, b: String) =
-    s"""CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0
-        ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END"""
+  import OracleVec.{cosSql, dotSql, normSql}
 
   // --------------------------------------------------------------- q400
   /** Hard-negative TRIPLET mining (the FaceNet/SBERT training-data
@@ -105,7 +98,11 @@ object Extras63 extends QueryPack {
     * exactly as q382), two window ranks over it, and a pivot aggregate
     * per side; the matrix never materializes more than its scored
     * rows. */
-  private def q401(s: SparkSession, dir: String): DataFrame = {
+  /** The rn=1 argmax-margin relation q401 projects and q408 audits —
+    * shared so the audit never drags q401's output-only global sort
+    * and round() projections into its plan. Columns: (src_id, tgt_id,
+    * c, ax, ay, m). */
+  private def bitextBest(s: SparkSession, dir: String): DataFrame = {
     val K = 4
     val emb = Tables(s, dir)("embeddings")
     val src = emb.filter(col("label") === 0)
@@ -129,13 +126,16 @@ object Extras63 extends QueryPack {
       .withColumn("m", col("c") / ((col("ax") + col("ay")) / 2))
     val w = Window.partitionBy("src_id").orderBy(col("m").desc, col("tgt_id"))
     margins.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  private def q401(s: SparkSession, dir: String): DataFrame =
+    bitextBest(s, dir)
       .select(col("src_id"), col("tgt_id"),
         round(col("c"), 6).as("cos"),
         round(col("ax"), 6).as("src_knn_avg"),
         round(col("ay"), 6).as("tgt_knn_avg"),
         round(col("m"), 6).as("margin"))
       .orderBy("src_id")
-  }
 
   private val q401Sql = {
     val K = 4
@@ -186,9 +186,13 @@ object Extras63 extends QueryPack {
   private def q402(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConnectedComponents, Similarity}
     val emb = Tables(s, dir)("embeddings")
+    // materialized once: the exact same-label cosine pair join feeds
+    // ConnectedComponents' eager contraction AND the straddle audit —
+    // without this the quadratic scored join re-executes per consumer
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
         blockCol = "label", threshold = 0.3)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("component"))
     def bucket(c: Column): Column =
@@ -292,7 +296,7 @@ object Extras63 extends QueryPack {
         .select(col("vec_id").as("tgt_id"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("src_id"), col("tgt_id")).distinct()
-    val best = q401(s, dir).select(col("src_id"), col("tgt_id"))
+    val best = bitextBest(s, dir).select(col("src_id"), col("tgt_id"))
     val hit = best.join(cand.withColumn("inc", lit(1)),
         Seq("src_id", "tgt_id"), "left")
       .agg(count(lit(1)).cast("long").as("n_src"),
@@ -312,21 +316,15 @@ object Extras63 extends QueryPack {
   private val q408Sql = {
     val Bits = 16; val Bands = 4; val R = Bits / Bands
     val mask = (1 << R) - 1
-    def hpList(b: Int): String =
-      graft.operators.Similarity.hyperplane(b, Dim)
-        .map { d =>
-          val str = d.toString
-          if (str.contains("E") || str.contains("e")) str else str + "e0"
-        }
-        .mkString("[", ", ", "]")
+    import OracleVec.hpList
     val sigExpr = (0 until Bits)
       .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
     def pivot =
       (1 to 4).map(i => s"max(CASE WHEN rk = $i THEN c END)").mkString(" + ")
-    s"""WITH sv AS (SELECT vec_id AS src_id, embedding AS s_emb
+    s"""WITH sv AS MATERIALIZED (SELECT vec_id AS src_id, embedding AS s_emb
                     FROM embeddings WHERE label = 0),
-       tv AS (SELECT vec_id AS tgt_id, embedding AS t_emb
+       tv AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS t_emb
               FROM embeddings WHERE label = 1),
        sigs AS MATERIALIZED (
          SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig
@@ -420,13 +418,7 @@ object Extras63 extends QueryPack {
 
   private val q413Sql = {
     val P = 16
-    def hpList(j: Int): String =
-      graft.operators.Similarity.hyperplane(j, Dim)
-        .map { d =>
-          val str = d.toString
-          if (str.contains("E") || str.contains("e")) str else str + "e0"
-        }
-        .mkString("[", ", ", "]")
+    import OracleVec.hpList
     val projList = (0 until P)
       .map(j => dotSql("embedding", s"(${hpList(j)})"))
       .mkString("[", ", ", "]")

@@ -72,7 +72,7 @@ object Extras64 extends QueryPack {
                       row_number() OVER (ORDER BY $order) AS rn
                FROM lens)
              GROUP BY 1)"""
-    s"""WITH lens AS (
+    s"""WITH lens AS MATERIALIZED (
          SELECT doc_id,
                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                   w -> w <> '')) AS n_toks
@@ -115,10 +115,7 @@ object Extras64 extends QueryPack {
   }
 
   private val q404Sql = {
-    val Dim = 64
-    def dotSql(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+    import OracleVec.{dotSql, normSql}
     s"""WITH q AS (
          SELECT vec_id AS query_id, label AS q_label, embedding AS qv
          FROM embeddings WHERE vec_id < 10),

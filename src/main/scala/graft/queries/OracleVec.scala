@@ -1,0 +1,36 @@
+package graft.queries
+
+/** Shared DuckDB-oracle SQL generators for dense-vector math — ONE
+  * source for the cosine/hyperplane fragments that must stay
+  * bit-identical to [[graft.functions.VectorFunctions]] (double
+  * promotion before the sequential fold, zero-norm guard) and to
+  * [[graft.operators.Similarity.hyperplane]]'s literal replay (the
+  * shortest-repr 'e0' suffix keeps DuckDB parsing the exact double).
+  * New packs must use these instead of re-declaring the strings; the
+  * older packs (Extras58/61 era) carry their own identical copies and
+  * can migrate opportunistically.
+  */
+private[queries] object OracleVec {
+
+  /** Σ aᵢ·bᵢ as DuckDB's sequential double fold over `dim` slots. */
+  def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def normSql(v: String, dim: Int = 64): String =
+    s"sqrt(${dotSql(v, v, dim)})"
+
+  /** Cosine with the zero-norm guard, matching VectorFunctions.cosine. */
+  def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"""CASE WHEN ${normSql(a, dim)} * ${normSql(b, dim)} = 0 THEN 0.0
+        ELSE ${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}) END"""
+
+  /** Hyperplane `bit` of the shared SRP family as a DuckDB list
+    * literal (doubles round-tripped via shortest repr + 'e0'). */
+  def hpList(bit: Int, dim: Int = 64): String =
+    graft.operators.Similarity.hyperplane(bit, dim)
+      .map { d =>
+        val s = d.toString
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      .mkString("[", ", ", "]")
+}
