@@ -131,9 +131,7 @@ object Extras58 extends QueryPack {
 
   // --------------------------------------------------------------- q382
   private val Dim = 64
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  import OracleVec.{dotSql, normSql}
 
   /** Embedding-space decontamination — the paraphrase-leakage
     * companion of q75's n-gram path: eval rows (vec_id % 97 = 0, the
@@ -159,13 +157,7 @@ object Extras58 extends QueryPack {
     val bands = 4
     val r = bits / bands
     val mask = (1 << r) - 1
-    def hpList(b: Int): String =
-      graft.operators.Similarity.hyperplane(b, Dim)
-        .map { d =>
-          val s = d.toString
-          if (s.contains("E") || s.contains("e")) s else s + "e0"
-        }
-        .mkString("[", ", ", "]")
+    import OracleVec.hpList
     val sigExpr = (0 until bits)
       .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")

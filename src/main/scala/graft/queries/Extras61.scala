@@ -107,21 +107,12 @@ object Extras61 extends QueryPack {
   }
 
   private val q390Sql = {
-    val Dim = 64
-    def dotSql(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+    import OracleVec.{dotSql, normSql}
     val bits = 16
     val bands = 4
     val r = bits / bands
     val mask = (1 << r) - 1
-    def hpList(b: Int): String =
-      Similarity.hyperplane(b, Dim)
-        .map { d =>
-          val s = d.toString
-          if (s.contains("E") || s.contains("e")) s else s + "e0"
-        }
-        .mkString("[", ", ", "]")
+    import OracleVec.hpList
     val sigExpr = (0 until bits)
       .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
