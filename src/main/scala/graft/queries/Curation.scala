@@ -67,10 +67,7 @@ object Curation extends QueryPack {
   }
 
   private val q65Sql = {
-    val dim = 64
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def nrm(v: String) = s"sqrt(${dot(v, v)})"
+    import OracleVec.{dotSql => dot, normSql => nrm}
     s"""WITH RECURSIVE
        p AS (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -21,9 +21,7 @@ import graft.operators.Similarity
 object Extras46 extends QueryPack {
 
   private val Dim = 64
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  import OracleVec.{dotSql, normSql}
 
   // --------------------------------------------------------------- q295
   /** Cluster purity over a deterministic sign-grid clustering: the

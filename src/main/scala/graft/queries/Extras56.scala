@@ -22,9 +22,7 @@ object Extras56 extends QueryPack {
   private val Dim = 64
 
   // DuckDB twins of VectorFunctions.dot/norm (same as the Vectors pack)
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  import OracleVec.{dotSql, normSql}
 
   // --------------------------------------------------------------- q365
   /** Mutual information between event type and 6-hour day band, in

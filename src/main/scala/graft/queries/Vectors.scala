@@ -25,9 +25,7 @@ object Vectors extends QueryPack {
   private val Dim = 64
 
   // DuckDB twins of VectorFunctions.dot/norm on the embedding column.
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  import OracleVec.{dotSql, normSql}
 
   // ---------------------------------------------------------------- q28
   /** Per-label embedding stats: count + norm distribution. One pass;

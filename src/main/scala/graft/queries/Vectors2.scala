@@ -17,9 +17,7 @@ object Vectors2 extends QueryPack {
 
   private val Dim = 64
 
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def normSql(v: String) = s"sqrt(${dotSql(v, v)})"
+  import OracleVec.{dotSql, normSql}
 
   /** Cosine with the SAME zero-norm guard as the Scala side
     * (Similarity guards `norm_a * norm_b == 0` to 0.0): an unguarded
