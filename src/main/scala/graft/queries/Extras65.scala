@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.SubstringDedup
 
-/** Round-8 pack, part 8: importance-weighted data selection (q406)
-  * and containment-vs-resemblance dedup (q409).
+/** Round-8 pack, part 8: importance-weighted data selection (q406),
+  * containment-vs-resemblance dedup (q409/q410), contamination and
+  * syndication audits (q411/q412), and the Zipf rank-frequency fit
+  * (q414).
   */
 object Extras65 extends QueryPack {
 
@@ -456,17 +458,107 @@ object Extras65 extends QueryPack {
        FROM pairs LEFT JOIN sh USING (src_a, src_b)
        ORDER BY src_a, src_b"""
 
+  // --------------------------------------------------------------- q414
+  /** ZIPF rank-frequency fit — the power-law companion of q299's
+    * Heaps curve: the top-50 corpus unigrams with their rank, a
+    * least-squares log-log slope/intercept over the (up to) 50 points — n in the fit is the ACTUAL point count, not the cap, and
+    * each point's residual (drift from Zipf flags tokenizer or
+    * boilerplate trouble). Determinism discipline: the four fit sums
+    * (Σx, Σy, Σxy, Σx²) each fold the rank-SORTED point list
+    * sequentially on both engines, slope/intercept are single
+    * fixed-order expressions over those sums, and ln's last-ulp
+    * engine differences are absorbed by round(6) (the q297/q365
+    * precedent). One corpus (word) hash-agg; the 50-point fit is a
+    * 1-row scalar cross join. */
+  private def q414(s: SparkSession, dir: String): DataFrame = {
+    val N = 50
+    val freq = Tables(s, dir)("documents")
+      .select(explode(SubstringDedup.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val top = freq
+      .orderBy(col("freq").desc, col("word")).limit(N)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    def fold(field: String): org.apache.spark.sql.Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col("rank"),
+          col("x"), col("y"), (col("x") * col("y")).as("xy"),
+          (col("x") * col("x")).as("xx")))),
+          e => e.getField(field)),
+        lit(0.0), (acc, v) => acc + v)
+    val fit = top.agg(count(lit(1)).cast("double").as("n"),
+        fold("x").as("sx"), fold("y").as("sy"),
+        fold("xy").as("sxy"), fold("xx").as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .select(col("slope"), col("intercept"))
+    top.crossJoin(broadcast(fit))
+      .select(col("rank").cast("long").as("rank"), col("word"),
+        col("freq").cast("long").as("freq"),
+        round(col("y"), 6).as("ln_freq"),
+        round(col("slope"), 6).as("slope"),
+        round(col("y") - (col("intercept") + col("slope") * col("x")), 6)
+          .as("resid"))
+      .orderBy("rank")
+  }
+
+  private val q414Sql = {
+    val N = 50
+    s"""WITH freq AS (
+         SELECT u.word, count(*) AS freq
+         FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z]+'), w -> w <> '') AS t FROM documents),
+              unnest(t) AS u(word)
+         GROUP BY 1),
+       top AS MATERIALIZED (
+         SELECT word, freq,
+                row_number() OVER (ORDER BY freq DESC, word) AS rank,
+                ln(row_number() OVER (ORDER BY freq DESC, word)) AS x,
+                ln(freq) AS y
+         FROM freq ORDER BY freq DESC, word LIMIT $N),
+       sums AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                list_sum(list_transform(list({'r': rank, 'v': x}
+                  ORDER BY rank), e -> e.v)) AS sx,
+                list_sum(list_transform(list({'r': rank, 'v': y}
+                  ORDER BY rank), e -> e.v)) AS sy,
+                list_sum(list_transform(list({'r': rank, 'v': x * y}
+                  ORDER BY rank), e -> e.v)) AS sxy,
+                list_sum(list_transform(list({'r': rank, 'v': x * x}
+                  ORDER BY rank), e -> e.v)) AS sxx
+         FROM top),
+       fit AS (
+         SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                sx, sy, n
+         FROM sums),
+       fit2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit)
+       SELECT CAST(rank AS BIGINT) AS rank, word,
+              CAST(freq AS BIGINT) AS freq,
+              round(y, 6) AS ln_freq,
+              round(slope, 6) AS slope,
+              round(y - (intercept + slope * x), 6) AS resid
+       FROM top CROSS JOIN fit2
+       ORDER BY rank"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q406_dsir_weights" -> q406 _,
     "q409_containment_dedup" -> q409 _,
     "q410_containment_gate" -> q410 _,
     "q411_eval_compromise" -> q411 _,
-    "q412_syndication" -> q412 _)
+    "q412_syndication" -> q412 _,
+    "q414_zipf_fit" -> q414 _)
 
   override def oracles: Map[String, String] = Map(
     "q406_dsir_weights" -> q406Sql,
     "q409_containment_dedup" -> q409Sql,
     "q410_containment_gate" -> q410Sql,
     "q411_eval_compromise" -> q411Sql,
-    "q412_syndication" -> q412Sql)
+    "q412_syndication" -> q412Sql,
+    "q414_zipf_fit" -> q414Sql)
 }
