@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{ConnectedComponents, Dbscan, Similarity}
+
+/** Round-8 pack, part 9: grid-blocked DBSCAN over the 2-D corpus map
+  * (q415), ROUGE-2 clipped-recall contamination scoring (q416), and
+  * the cluster-aware split leakage audit (q417).
+  */
+object Extras66 extends QueryPack {
+
+  // --------------------------------------------------------------- q415
+  /** Grid-blocked DBSCAN over the 2-D corpus map — density modes +
+    * named noise points over the first two embedding coordinates (the
+    * projection-stage stand-in). All algorithm and scale reasoning
+    * lives on [[graft.operators.Dbscan]]; the oracle replays the same
+    * definition QUADRATICALLY (exact, so the blocked plan must agree
+    * bit-for-bit — the blocking's zero-false-negative claim is itself
+    * under test), with the q65 recursive-CTE closure for the core
+    * components. Distance math is double-widened floats compared as
+    * dist² <= eps² — identical IEEE ops on both engines, no rounding
+    * needed. eps=0.02/minPts=4 give a 269/80/151 core/border/noise
+    * mix with 19 clusters at sf0.01. */
+  private def q415(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir)("embeddings")
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).as("x"),
+        element_at(col("embedding"), 2).as("y"))
+    Dbscan.cluster(p, "vec_id", "x", "y", eps = 0.02, minPts = 4)
+      .orderBy("vec_id")
+  }
+
+  private val q415Sql =
+    """WITH RECURSIVE
+       p AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                CAST(embedding[2] AS DOUBLE) AS y
+         FROM embeddings),
+       pr AS MATERIALIZED (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM p a JOIN p b ON a.vec_id < b.vec_id
+           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02),
+       deg AS (SELECT v, count(*) AS d
+               FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
+               GROUP BY 1),
+       pts AS MATERIALIZED (
+         SELECT p.vec_id, coalesce(d, 0) + 1 AS n_nb
+         FROM p LEFT JOIN deg ON deg.v = p.vec_id),
+       cores AS MATERIALIZED (SELECT vec_id FROM pts WHERE n_nb >= 4),
+       ce AS MATERIALIZED (
+         SELECT id_a, id_b FROM pr
+         JOIN cores ca ON ca.vec_id = pr.id_a
+         JOIN cores cb ON cb.vec_id = pr.id_b),
+       und AS MATERIALIZED (
+         SELECT id_a AS a, id_b AS b FROM ce
+         UNION SELECT id_b, id_a FROM ce),
+       cc AS (SELECT a, b FROM und
+              UNION SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+                FROM cc GROUP BY a),
+       core_cl AS MATERIALIZED (
+         SELECT c.vec_id, coalesce(component, c.vec_id) AS cluster
+         FROM cores c LEFT JOIN comp ON comp.vec_id = c.vec_id),
+       adj AS (SELECT id_a AS v, id_b AS u FROM pr
+               UNION ALL SELECT id_b, id_a FROM pr),
+       bord AS (
+         SELECT adj.v AS vec_id, min(k.cluster) AS cluster
+         FROM adj JOIN core_cl k ON k.vec_id = adj.u
+         WHERE adj.v NOT IN (SELECT vec_id FROM cores)
+         GROUP BY 1)
+       SELECT pts.vec_id, CAST(n_nb AS BIGINT) AS n_nb,
+              CASE WHEN k.vec_id IS NOT NULL THEN 'core'
+                   WHEN b.vec_id IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              CAST(coalesce(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
+       FROM pts LEFT JOIN core_cl k ON k.vec_id = pts.vec_id
+                LEFT JOIN bord b ON b.vec_id = pts.vec_id
+       ORDER BY pts.vec_id"""
+
+  // --------------------------------------------------------------- q416
+  /** ROUGE-2 clipped recall (Lin 2004) — the contamination metric the
+    * distinct-gram audits (q75/q411) cannot express: clipping credits
+    * each candidate bigram at most min(count_cand, count_ref) times, so
+    * a document that repeats one benchmark bigram 50× scores the same
+    * as one containing it once, while q411's distinct-hit fraction
+    * cannot tell "quotes the whole item" from "shares its stock
+    * phrases at high multiplicity". Per (benchmark item, corpus doc):
+    * recall = Σ_g min(c_cand(g), c_ref(g)) / |ref bigrams| (multiset).
+    * Benchmark items are the q411 doc_id % 97 == 0 convention. 100 TB
+    * shape: the bigram-count relation is built once (one hash-agg on
+    * (doc, gram)); the benchmark side of it is KBs and BROADCASTS into
+    * the candidate join, so the corpus side streams map-side and only
+    * (bench, doc) hit groups shuffle; integers until the final ratio;
+    * top-100 is a TakeOrdered under a total order. */
+  private def q416(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val toks = d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    // materialized once: the bigram-count relation feeds the benchmark
+    // side, the per-item totals, and the corpus candidate side
+    val bg = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ref = bg.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("bench_id"), col("g"), col("c").as("cr"))
+    val refTot = ref.groupBy("bench_id").agg(sum("cr").as("ref_total"))
+    val clipped = bg.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(broadcast(ref), Seq("g"))
+      .groupBy("bench_id", "doc_id")
+      .agg(sum(least(col("c"), col("cr"))).as("clipped"))
+    clipped.join(broadcast(refTot), Seq("bench_id"))
+      .select(col("bench_id").cast("long").as("bench_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("clipped").cast("long").as("clipped"),
+        col("ref_total").cast("long").as("ref_total"),
+        round(col("clipped").cast("double") / col("ref_total"), 6).as("rouge2"))
+      .orderBy(col("rouge2").desc, col("bench_id"), col("doc_id"))
+      .limit(100)
+  }
+
+  private val q416Sql = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH toks AS (
+         SELECT doc_id, $toksSql AS t FROM documents
+         WHERE len($toksSql) >= 2),
+       bg AS MATERIALIZED (
+         SELECT doc_id, u.g, count(*) AS c
+         FROM (SELECT doc_id,
+                 list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1]) AS gs
+               FROM toks),
+              unnest(gs) AS u(g)
+         GROUP BY 1, 2),
+       ref AS MATERIALIZED (
+         SELECT doc_id AS bench_id, g, c AS cr FROM bg WHERE doc_id % 97 = 0),
+       rt AS (SELECT bench_id, sum(cr) AS ref_total FROM ref GROUP BY 1),
+       cl AS (
+         SELECT r.bench_id, c.doc_id, sum(least(c.c, r.cr)) AS clipped
+         FROM bg c JOIN ref r ON r.g = c.g
+         WHERE c.doc_id % 97 <> 0
+         GROUP BY 1, 2)
+       SELECT cl.bench_id, cl.doc_id,
+              CAST(clipped AS BIGINT) AS clipped,
+              CAST(ref_total AS BIGINT) AS ref_total,
+              round(clipped * 1.0 / ref_total, 6) AS rouge2
+       FROM cl JOIN rt USING (bench_id)
+       ORDER BY rouge2 DESC, cl.bench_id, cl.doc_id LIMIT 100"""
+  }
+
+  // --------------------------------------------------------------- q417
+  /** Cluster-aware split leakage audit — q378's temporal-leakage
+    * companion for NEAR-DUP leakage: hashing doc ids into train/eval
+    * strands near-duplicate pairs on opposite sides (the eval set then
+    * "contains" lightly-edited training docs), while hashing the
+    * CLUSTER representative (the q65 component label, singletons =
+    * themselves) sends every near-dup family to one side by
+    * construction. One row per scheme: split sizes, total near-dup
+    * pairs, and how many straddle the split — doc_hash shows the
+    * leak, cluster_hash must show 0. Determinism: the 80/20 split is
+    * md5(id) % 10 < 8 (the stratified-sampling convention, q76), and
+    * every count is an integer. 100 TB shape: pairs and components
+    * are the q65 blocked near-dup path; the audit itself is two
+    * integer aggregates over one (pair ⋈ assignment) join keyed on
+    * ids — no new quadratics, and the 1-row aggregates cross-join
+    * into the 2-row report. */
+  private def q417(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir)("embeddings")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds components AND the straddle join
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    val rep = emb.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("rep"))
+    def train(c: Column): Column =
+      (conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long") % 10) < 8
+    val asg = rep.select(col("vec_id"),
+        train(col("vec_id")).as("td"), train(col("rep")).as("tc"))
+      .localCheckpoint() // feeds the size agg and both join sides
+    val sizes = asg.agg(
+      sum(when(col("td"), 1L).otherwise(0L)).as("tr_d"),
+      sum(when(!col("td"), 1L).otherwise(0L)).as("ev_d"),
+      sum(when(col("tc"), 1L).otherwise(0L)).as("tr_c"),
+      sum(when(!col("tc"), 1L).otherwise(0L)).as("ev_c"))
+    val straddle = pairs
+      .join(asg.select(col("vec_id").as("id_a"), col("td").as("ta_d"),
+        col("tc").as("ta_c")), Seq("id_a"))
+      .join(asg.select(col("vec_id").as("id_b"), col("td").as("tb_d"),
+        col("tc").as("tb_c")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ta_d") =!= col("tb_d"), 1L).otherwise(0L)).as("lk_d"),
+        sum(when(col("ta_c") =!= col("tb_c"), 1L).otherwise(0L)).as("lk_c"))
+    val joined = sizes.crossJoin(straddle)
+    joined.select(lit("cluster_hash").as("scheme"),
+        col("tr_c").cast("long").as("n_train"),
+        col("ev_c").cast("long").as("n_eval"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("lk_c").cast("long").as("n_leaked"))
+      .union(joined.select(lit("doc_hash"),
+        col("tr_d").cast("long"), col("ev_d").cast("long"),
+        col("n_pairs").cast("long"), col("lk_d").cast("long")))
+      .orderBy("scheme")
+  }
+
+  private val q417Sql = {
+    import OracleVec.{dotSql => dot, normSql => nrm}
+    s"""WITH RECURSIVE
+       p AS MATERIALIZED (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${dot("a.embedding", "b.embedding")} /
+               (${nrm("a.embedding")} * ${nrm("b.embedding")}) >= 0.3),
+       und AS MATERIALIZED (
+         SELECT id_a AS a, id_b AS b FROM p
+         UNION SELECT id_b, id_a FROM p),
+       cc AS (SELECT a, b FROM und
+              UNION SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+                FROM cc GROUP BY a),
+       rep AS (
+         SELECT e.vec_id, coalesce(component, e.vec_id) AS rep
+         FROM embeddings e LEFT JOIN comp USING (vec_id)),
+       asg AS MATERIALIZED (
+         SELECT vec_id,
+           (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10) < 8 AS td,
+           (('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+             % 10) < 8 AS tc
+         FROM rep),
+       sizes AS (
+         SELECT sum(CASE WHEN td THEN 1 ELSE 0 END) AS tr_d,
+                sum(CASE WHEN td THEN 0 ELSE 1 END) AS ev_d,
+                sum(CASE WHEN tc THEN 1 ELSE 0 END) AS tr_c,
+                sum(CASE WHEN tc THEN 0 ELSE 1 END) AS ev_c
+         FROM asg),
+       strad AS (
+         SELECT count(*) AS n_pairs,
+                sum(CASE WHEN a.td <> b.td THEN 1 ELSE 0 END) AS lk_d,
+                sum(CASE WHEN a.tc <> b.tc THEN 1 ELSE 0 END) AS lk_c
+         FROM p JOIN asg a ON a.vec_id = p.id_a
+                JOIN asg b ON b.vec_id = p.id_b),
+       j AS (SELECT * FROM sizes CROSS JOIN strad)
+       SELECT 'cluster_hash' AS scheme, CAST(tr_c AS BIGINT) AS n_train,
+              CAST(ev_c AS BIGINT) AS n_eval,
+              CAST(n_pairs AS BIGINT) AS n_pairs,
+              CAST(lk_c AS BIGINT) AS n_leaked
+       FROM j
+       UNION ALL
+       SELECT 'doc_hash', CAST(tr_d AS BIGINT), CAST(ev_d AS BIGINT),
+              CAST(n_pairs AS BIGINT), CAST(lk_d AS BIGINT)
+       FROM j
+       ORDER BY scheme"""
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q415_dbscan" -> q415 _,
+    "q416_rouge2_clip" -> q416 _,
+    "q417_split_leakage" -> q417 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q415_dbscan" -> q415Sql,
+    "q416_rouge2_clip" -> q416Sql,
+    "q417_split_leakage" -> q417Sql)
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.{GraftTestBase, SparkEntry}
+
+/** Invariant checks for the round-8 closers (value-level correctness is
+  * the DuckDB oracle gate; these pin the semantic contracts). */
+class Round8ClosersSpec extends GraftTestBase {
+
+  test("q415 DBSCAN: noise has cluster -1, clusters are led by a core min id") {
+    val rows = SparkEntry.queries("q415_dbscan")(spark, sf001).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+    assert(byRole("noise").forall(_.getAs[Long]("cluster") == -1L))
+    // every non-noise cluster label is the min vec_id of a CORE member
+    val coreByCluster = byRole("core").groupBy(_.getAs[Long]("cluster"))
+    coreByCluster.foreach { case (cl, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == cl)
+    }
+    // border clusters always point at an existing core cluster
+    assert(byRole("border").forall(r =>
+      coreByCluster.contains(r.getAs[Long]("cluster"))))
+  }
+
+  test("q416 ROUGE-2: recall in (0, 1], clipped <= ref_total, bench ids on the 97 grid") {
+    val rows = SparkEntry.queries("q416_rouge2_clip")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bench_id") % 97 == 0)
+      assert(r.getAs[Long]("doc_id") % 97 != 0)
+      assert(r.getAs[Long]("clipped") <= r.getAs[Long]("ref_total"))
+      val rec = r.getAs[Double]("rouge2")
+      assert(rec > 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("q417 split leakage: cluster-hash split strands ZERO near-dup pairs") {
+    val rows = SparkEntry.queries("q417_split_leakage")(spark, sf001).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        ((r.getAs[Long]("n_train"), r.getAs[Long]("n_eval"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("n_leaked"))))
+      .toMap
+    val (trC, evC, nP, lkC) = rows("cluster_hash")
+    val (trD, evD, nP2, lkD) = rows("doc_hash")
+    assert(lkC == 0L, "cluster-hash split must never strand a near-dup pair")
+    assert(nP == nP2 && nP > 0L)
+    assert(trC + evC == trD + evD) // both schemes partition the corpus
+    assert(lkD >= 0L)
+  }
+}
