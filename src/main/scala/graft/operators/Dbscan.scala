@@ -52,7 +52,10 @@ object Dbscan {
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .withColumn("cx", floor(col("x") / eps))
       .withColumn("cy", floor(col("y") / eps))
-      .localCheckpoint() // feeds probe, home, and the point spine
+    // p is deliberately NOT checkpointed: it is a corpus-sized narrow
+    // projection (recomputing 3 columns off the scan is cheaper than
+    // materializing the corpus); `pairs` below IS, because its three
+    // consumers would each replay the grid join
     val home = p.select(col("vec_id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), col("cx"), col("cy"))
     val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA, relationally: an exact covariance (Gram) pass over
+  * the corpus followed by a FIXED-count power iteration on the tiny
+  * d×d matrix — the spectrum probe a curation pipeline runs before
+  * trusting its embedding space (a top eigenvalue carrying most of the
+  * variance means the embeddings collapsed toward one axis and
+  * cosine-based dedup/ANN thresholds are suspect; see also the JL
+  * distortion audit, q413).
+  *
+  * Scale shape:
+  *
+  *   - The covariance pass is the ONLY corpus-sized work, and its
+  *     d²-keyed shuffle is the true FLOP count of XᵀX (each row
+  *     contributes its d² outer product; Catalyst's partial hash-agg
+  *     collapses per-partition contributions before the 4096-group
+  *     shuffle, so the wire carries partition-count × d² rows, not
+  *     corpus × d²).
+  *   - The d²-row covariance is BOUNDED MODEL STATE (the KMeans /
+  *     IvfPq centroid precedent) — iterations never touch the corpus
+  *     again.
+  *   - Power iteration runs a fixed `iters` matvecs on the collected
+  *     d²-double matrix driver-side — microseconds of work that would
+  *     otherwise cost 2·iters tiny cluster jobs.
+  *
+  * Determinism discipline (the cross-engine oracle contract): corpus
+  * float sums are order-dependent at the last few ulps, so covariance
+  * entries are round(6)'d FIRST — after that every engine iterates on
+  * bit-identical doubles, and every downstream fold (matvec by j,
+  * norms and Rayleigh by i) is a SORTED sequential fold, making the
+  * eigenvector bit-exact, not just float-close. The sign is fixed by
+  * flipping so component 0 is non-negative.
+  */
+object Pca {
+
+  /** Population covariance of `vecCol` (array of numerics, `dim` wide),
+    * one row per (i, j) ∈ [0, dim)², entries round(6)'d — the
+    * determinism boundary documented above. */
+  def covariance(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val x = df.select(col(idCol).as("rid"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("rid"), col("i"), col("xi").cast("double").as("xi"))
+      .localCheckpoint() // feeds the product join (twice) and the means
+    val means = x.groupBy("i")
+      .agg((sum("xi") / count(lit(1))).as("m"))
+    val prod = x.as("a").join(x.as("b"), col("a.rid") === col("b.rid"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xi") * col("b.xi")).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sp"), count(lit(1)).as("n"))
+    prod
+      .join(means.select(col("i"), col("m").as("mi")), Seq("i"))
+      .join(means.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sp") / col("n") - col("mi") * col("mj"), 6).as("c"))
+  }
+
+  /** Top eigenpair of a (i, j, c) matrix relation by `iters` power
+    * steps from the uniform start 1/√dim. The d²-double matrix is
+    * BOUNDED MODEL STATE (the KMeans/IvfPq centroid precedent), so it
+    * collects ONCE and the iterations run on the driver in
+    * microseconds instead of 2·iters tiny cluster jobs — with the
+    * SAME ascending-index sequential folds the SQL oracle unrolls
+    * (matvec over j, norms/Rayleigh/trace over i, each a left fold
+    * from 0.0), keeping the eigenvector bit-identical across engines.
+    * @return one row per dimension: (i, loading, eigenvalue,
+    *         var_explained), sign-fixed so loading(0) >= 0. */
+  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val m = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }; s
+      }
+    def fold(t: Int => Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += t(i); i += 1 }; s
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val nm = math.sqrt(fold(i => w(i) * w(i)))
+      v = w.map(_ / nm)
+    }
+    val w = matvec(v)
+    val lam = fold(i => v(i) * w(i))
+    val tr = fold(i => m(i)(i))
+    val sg = if (v(0) < 0) -1.0 else 1.0
+    spark.createDataset((0 until dim).map(i => (i.toLong, v(i))))
+      .select(col("_1").as("i"),
+        round(col("_2") * sg, 6).as("loading"),
+        round(lit(lam), 6).as("eigenvalue"),
+        round(lit(lam) / tr, 6).as("var_explained"))
+  }
+}

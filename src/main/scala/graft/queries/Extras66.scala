@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{ConnectedComponents, Dbscan, Similarity}
+import graft.operators.{ConnectedComponents, Dbscan, Pca, Similarity}
 
 /** Round-8 pack, part 9: grid-blocked DBSCAN over the 2-D corpus map
   * (q415), ROUGE-2 clipped-recall contamination scoring (q416), and
@@ -262,13 +262,87 @@ object Extras66 extends QueryPack {
        ORDER BY scheme"""
   }
 
+  // --------------------------------------------------------------- q418
+  /** Distributed PCA: exact covariance pass + fixed 8-step power
+    * iteration — the embedding-space spectrum probe (all reasoning on
+    * [[graft.operators.Pca]]). The oracle unrolls the same 8 matvec /
+    * normalize steps as CTE stages over the round(6)'d covariance, so
+    * the eigenvector comparison is bit-exact, not float-close: the
+    * rounding boundary is the covariance entries (corpus float sums
+    * differ at ~1e-14 across engines, absorbed at 6 decimals — the
+    * q376 precedent), and everything downstream folds in sorted
+    * order on identical doubles. */
+  private def q418(s: SparkSession, dir: String): DataFrame = {
+    val cov = Pca.covariance(Tables(s, dir)("embeddings"),
+      "vec_id", "embedding", dim = 64)
+    Pca.powerIteration(cov, dim = 64, iters = 8).orderBy("i")
+  }
+
+  private val q418Sql = {
+    val iters = 8
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS (
+           SELECT cov.i,
+             list_sum(list_transform(
+               list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
+               e -> e.t)) AS w
+           FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY cov.i),
+         n$k AS (
+           SELECT sqrt(list_sum(list_transform(
+             list({'k': i, 't': w * w} ORDER BY i), e -> e.t))) AS nm
+           FROM w$k),
+         v$k AS MATERIALIZED (
+           SELECT i, w / nm AS v FROM w$k CROSS JOIN n$k)"""
+    }.mkString(",\n       ")
+    s"""WITH x AS MATERIALIZED (
+         SELECT vec_id AS rid, t.i - 1 AS i,
+                CAST(embedding[t.i] AS DOUBLE) AS xi
+         FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+       means AS MATERIALIZED (
+         SELECT i, sum(xi) / count(*) AS m FROM x GROUP BY 1),
+       prod AS (
+         SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sp, count(*) AS n
+         FROM x a JOIN x b ON a.rid = b.rid GROUP BY 1, 2),
+       cov AS MATERIALIZED (
+         SELECT p.i, p.j, round(sp / n - ma.m * mb.m, 6) AS c
+         FROM prod p JOIN means ma ON ma.i = p.i
+                     JOIN means mb ON mb.i = p.j),
+       v0 AS (SELECT t.i - 1 AS i, 0.125 AS v
+              FROM unnest(generate_series(1, 64)) AS t(i)),
+       $steps,
+       wf AS (
+         SELECT cov.i,
+           list_sum(list_transform(
+             list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
+             e -> e.t)) AS w
+         FROM cov JOIN v$iters v ON v.i = cov.j GROUP BY cov.i),
+       ray AS (
+         SELECT list_sum(list_transform(
+           list({'k': v.i, 't': v.v * wf.w} ORDER BY v.i), e -> e.t)) AS lam
+         FROM v$iters v JOIN wf ON wf.i = v.i),
+       tr AS (
+         SELECT list_sum(list_transform(
+           list({'k': i, 't': c} ORDER BY i), e -> e.t)) AS tr
+         FROM cov WHERE i = j),
+       sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+              FROM v$iters WHERE i = 0)
+       SELECT CAST(v.i AS BIGINT) AS i,
+              round(v.v * sg.sg, 6) AS loading,
+              round(ray.lam, 6) AS eigenvalue,
+              round(ray.lam / tr.tr, 6) AS var_explained
+       FROM v$iters v CROSS JOIN ray CROSS JOIN tr CROSS JOIN sg
+       ORDER BY i"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q415_dbscan" -> q415 _,
     "q416_rouge2_clip" -> q416 _,
-    "q417_split_leakage" -> q417 _)
+    "q417_split_leakage" -> q417 _,
+    "q418_pca_power" -> q418 _)
 
   override def oracles: Map[String, String] = Map(
     "q415_dbscan" -> q415Sql,
     "q416_rouge2_clip" -> q416Sql,
-    "q417_split_leakage" -> q417Sql)
+    "q417_split_leakage" -> q417Sql,
+    "q418_pca_power" -> q418Sql)
 }

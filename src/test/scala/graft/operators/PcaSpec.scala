@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.GraftTestBase
+
+class PcaSpec extends GraftTestBase {
+  import spark.implicits._
+
+  test("planted dominant axis: power iteration recovers the known eigenvector") {
+    // points = t * (3,4)/5 + tiny off-axis jitter: the top principal
+    // direction is (0.6, 0.8) with nearly all variance on it
+    val pts = (0 until 40).map { i =>
+      val t = (i - 20).toDouble
+      val j = if (i % 2 == 0) 0.01 else -0.01
+      (i.toLong, Seq((0.6 * t - 0.8 * j).toFloat, (0.8 * t + 0.6 * j).toFloat))
+    }
+    val df = pts.toDF("id", "vec")
+    val cov = Pca.covariance(df, "id", "vec", dim = 2)
+    val out = Pca.powerIteration(cov, dim = 2, iters = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (l0, lam, ve) = out(0L)
+    val (l1, _, _) = out(1L)
+    assert(math.abs(l0 - 0.6) < 1e-3 && math.abs(l1 - 0.8) < 1e-3)
+    assert(ve > 0.999) // off-axis jitter carries ~1e-6 of the variance
+    // eigenvalue = variance along the axis: Var(t) over -20..19
+    val ts = (0 until 40).map(i => (i - 20).toDouble)
+    val mean = ts.sum / 40
+    val expected = ts.map(t => (t - mean) * (t - mean)).sum / 40
+    assert(math.abs(lam - expected) < 0.01)
+  }
+
+  test("covariance is symmetric with unit-consistent diagonal") {
+    val pts = (0 until 30).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat))
+    }
+    val cov = Pca.covariance(pts.toDF("id", "vec"), "id", "vec", dim = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == 9)
+    for (i <- 0 until 3; j <- 0 until 3) assert(cov((i, j)) == cov((j, i)))
+    for (i <- 0 until 3) assert(cov((i, i)) >= 0.0)
+  }
+}
