@@ -21,20 +21,27 @@ import org.apache.spark.sql.functions._
   *     corpus × d²).
   *   - The d²-row covariance is BOUNDED MODEL STATE (the KMeans /
   *     IvfPq centroid precedent) — iterations never touch the corpus
-  *     again.
-  *   - Power iteration runs a fixed `iters` matvecs on the collected
-  *     d²-double matrix driver-side — microseconds of work that would
-  *     otherwise cost 2·iters tiny cluster jobs.
+  *     again; the fixed `iters` matvecs run on the collected matrix
+  *     driver-side in microseconds instead of 2·iters tiny cluster
+  *     jobs.
   *
   * Determinism discipline (the cross-engine oracle contract): corpus
   * float sums are order-dependent at the last few ulps, so covariance
   * entries are round(6)'d FIRST — after that every engine iterates on
   * bit-identical doubles, and every downstream fold (matvec by j,
-  * norms and Rayleigh by i) is a SORTED sequential fold, making the
-  * eigenvector bit-exact, not just float-close. The sign is fixed by
-  * flipping so component 0 is non-negative.
+  * norms and Rayleigh by i) is an ascending-index sequential left fold
+  * from 0.0, exactly what the unrolled SQL oracle's sorted list_sum
+  * computes — making the eigenvector bit-exact, not just float-close.
+  * The sign is fixed by flipping so component 0 is non-negative.
   */
 object Pca {
+
+  /** Fitted top component: `loadings` sign-fixed (loadings(0) >= 0),
+    * `means` round(6)'d — the determinism boundary for downstream
+    * per-row scoring (centering with rounded means keeps every score
+    * bit-identical across engines). */
+  case class Model(loadings: Array[Double], means: Array[Double],
+                   eigenvalue: Double, trace: Double)
 
   /** Population covariance of `vecCol` (array of numerics, `dim` wide),
     * one row per (i, j) ∈ [0, dim)², entries round(6)'d — the
@@ -57,21 +64,10 @@ object Pca {
         round(col("sp") / col("n") - col("mi") * col("mj"), 6).as("c"))
   }
 
-  /** Top eigenpair of a (i, j, c) matrix relation by `iters` power
-    * steps from the uniform start 1/√dim. The d²-double matrix is
-    * BOUNDED MODEL STATE (the KMeans/IvfPq centroid precedent), so it
-    * collects ONCE and the iterations run on the driver in
-    * microseconds instead of 2·iters tiny cluster jobs — with the
-    * SAME ascending-index sequential folds the SQL oracle unrolls
-    * (matvec over j, norms/Rayleigh/trace over i, each a left fold
-    * from 0.0), keeping the eigenvector bit-identical across engines.
-    * @return one row per dimension: (i, loading, eigenvalue,
-    *         var_explained), sign-fixed so loading(0) >= 0. */
-  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
-    val spark = cov.sparkSession
-    import spark.implicits._
-    val m = Array.ofDim[Double](dim, dim)
-    cov.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+  /** Driver-side power loop over a collected matrix: (unsigned v, λ,
+    * trace) with the oracle-matching ascending-index folds. */
+  private def iterate(m: Array[Array[Double]], dim: Int,
+                      iters: Int): (Array[Double], Double, Double) = {
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { i =>
         var s = 0.0; var j = 0
@@ -88,13 +84,44 @@ object Pca {
       v = w.map(_ / nm)
     }
     val w = matvec(v)
-    val lam = fold(i => v(i) * w(i))
-    val tr = fold(i => m(i)(i))
+    (v, fold(i => v(i) * w(i)), fold(i => m(i)(i)))
+  }
+
+  private def collectMatrix(cov: DataFrame, dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m
+  }
+
+  /** Top eigenpair of a (i, j, c) matrix relation by `iters` power
+    * steps from the uniform start 1/√dim.
+    * @return one row per dimension: (i, loading, eigenvalue,
+    *         var_explained), sign-fixed so loading(0) >= 0. */
+  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val (v, lam, tr) = iterate(collectMatrix(cov, dim), dim, iters)
     val sg = if (v(0) < 0) -1.0 else 1.0
     spark.createDataset((0 until dim).map(i => (i.toLong, v(i))))
       .select(col("_1").as("i"),
         round(col("_2") * sg, 6).as("loading"),
         round(lit(lam), 6).as("eigenvalue"),
         round(lit(lam) / tr, 6).as("var_explained"))
+  }
+
+  /** Fits the top component and collects it as driver-side model state
+    * (d + d² doubles — bounded, the centroid precedent): one corpus
+    * pass for the covariance, one d-row agg for the rounded means. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+          iters: Int): Model = {
+    val cov = covariance(df, idCol, vecCol, dim)
+    val means = new Array[Double](dim)
+    df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(round(sum(col("xi").cast("double")) / count(lit(1)), 6).as("m"))
+      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val (v, lam, tr) = iterate(collectMatrix(cov, dim), dim, iters)
+    val sg = if (v(0) < 0) -1.0 else 1.0
+    Model(v.map(_ * sg), means, lam, tr)
   }
 }

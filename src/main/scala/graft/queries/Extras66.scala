@@ -8,8 +8,9 @@ import graft.functions.TextFunctions
 import graft.operators.{ConnectedComponents, Dbscan, Pca, Similarity}
 
 /** Round-8 pack, part 9: grid-blocked DBSCAN over the 2-D corpus map
-  * (q415), ROUGE-2 clipped-recall contamination scoring (q416), and
-  * the cluster-aware split leakage audit (q417).
+  * (q415), ROUGE-2 clipped-recall contamination scoring (q416), the
+  * cluster-aware split leakage audit (q417), and the PCA spectrum
+  * probe + reconstruction-error outliers (q418/q419).
   */
 object Extras66 extends QueryPack {
 
@@ -278,7 +279,9 @@ object Extras66 extends QueryPack {
     Pca.powerIteration(cov, dim = 64, iters = 8).orderBy("i")
   }
 
-  private val q418Sql = {
+  /** Shared q418/q419 oracle prefix: covariance fit + 8 unrolled power
+    * steps, ending at the (unsigned) eigenvector CTE `v8`. */
+  private val pcaFitChainSql = {
     val iters = 8
     val steps = (1 to iters).map { k =>
       s"""w$k AS (
@@ -309,40 +312,105 @@ object Extras66 extends QueryPack {
                      JOIN means mb ON mb.i = p.j),
        v0 AS (SELECT t.i - 1 AS i, 0.125 AS v
               FROM unnest(generate_series(1, 64)) AS t(i)),
-       $steps,
+       $steps"""
+  }
+
+  private val q418Sql =
+    s"""$pcaFitChainSql,
        wf AS (
          SELECT cov.i,
            list_sum(list_transform(
              list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
              e -> e.t)) AS w
-         FROM cov JOIN v$iters v ON v.i = cov.j GROUP BY cov.i),
+         FROM cov JOIN v8 v ON v.i = cov.j GROUP BY cov.i),
        ray AS (
          SELECT list_sum(list_transform(
            list({'k': v.i, 't': v.v * wf.w} ORDER BY v.i), e -> e.t)) AS lam
-         FROM v$iters v JOIN wf ON wf.i = v.i),
+         FROM v8 v JOIN wf ON wf.i = v.i),
        tr AS (
          SELECT list_sum(list_transform(
            list({'k': i, 't': c} ORDER BY i), e -> e.t)) AS tr
          FROM cov WHERE i = j),
        sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
-              FROM v$iters WHERE i = 0)
+              FROM v8 WHERE i = 0)
        SELECT CAST(v.i AS BIGINT) AS i,
               round(v.v * sg.sg, 6) AS loading,
               round(ray.lam, 6) AS eigenvalue,
               round(ray.lam / tr.tr, 6) AS var_explained
-       FROM v$iters v CROSS JOIN ray CROSS JOIN tr CROSS JOIN sg
+       FROM v8 v CROSS JOIN ray CROSS JOIN tr CROSS JOIN sg
        ORDER BY i"""
+
+  // --------------------------------------------------------------- q419
+  /** PCA reconstruction-error outliers — the spectral outlier score
+    * q418's model enables: residual = ‖x−μ‖² − ((x−μ)·v)², the
+    * centered variance the top principal axis CANNOT explain. A
+    * document whose embedding is far from the corpus's dominant
+    * direction is the curation-review candidate that per-dimension
+    * z-scores miss (it can be in-range on every axis yet off-manifold
+    * jointly). Determinism: centering uses the round(6)'d means and
+    * the bit-exact eigenvector (see [[graft.operators.Pca]]), so every
+    * score is IEEE-identical across engines (proj enters squared, so
+    * the sign convention cancels); 100 TB shape: the fit is the one
+    * d²-keyed covariance pass, then scoring is a single narrow
+    * map over the corpus with the d+d doubles inlined as literals
+    * (zero-shuffle, the literal-centroid argmax precedent), and the
+    * top-20 is a TakeOrdered. */
+  private def q419(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = Tables(s, dir)("embeddings")
+    val model = Pca.fit(e, "vec_id", "embedding", dim, iters = 8)
+    val mL = typedLit(model.means)
+    val vL = typedLit(model.loadings)
+    def centered(i: Column): Column =
+      element_at(col("embedding"), i).cast("double") - element_at(mL, i)
+    def fold(term: Column => Column): Column =
+      aggregate(transform(sequence(lit(1), lit(dim)), i => term(i)),
+        lit(0.0), (a, x) => a + x)
+    e.select(col("vec_id"), col("label"),
+        fold(i => centered(i) * centered(i)).as("ss"),
+        fold(i => element_at(vL, i) * centered(i)).as("proj"))
+      .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+        round(col("ss"), 6).as("centered_ss"),
+        round(col("ss") - col("proj") * col("proj"), 6).as("residual"),
+        round(when(col("ss") === 0, 0.0)
+          .otherwise((col("ss") - col("proj") * col("proj")) / col("ss")), 6)
+          .as("resid_frac"))
+      .orderBy(col("residual").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  private val q419Sql = {
+    // same fit chain as q418 (x/means/prod/cov/v0..v8), then per-row
+    // scoring against the rounded means + final eigenvector as lists
+    s"""$pcaFitChainSql,
+       mr AS (SELECT list(round(m, 6) ORDER BY i) AS ml FROM means),
+       vl AS (SELECT list(v ORDER BY i) AS vl FROM v8),
+       scored AS (
+         SELECT e.vec_id, e.label,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - ml[i]) *
+                  (CAST(e.embedding[i] AS DOUBLE) - ml[i]))) AS ss,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> vl[i] * (CAST(e.embedding[i] AS DOUBLE) - ml[i]))) AS proj
+         FROM embeddings e CROSS JOIN mr CROSS JOIN vl)
+       SELECT vec_id, label, round(ss, 6) AS centered_ss,
+              round(ss - proj * proj, 6) AS residual,
+              round(CASE WHEN ss = 0 THEN 0.0
+                    ELSE (ss - proj * proj) / ss END, 6) AS resid_frac
+       FROM scored ORDER BY residual DESC, vec_id LIMIT 20"""
   }
 
   override def queries: Map[String, QueryFn] = Map(
     "q415_dbscan" -> q415 _,
     "q416_rouge2_clip" -> q416 _,
     "q417_split_leakage" -> q417 _,
-    "q418_pca_power" -> q418 _)
+    "q418_pca_power" -> q418 _,
+    "q419_pca_outliers" -> q419 _)
 
   override def oracles: Map[String, String] = Map(
     "q415_dbscan" -> q415Sql,
     "q416_rouge2_clip" -> q416Sql,
     "q417_split_leakage" -> q417Sql,
-    "q418_pca_power" -> q418Sql)
+    "q418_pca_power" -> q418Sql,
+    "q419_pca_outliers" -> q419Sql)
 }

@@ -29,6 +29,23 @@ class PcaSpec extends GraftTestBase {
     assert(math.abs(lam - expected) < 0.01)
   }
 
+  test("fit + reconstruction residual flags the planted off-axis outlier") {
+    // 30 on-axis points along (1,0) + one point orthogonal to the
+    // dominant direction: its residual must top every on-axis point's
+    val pts = (0 until 30).map(i => (i.toLong, Seq((i - 15).toFloat, 0.0f))) :+
+      (30L, Seq(0.0f, 5.0f))
+    val df = pts.toDF("id", "vec")
+    val m = Pca.fit(df, "id", "vec", dim = 2, iters = 16)
+    assert(math.abs(math.abs(m.loadings(0)) - 1.0) < 1e-2)
+    def resid(p: Seq[Float]): Double = {
+      val c = p.indices.map(i => p(i) - m.means(i))
+      val proj = c.indices.map(i => m.loadings(i) * c(i)).sum
+      c.map(x => x * x).sum - proj * proj
+    }
+    val outlier = resid(pts.last._2)
+    assert(pts.init.map(p => resid(p._2)).max < outlier)
+  }
+
   test("covariance is symmetric with unit-consistent diagonal") {
     val pts = (0 until 30).map { i =>
       (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat))

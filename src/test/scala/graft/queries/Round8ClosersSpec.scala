@@ -33,6 +33,18 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q419 PCA outliers: residual bounded by centered sum-of-squares") {
+    val rows = SparkEntry.queries("q419_pca_outliers")(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val ss = r.getAs[Double]("centered_ss")
+      val resid = r.getAs[Double]("residual")
+      val frac = r.getAs[Double]("resid_frac")
+      assert(resid >= 0.0 && resid <= ss + 1e-9)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
   test("q417 split leakage: cluster-hash split strands ZERO near-dup pairs") {
     val rows = SparkEntry.queries("q417_split_leakage")(spark, sf001).collect()
       .map(r => r.getAs[String]("scheme") ->
