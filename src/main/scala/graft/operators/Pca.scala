@@ -109,6 +109,27 @@ object Pca {
         round(lit(lam) / tr, 6).as("var_explained"))
   }
 
+  /** Top-k eigenpairs by Hotelling deflation: after each fitted pair,
+    * C ← C − λ·v·vᵀ (computed with the UNSIGNED vector — vᵢ·vⱼ is
+    * sign-invariant, so engines agree regardless of flip) and the
+    * power loop restarts from the uniform seed. One corpus pass total;
+    * the k·iters matvecs are driver-side on the collected matrix.
+    * @return (sign-fixed loadings, λ) per component, plus the ORIGINAL
+    *         trace for variance-explained ratios. */
+  def fitTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              k: Int, iters: Int): (Seq[(Array[Double], Double)], Double) = {
+    var m = collectMatrix(covariance(df, idCol, vecCol, dim), dim)
+    var trace = 0.0
+    val out = (0 until k).map { c =>
+      val (v, lam, tr) = iterate(m, dim, iters)
+      if (c == 0) trace = tr
+      m = Array.tabulate(dim, dim)((i, j) => m(i)(j) - lam * v(i) * v(j))
+      val sg = if (v(0) < 0) -1.0 else 1.0
+      (v.map(_ * sg), lam)
+    }
+    (out, trace)
+  }
+
   /** Fits the top component and collects it as driver-side model state
     * (d + d² doubles — bounded, the centroid precedent): one corpus
     * pass for the covariance, one d-row agg for the rounded means. */

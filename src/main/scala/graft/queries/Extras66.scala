@@ -279,24 +279,32 @@ object Extras66 extends QueryPack {
     Pca.powerIteration(cov, dim = 64, iters = 8).orderBy("i")
   }
 
-  /** Shared q418/q419 oracle prefix: covariance fit + 8 unrolled power
-    * steps, ending at the (unsigned) eigenvector CTE `v8`. */
-  private val pcaFitChainSql = {
-    val iters = 8
-    val steps = (1 to iters).map { k =>
-      s"""w$k AS (
-           SELECT cov.i,
+  /** 8 unrolled power-iteration CTE stages over matrix CTE `mat`
+    * (columns i, j, c), vector CTEs named `${p}0`..`${p}8` — the SQL
+    * twin of Pca.iterate's ascending-index folds. */
+  private def powerStepsSql(mat: String, p: String): String = {
+    val seed = s"""${p}0 AS (SELECT t.i - 1 AS i, 0.125 AS v
+              FROM unnest(generate_series(1, 64)) AS t(i))"""
+    val steps = (1 to 8).map { k =>
+      s"""${p}w$k AS (
+           SELECT $mat.i,
              list_sum(list_transform(
-               list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
+               list({'k': $mat.j, 't': $mat.c * v.v} ORDER BY $mat.j),
                e -> e.t)) AS w
-           FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY cov.i),
-         n$k AS (
+           FROM $mat JOIN ${p}${k - 1} v ON v.i = $mat.j GROUP BY $mat.i),
+         ${p}n$k AS (
            SELECT sqrt(list_sum(list_transform(
              list({'k': i, 't': w * w} ORDER BY i), e -> e.t))) AS nm
-           FROM w$k),
-         v$k AS MATERIALIZED (
-           SELECT i, w / nm AS v FROM w$k CROSS JOIN n$k)"""
+           FROM ${p}w$k),
+         ${p}$k AS MATERIALIZED (
+           SELECT i, w / nm AS v FROM ${p}w$k CROSS JOIN ${p}n$k)"""
     }.mkString(",\n       ")
+    s"$seed,\n       $steps"
+  }
+
+  /** Shared q418-q420 oracle prefix: covariance fit + 8 unrolled power
+    * steps, ending at the (unsigned) eigenvector CTE `v8`. */
+  private val pcaFitChainSql =
     s"""WITH x AS MATERIALIZED (
          SELECT vec_id AS rid, t.i - 1 AS i,
                 CAST(embedding[t.i] AS DOUBLE) AS xi
@@ -310,10 +318,7 @@ object Extras66 extends QueryPack {
          SELECT p.i, p.j, round(sp / n - ma.m * mb.m, 6) AS c
          FROM prod p JOIN means ma ON ma.i = p.i
                      JOIN means mb ON mb.i = p.j),
-       v0 AS (SELECT t.i - 1 AS i, 0.125 AS v
-              FROM unnest(generate_series(1, 64)) AS t(i)),
-       $steps"""
-  }
+       ${powerStepsSql("cov", "v")}"""
 
   private val q418Sql =
     s"""$pcaFitChainSql,
@@ -400,17 +405,94 @@ object Extras66 extends QueryPack {
        FROM scored ORDER BY residual DESC, vec_id LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- q420
+  /** Top-2 principal axes by Hotelling deflation — the principled
+    * basis for the 2-D corpus map q415 clusters (project onto pc1/pc2
+    * instead of raw coordinates) and the spectral-decay readout
+    * (λ2/λ1 near 1 means no dominant axis; cum_var2 near 1 means the
+    * space is effectively 2-D and high-dim ANN budgets are wasted).
+    * Deflation C−λ·v·vᵀ uses the UNSIGNED eigenvector (vᵢ·vⱼ is
+    * sign-invariant), so both engines deflate the bit-identical
+    * matrix; the second chain is the same 8 unrolled steps from the
+    * uniform seed. One corpus pass total ([[graft.operators.Pca]]). */
+  private def q420(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (comps, trace) = Pca.fitTopK(Tables(s, dir)("embeddings"),
+      "vec_id", "embedding", dim = 64, k = 2, iters = 8)
+    val Seq((v1, lam1), (v2, lam2)) = comps.toSeq
+    (0 until 64).map(i => (i.toLong, v1(i), v2(i))).toDF("i", "p1", "p2")
+      .select(col("i"),
+        round(col("p1"), 6).as("pc1"),
+        round(col("p2"), 6).as("pc2"),
+        round(lit(lam1), 6).as("lam1"),
+        round(lit(lam2), 6).as("lam2"),
+        round(lit(lam2) / lam1, 6).as("decay"),
+        round((lit(lam1) + lam2) / trace, 6).as("cum_var2"))
+      .orderBy("i")
+  }
+
+  private val q420Sql =
+    s"""$pcaFitChainSql,
+       wf AS (
+         SELECT cov.i,
+           list_sum(list_transform(
+             list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
+             e -> e.t)) AS w
+         FROM cov JOIN v8 v ON v.i = cov.j GROUP BY cov.i),
+       ray AS (
+         SELECT list_sum(list_transform(
+           list({'k': v.i, 't': v.v * wf.w} ORDER BY v.i), e -> e.t)) AS lam
+         FROM v8 v JOIN wf ON wf.i = v.i),
+       cov2 AS MATERIALIZED (
+         SELECT c.i, c.j, c.c - ray.lam * va.v * vb.v AS c
+         FROM cov c JOIN v8 va ON va.i = c.i
+                    JOIN v8 vb ON vb.i = c.j
+                    CROSS JOIN ray),
+       ${powerStepsSql("cov2", "u")},
+       wf2 AS (
+         SELECT cov2.i,
+           list_sum(list_transform(
+             list({'k': cov2.j, 't': cov2.c * v.v} ORDER BY cov2.j),
+             e -> e.t)) AS w
+         FROM cov2 JOIN u8 v ON v.i = cov2.j GROUP BY cov2.i),
+       ray2 AS (
+         SELECT list_sum(list_transform(
+           list({'k': v.i, 't': v.v * wf2.w} ORDER BY v.i), e -> e.t)) AS lam
+         FROM u8 v JOIN wf2 ON wf2.i = v.i),
+       tr AS (
+         SELECT list_sum(list_transform(
+           list({'k': i, 't': c} ORDER BY i), e -> e.t)) AS tr
+         FROM cov WHERE i = j),
+       sg1 AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+               FROM v8 WHERE i = 0),
+       sg2 AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+               FROM u8 WHERE i = 0)
+       SELECT CAST(a.i AS BIGINT) AS i,
+              round(a.v * sg1.sg, 6) AS pc1,
+              round(b.v * sg2.sg, 6) AS pc2,
+              round(ray.lam, 6) AS lam1,
+              round(ray2.lam, 6) AS lam2,
+              round(ray2.lam / ray.lam, 6) AS decay,
+              round((ray.lam + ray2.lam) / tr.tr, 6) AS cum_var2
+       FROM v8 a JOIN u8 b ON b.i = a.i
+       CROSS JOIN ray CROSS JOIN ray2 CROSS JOIN tr
+       CROSS JOIN sg1 CROSS JOIN sg2
+       ORDER BY i"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q415_dbscan" -> q415 _,
     "q416_rouge2_clip" -> q416 _,
     "q417_split_leakage" -> q417 _,
     "q418_pca_power" -> q418 _,
-    "q419_pca_outliers" -> q419 _)
+    "q419_pca_outliers" -> q419 _,
+    "q420_pca_top2" -> q420 _)
 
   override def oracles: Map[String, String] = Map(
     "q415_dbscan" -> q415Sql,
     "q416_rouge2_clip" -> q416Sql,
     "q417_split_leakage" -> q417Sql,
     "q418_pca_power" -> q418Sql,
-    "q419_pca_outliers" -> q419Sql)
+    "q419_pca_outliers" -> q419Sql,
+    "q420_pca_top2" -> q420Sql)
 }

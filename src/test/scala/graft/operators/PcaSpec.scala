@@ -46,6 +46,27 @@ class PcaSpec extends GraftTestBase {
     assert(pts.init.map(p => resid(p._2)).max < outlier)
   }
 
+  test("fitTopK: deflation recovers two known orthogonal axes in order") {
+    // independent spreads on axes 0 (var 16x) and 2 (var 1x) of a 4-d
+    // space: pc1 = e0, pc2 = e2, and both eigenvalues are the axis
+    // variances
+    val pts = (0 until 32).map { i =>
+      (i.toLong, Seq((4.0 * ((i % 8) - 3.5)).toFloat, 0.0f,
+        ((i / 8) - 1.5).toFloat, 0.0f))
+    }
+    val (comps, trace) = Pca.fitTopK(pts.toDF("id", "vec"), "id", "vec",
+      dim = 4, k = 2, iters = 24)
+    val Seq((v1, lam1), (v2, lam2)) = comps.toSeq
+    assert(math.abs(v1(0) - 1.0) < 1e-6 && math.abs(v2(2)) > 1 - 1e-6)
+    val varAxis0 = 16.0 * (0 until 8).map(i => math.pow(i - 3.5, 2)).sum / 8
+    val varAxis2 = (0 until 4).map(i => math.pow(i - 1.5, 2)).sum / 4
+    assert(math.abs(lam1 - varAxis0) < 1e-3)
+    assert(math.abs(lam2 - varAxis2) < 1e-3)
+    assert(math.abs(trace - (varAxis0 + varAxis2)) < 1e-3)
+    val dot = v1.indices.map(i => v1(i) * v2(i)).sum
+    assert(math.abs(dot) < 1e-6)
+  }
+
   test("covariance is symmetric with unit-consistent diagonal") {
     val pts = (0 until 30).map { i =>
       (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat))
