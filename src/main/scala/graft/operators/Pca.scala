@@ -109,16 +109,26 @@ object Pca {
         round(lit(lam) / tr, 6).as("var_explained"))
   }
 
+  /** Top-k model: sign-fixed (loadings, λ) per component in spectral
+    * order, the round(6)'d means for downstream centering, and the
+    * ORIGINAL trace for variance-explained ratios. */
+  case class TopK(components: Seq[(Array[Double], Double)],
+                  means: Array[Double], trace: Double)
+
   /** Top-k eigenpairs by Hotelling deflation: after each fitted pair,
     * C ← C − λ·v·vᵀ (computed with the UNSIGNED vector — vᵢ·vⱼ is
     * sign-invariant, so engines agree regardless of flip) and the
-    * power loop restarts from the uniform seed. One corpus pass total;
-    * the k·iters matvecs are driver-side on the collected matrix.
-    * @return (sign-fixed loadings, λ) per component, plus the ORIGINAL
-    *         trace for variance-explained ratios. */
+    * power loop restarts from the uniform seed. One corpus pass for
+    * the covariance + one d-row agg for the means; the k·iters
+    * matvecs are driver-side on the collected matrix. */
   def fitTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              k: Int, iters: Int): (Seq[(Array[Double], Double)], Double) = {
+              k: Int, iters: Int): TopK = {
     var m = collectMatrix(covariance(df, idCol, vecCol, dim), dim)
+    val means = new Array[Double](dim)
+    df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(round(sum(col("xi").cast("double")) / count(lit(1)), 6).as("m"))
+      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
     var trace = 0.0
     val out = (0 until k).map { c =>
       val (v, lam, tr) = iterate(m, dim, iters)
@@ -127,7 +137,7 @@ object Pca {
       val sg = if (v(0) < 0) -1.0 else 1.0
       (v.map(_ * sg), lam)
     }
-    (out, trace)
+    TopK(out, means, trace)
   }
 
   /** Fits the top component and collects it as driver-side model state

@@ -418,9 +418,10 @@ object Extras66 extends QueryPack {
   private def q420(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val (comps, trace) = Pca.fitTopK(Tables(s, dir)("embeddings"),
+    val model = Pca.fitTopK(Tables(s, dir)("embeddings"),
       "vec_id", "embedding", dim = 64, k = 2, iters = 8)
-    val Seq((v1, lam1), (v2, lam2)) = comps.toSeq
+    val Seq((v1, lam1), (v2, lam2)) = model.components.toSeq
+    val trace = model.trace
     (0 until 64).map(i => (i.toLong, v1(i), v2(i))).toDF("i", "p1", "p2")
       .select(col("i"),
         round(col("p1"), 6).as("pc1"),
@@ -480,13 +481,122 @@ object Extras66 extends QueryPack {
        CROSS JOIN sg1 CROSS JOIN sg2
        ORDER BY i"""
 
+  // --------------------------------------------------------------- q421
+  /** The CORPUS MAP, end to end: PCA top-2 projection (q420's basis)
+    * composed with grid-blocked DBSCAN (q415's operator) — density
+    * modes and named outliers in the plane that actually maximizes
+    * spread, instead of q415's raw-coordinate stand-in. Projection is
+    * one zero-shuffle map (rounded means + bit-exact signed loadings
+    * as literals, the q419 discipline), so coordinates are
+    * IEEE-identical across engines and the whole DBSCAN chain —
+    * replayed quadratically by the oracle with the recursive-CTE
+    * closure — agrees bit-for-bit. eps=0.025/minPts=4 give 252 cores
+    * of 500 at sf0.01. */
+  private def q421(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = Tables(s, dir)("embeddings")
+    val model = Pca.fitTopK(e, "vec_id", "embedding", dim, k = 2, iters = 8)
+    val mL = typedLit(model.means)
+    def centered(i: Column): Column =
+      element_at(col("embedding"), i).cast("double") - element_at(mL, i)
+    def proj(v: Array[Double]): Column = {
+      val vL = typedLit(v)
+      aggregate(transform(sequence(lit(1), lit(dim)),
+        i => element_at(vL, i) * centered(i)), lit(0.0), (a, x) => a + x)
+    }
+    val p = e.select(col("vec_id"),
+      proj(model.components(0)._1).as("x"),
+      proj(model.components(1)._1).as("y"))
+    Dbscan.cluster(p, "vec_id", "x", "y", eps = 0.025, minPts = 4)
+      .orderBy("vec_id")
+  }
+
+  private val q421Sql =
+    s"""${pcaFitChainSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       wf AS (
+         SELECT cov.i,
+           list_sum(list_transform(
+             list({'k': cov.j, 't': cov.c * v.v} ORDER BY cov.j),
+             e -> e.t)) AS w
+         FROM cov JOIN v8 v ON v.i = cov.j GROUP BY cov.i),
+       ray AS (
+         SELECT list_sum(list_transform(
+           list({'k': v.i, 't': v.v * wf.w} ORDER BY v.i), e -> e.t)) AS lam
+         FROM v8 v JOIN wf ON wf.i = v.i),
+       cov2 AS MATERIALIZED (
+         SELECT c.i, c.j, c.c - ray.lam * va.v * vb.v AS c
+         FROM cov c JOIN v8 va ON va.i = c.i
+                    JOIN v8 vb ON vb.i = c.j
+                    CROSS JOIN ray),
+       ${powerStepsSql("cov2", "u")},
+       sg1 AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+               FROM v8 WHERE i = 0),
+       sg2 AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+               FROM u8 WHERE i = 0),
+       mr AS (SELECT list(round(m, 6) ORDER BY i) AS ml FROM means),
+       vl1 AS (SELECT list(v * sg ORDER BY i) AS vl
+               FROM v8 CROSS JOIN sg1),
+       vl2 AS (SELECT list(v * sg ORDER BY i) AS vl
+               FROM u8 CROSS JOIN sg2),
+       p AS MATERIALIZED (
+         SELECT e.vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> vl1.vl[i] * (CAST(e.embedding[i] AS DOUBLE) - ml[i])))
+             AS x,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> vl2.vl[i] * (CAST(e.embedding[i] AS DOUBLE) - ml[i])))
+             AS y
+         FROM embeddings e CROSS JOIN mr CROSS JOIN vl1 CROSS JOIN vl2),
+       pr AS MATERIALIZED (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM p a JOIN p b ON a.vec_id < b.vec_id
+           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+               <= 0.025*0.025),
+       deg AS (SELECT v, count(*) AS d
+               FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
+               GROUP BY 1),
+       pts AS MATERIALIZED (
+         SELECT p.vec_id, coalesce(d, 0) + 1 AS n_nb
+         FROM p LEFT JOIN deg ON deg.v = p.vec_id),
+       cores AS MATERIALIZED (SELECT vec_id FROM pts WHERE n_nb >= 4),
+       ce AS MATERIALIZED (
+         SELECT id_a, id_b FROM pr
+         JOIN cores ca ON ca.vec_id = pr.id_a
+         JOIN cores cb ON cb.vec_id = pr.id_b),
+       und AS MATERIALIZED (
+         SELECT id_a AS a, id_b AS b FROM ce
+         UNION SELECT id_b, id_a FROM ce),
+       cc AS (SELECT a, b FROM und
+              UNION SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+                FROM cc GROUP BY a),
+       core_cl AS MATERIALIZED (
+         SELECT c.vec_id, coalesce(component, c.vec_id) AS cluster
+         FROM cores c LEFT JOIN comp ON comp.vec_id = c.vec_id),
+       adj AS (SELECT id_a AS v, id_b AS u FROM pr
+               UNION ALL SELECT id_b, id_a FROM pr),
+       bord AS (
+         SELECT adj.v AS vec_id, min(k.cluster) AS cluster
+         FROM adj JOIN core_cl k ON k.vec_id = adj.u
+         WHERE adj.v NOT IN (SELECT vec_id FROM cores)
+         GROUP BY 1)
+       SELECT pts.vec_id, CAST(n_nb AS BIGINT) AS n_nb,
+              CASE WHEN k.vec_id IS NOT NULL THEN 'core'
+                   WHEN b.vec_id IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              CAST(coalesce(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
+       FROM pts LEFT JOIN core_cl k ON k.vec_id = pts.vec_id
+                LEFT JOIN bord b ON b.vec_id = pts.vec_id
+       ORDER BY pts.vec_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q415_dbscan" -> q415 _,
     "q416_rouge2_clip" -> q416 _,
     "q417_split_leakage" -> q417 _,
     "q418_pca_power" -> q418 _,
     "q419_pca_outliers" -> q419 _,
-    "q420_pca_top2" -> q420 _)
+    "q420_pca_top2" -> q420 _,
+    "q421_corpus_map" -> q421 _)
 
   override def oracles: Map[String, String] = Map(
     "q415_dbscan" -> q415Sql,
@@ -494,5 +604,6 @@ object Extras66 extends QueryPack {
     "q417_split_leakage" -> q417Sql,
     "q418_pca_power" -> q418Sql,
     "q419_pca_outliers" -> q419Sql,
-    "q420_pca_top2" -> q420Sql)
+    "q420_pca_top2" -> q420Sql,
+    "q421_corpus_map" -> q421Sql)
 }

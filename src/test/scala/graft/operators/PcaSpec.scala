@@ -54,9 +54,10 @@ class PcaSpec extends GraftTestBase {
       (i.toLong, Seq((4.0 * ((i % 8) - 3.5)).toFloat, 0.0f,
         ((i / 8) - 1.5).toFloat, 0.0f))
     }
-    val (comps, trace) = Pca.fitTopK(pts.toDF("id", "vec"), "id", "vec",
+    val model = Pca.fitTopK(pts.toDF("id", "vec"), "id", "vec",
       dim = 4, k = 2, iters = 24)
-    val Seq((v1, lam1), (v2, lam2)) = comps.toSeq
+    val Seq((v1, lam1), (v2, lam2)) = model.components.toSeq
+    val trace = model.trace
     assert(math.abs(v1(0) - 1.0) < 1e-6 && math.abs(v2(2)) > 1 - 1e-6)
     val varAxis0 = 16.0 * (0 until 8).map(i => math.pow(i - 3.5, 2)).sum / 8
     val varAxis2 = (0 until 4).map(i => math.pow(i - 1.5, 2)).sum / 4

@@ -6,20 +6,21 @@ import graft.{GraftTestBase, SparkEntry}
   * the DuckDB oracle gate; these pin the semantic contracts). */
 class Round8ClosersSpec extends GraftTestBase {
 
-  test("q415 DBSCAN: noise has cluster -1, clusters are led by a core min id") {
-    val rows = SparkEntry.queries("q415_dbscan")(spark, sf001).collect()
-    val byRole = rows.groupBy(_.getAs[String]("role"))
-    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
-    assert(byRole("noise").forall(_.getAs[Long]("cluster") == -1L))
-    // every non-noise cluster label is the min vec_id of a CORE member
-    val coreByCluster = byRole("core").groupBy(_.getAs[Long]("cluster"))
-    coreByCluster.foreach { case (cl, members) =>
-      assert(members.map(_.getAs[Long]("vec_id")).min == cl)
+  for (q <- Seq("q415_dbscan", "q421_corpus_map"))
+    test(s"$q: noise has cluster -1, clusters are led by a core min id") {
+      val rows = SparkEntry.queries(q)(spark, sf001).collect()
+      val byRole = rows.groupBy(_.getAs[String]("role"))
+      assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+      assert(byRole("noise").forall(_.getAs[Long]("cluster") == -1L))
+      // every non-noise cluster label is the min vec_id of a CORE member
+      val coreByCluster = byRole("core").groupBy(_.getAs[Long]("cluster"))
+      coreByCluster.foreach { case (cl, members) =>
+        assert(members.map(_.getAs[Long]("vec_id")).min == cl)
+      }
+      // border clusters always point at an existing core cluster
+      assert(byRole("border").forall(r =>
+        coreByCluster.contains(r.getAs[Long]("cluster"))))
     }
-    // border clusters always point at an existing core cluster
-    assert(byRole("border").forall(r =>
-      coreByCluster.contains(r.getAs[Long]("cluster"))))
-  }
 
   test("q416 ROUGE-2: recall in (0, 1], clipped <= ref_total, bench ids on the 97 grid") {
     val rows = SparkEntry.queries("q416_rouge2_clip")(spark, sf001).collect()
