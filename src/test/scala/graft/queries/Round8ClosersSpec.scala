@@ -46,6 +46,30 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q422 change point: reduction is a valid non-negative SSE fraction") {
+    val rows = SparkEntry.queries("q422_change_point")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("reduction") >= 0.0)
+      val f = r.getAs[Double]("reduction_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_days") >= 2)
+    }
+  }
+
+  test("q423 UniMax: allocations are exact, within size, and sum to the budget") {
+    val rows = SparkEntry.queries("q423_unimax_budget")(spark, sf001).collect()
+    val budget = rows.head.getAs[Long]("budget")
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+    rows.foreach { r =>
+      val (n, a) = (r.getAs[Long]("n_chars"), r.getAs[Long]("alloc"))
+      assert(a <= n && a >= 0)
+      assert((r.getAs[Long]("capped") == 1L) == (a < n))
+    }
+    // the budget binds: at least one source is capped at 60%
+    assert(rows.exists(_.getAs[Long]("capped") == 1L))
+  }
+
   test("q417 split leakage: cluster-hash split strands ZERO near-dup pairs") {
     val rows = SparkEntry.queries("q417_split_leakage")(spark, sf001).collect()
       .map(r => r.getAs[String]("scheme") ->
