@@ -50,13 +50,19 @@ object QualityClassifier {
           greatest(nTok, lit(1.0)), 1.5)))
   }
 
-  /** score = sigmoid(bias + Σ wᵢ·fᵢ), summed in term order. */
-  def scoreExpr(model: Model): Column = {
-    val z = model.terms.foldLeft(lit(model.bias): Column) {
+  /** The pre-sigmoid logit z = bias + Σ wᵢ·fᵢ, summed in term order —
+    * pure rational arithmetic on exact count ratios, so it is
+    * bit-identical across engines (unlike the sigmoid, whose exp()
+    * differs in the last ulp). Rank/bucket logic should order on THIS,
+    * not on the score (same ordering, no float hazard). */
+  def logitExpr(model: Model): Column =
+    model.terms.foldLeft(lit(model.bias): Column) {
       case (acc, (f, w)) => acc + f * lit(w)
     }
-    lit(1.0) / (lit(1.0) + exp(-z))
-  }
+
+  /** score = sigmoid(bias + Σ wᵢ·fᵢ), summed in term order. */
+  def scoreExpr(model: Model): Column =
+    lit(1.0) / (lit(1.0) + exp(-logitExpr(model)))
 
   /** Score + gate every document: (idCol…, quality_score, kept). */
   def filter(docs: DataFrame, textCol: String,

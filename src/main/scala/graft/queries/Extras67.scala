@@ -187,11 +187,145 @@ object Extras67 extends QueryPack {
        FROM runmin CROSS JOIN prefix
        ORDER BY source"""
 
+  // --------------------------------------------------------------- q424
+  /** Cross-source QUANTILE NORMALIZATION of the quality signal — the
+    * calibration step before comparing or thresholding quality across
+    * sources (each source's classifier distribution is shifted; a 0.6
+    * from a code-heavy source is not a 0.6 from prose). Mapping table:
+    * each source's decile (ntile over the exact LOGIT — rational
+    * arithmetic on counts, so ranks are bit-safe; the sigmoid's exp()
+    * is NOT, see [[graft.operators.QualityClassifier.logitExpr]]) maps
+    * to the pooled decile's max logit. The pooled ntile is a global
+    * sort — exact here for the oracle; at 100 TB the pooled reference
+    * comes from the q351 mergeable quantile sketch instead, the
+    * per-source side stays a partitioned window. */
+  private def q424(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val z = QualityClassifier.logitExpr(
+      QualityClassifier.defaultModel(col("text")))
+    val d = Tables(s, dir)("documents")
+      .select(col("doc_id"), col("source"), z.as("z"))
+      .localCheckpoint() // feeds the per-source and pooled windows
+    val wSrc = Window.partitionBy("source").orderBy(col("z"), col("doc_id"))
+    val wAll = Window.orderBy(col("z"), col("doc_id"))
+    val ref = d.withColumn("pb", ntile(10).over(wAll))
+      .groupBy("pb").agg(max("z").as("ref"))
+    d.withColumn("bucket", ntile(10).over(wSrc))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("z").as("z_lo"), max("z").as("z_hi"))
+      .join(broadcast(ref), col("bucket") === col("pb"))
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("z_lo"), 6).as("z_lo"),
+        round(col("z_hi"), 6).as("z_hi"),
+        round(col("ref"), 6).as("norm_ref"))
+      .orderBy("source", "bucket")
+  }
+
+  private val q424Sql = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH f AS (
+         SELECT doc_id, source,
+           CAST(len($toksSql) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(list_filter($toksSql,
+             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
+         FROM documents),
+       d AS MATERIALIZED (
+         SELECT doc_id, source,
+           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
+                + (n_stop / greatest(n_tok, 1.0)) * 6.0
+                + (n_punct / greatest(n_chars, 1.0)) * -8.0
+                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+         FROM f),
+       ref AS (
+         SELECT pb, max(z) AS ref
+         FROM (SELECT z, ntile(10) OVER (ORDER BY z, doc_id) AS pb FROM d)
+         GROUP BY 1),
+       b AS (
+         SELECT source, ntile(10) OVER (PARTITION BY source
+                  ORDER BY z, doc_id) AS bucket, z
+         FROM d)
+       SELECT source, CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              round(min(z), 6) AS z_lo,
+              round(max(z), 6) AS z_hi,
+              round(any_value(ref), 6) AS norm_ref
+       FROM b JOIN ref ON ref.pb = b.bucket
+       GROUP BY source, bucket
+       ORDER BY source, bucket"""
+  }
+
+  // --------------------------------------------------------------- q425
+  /** BENFORD first-digit audit over event values — the classic
+    * fabricated-data screen for ingested numeric feeds: observed
+    * first-significant-digit counts vs Benford's log₁₀(1+1/d)
+    * expectation, with the chi-square distance as the headline.
+    * Digit extraction avoids log10-at-a-power-of-ten floor hazards:
+    * floor(value·100) is one IEEE multiply (identical both engines),
+    * and the leading digit is the first character of the BIGINT's
+    * decimal string — exact. One corpus hash-agg on 9 groups; the
+    * chi-square is a 9-term fold rounded once. */
+  private def q425(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir)("events").filter(col("value") >= 0.01)
+      .select(substring(floor(col("value") * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+    val obs = e.groupBy("digit").agg(count(lit(1)).as("o"))
+    val tot = obs.agg(sum("o").as("n"))
+    val scored = obs.crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("n") * log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+    val chi = scored.agg(
+      round(aggregate(
+        transform(sort_array(collect_list(struct(col("digit"),
+          (((col("o") - col("e")) * (col("o") - col("e"))) / col("e"))
+            .as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (a, x) => a + x), 6).as("chi2"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("digit"), col("o").cast("long").as("observed"),
+        round(col("e"), 6).as("expected"),
+        round(col("o") / col("e"), 6).as("obs_over_exp"),
+        col("chi2"))
+      .orderBy("digit")
+  }
+
+  private val q425Sql =
+    """WITH d AS MATERIALIZED (
+         SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit
+         FROM events WHERE value >= 0.01),
+       obs AS (SELECT digit, count(*) AS o FROM d GROUP BY 1),
+       tot AS (SELECT sum(o) AS n FROM obs),
+       scored AS MATERIALIZED (
+         SELECT digit, o,
+                n * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS e
+         FROM obs CROSS JOIN tot),
+       chi AS (
+         SELECT round(list_sum(list_transform(
+           list({'d': digit, 't': (o - e) * (o - e) / e} ORDER BY digit),
+           x -> x.t)), 6) AS chi2
+         FROM scored)
+       SELECT digit, CAST(o AS BIGINT) AS observed,
+              round(e, 6) AS expected,
+              round(o / e, 6) AS obs_over_exp,
+              chi2
+       FROM scored CROSS JOIN chi
+       ORDER BY digit"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q422_change_point" -> q422 _,
-    "q423_unimax_budget" -> q423 _)
+    "q423_unimax_budget" -> q423 _,
+    "q424_quantile_norm" -> q424 _,
+    "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
     "q422_change_point" -> q422Sql,
-    "q423_unimax_budget" -> q423Sql)
+    "q423_unimax_budget" -> q423Sql,
+    "q424_quantile_norm" -> q424Sql,
+    "q425_benford" -> q425Sql)
 }

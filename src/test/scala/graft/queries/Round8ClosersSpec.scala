@@ -70,6 +70,32 @@ class Round8ClosersSpec extends GraftTestBase {
     assert(rows.exists(_.getAs[Long]("capped") == 1L))
   }
 
+  test("q424 quantile norm: buckets ordered, refs monotone, all docs covered") {
+    val rows = SparkEntry.queries("q424_quantile_norm")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bucket"))
+      // within a source, both the raw band and the normalized ref
+      // must be non-decreasing in bucket order
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("z_hi") <= b.getAs[Double]("z_lo") + 1e-9)
+          assert(a.getAs[Double]("norm_ref") <= b.getAs[Double]("norm_ref"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q425 Benford: digits 1-9, expected mass sums to n, chi2 constant") {
+    val rows = SparkEntry.queries("q425_benford")(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("digit")).toSeq ==
+      (1 to 9).map(_.toString))
+    val n = rows.map(_.getAs[Long]("observed")).sum
+    val eSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(eSum - n) < 0.01) // Benford probabilities sum to 1
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
+  }
+
   test("q417 split leakage: cluster-hash split strands ZERO near-dup pairs") {
     val rows = SparkEntry.queries("q417_split_leakage")(spark, sf001).collect()
       .map(r => r.getAs[String]("scheme") ->
