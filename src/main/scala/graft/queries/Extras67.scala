@@ -317,13 +317,146 @@ object Extras67 extends QueryPack {
        FROM scored CROSS JOIN chi
        ORDER BY digit"""
 
+  // --------------------------------------------------------------- q426
+  /** Optimal quality TIERS — Jenks natural breaks over the corpus
+    * quality distribution ([[graft.operators.OptimalBreaks]]): the
+    * exact K=4-segment SSE-minimizing split of a 100-bin logit
+    * histogram, generalizing q422's single change point and replacing
+    * hand-picked tier thresholds. The histogram is one hash-agg
+    * (bounded model state); the DP runs driver-side; the tier rollup
+    * rejoins the corpus once with the break indices as literals. The
+    * oracle unrolls the same DP as candidate-join CTE stages with
+    * min-then-smallest-index tie-breaks; every cost is exact BIGINT
+    * prefix arithmetic with one double division, so the breaks match
+    * bit-for-bit. */
+  private def q426(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{OptimalBreaks, QualityClassifier}
+    val z = QualityClassifier.logitExpr(
+      QualityClassifier.defaultModel(col("text")))
+    val d = Tables(s, dir)("documents").select(col("doc_id"), z.as("z"))
+    val st = d.agg(min("z").as("zmin"), max("z").as("zmax"))
+    val db = d.crossJoin(broadcast(st))
+      .withColumn("b",
+        least(floor((col("z") - col("zmin")) / (col("zmax") - col("zmin"))
+          * 100), lit(99L)).cast("int"))
+      .localCheckpoint() // feeds the histogram collect and the rollup
+    val hist = new Array[Long](100)
+    db.groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().foreach(r => hist(r.getInt(0)) = r.getLong(1))
+    val (bs, sse) = OptimalBreaks.breaks(hist, 4)
+    val tier = when(col("b") <= bs(0), 1)
+      .when(col("b") <= bs(1), 2)
+      .when(col("b") <= bs(2), 3).otherwise(4)
+    db.withColumn("tier", tier)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        min("b").as("bin_lo"), max("b").as("bin_hi"),
+        min("z").as("zl"), max("z").as("zh"))
+      .select(col("tier").cast("long").as("tier"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("bin_lo").cast("long").as("bin_lo"),
+        col("bin_hi").cast("long").as("bin_hi"),
+        round(col("zl"), 6).as("z_lo"),
+        round(col("zh"), 6).as("z_hi"),
+        round(lit(sse), 6).as("total_sse"))
+      .orderBy("tier")
+  }
+
+  private val q426Sql = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    // cost of bins (i.b+1 .. j.b) from the inclusive prefix rows
+    def cost(i: String, j: String): String =
+      s"""CASE WHEN $j.cn - $i.cn = 0 THEN 0.0
+          ELSE ($j.cq - $i.cq) -
+               ($j.cs - $i.cs) * ($j.cs - $i.cs)
+                 / ($j.cn - $i.cn) END"""
+    s"""WITH f AS (
+         SELECT doc_id,
+           CAST(len($toksSql) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(list_filter($toksSql,
+             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
+         FROM documents),
+       d AS (
+         SELECT doc_id,
+           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
+                + (n_stop / greatest(n_tok, 1.0)) * 6.0
+                + (n_punct / greatest(n_chars, 1.0)) * -8.0
+                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+         FROM f),
+       st AS (SELECT min(z) AS zmin, max(z) AS zmax FROM d),
+       db AS MATERIALIZED (
+         SELECT doc_id, z,
+           least(CAST(floor((z - zmin) / (zmax - zmin) * 100) AS BIGINT),
+                 99) AS b
+         FROM d CROSS JOIN st),
+       hist AS (SELECT b, count(*) AS c FROM db GROUP BY 1),
+       bins AS (
+         SELECT t.b, coalesce(c, 0) AS c
+         FROM (SELECT unnest(generate_series(0, 99)) AS b) t
+         LEFT JOIN hist USING (b)),
+       pre AS MATERIALIZED (
+         SELECT b, sum(c) OVER w AS cn, sum(c * b) OVER w AS cs,
+                sum(c * b * b) OVER w AS cq
+         FROM bins WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)),
+       s1 AS MATERIALIZED (
+         SELECT b AS j,
+           CASE WHEN cn = 0 THEN 0.0
+                ELSE cq - cs * cs / cn END AS v
+         FROM pre),
+       c2 AS MATERIALIZED (
+         SELECT i.b AS i, j.b AS j, s1.v + ${cost("i", "j")} AS v
+         FROM pre i JOIN pre j ON i.b < j.b
+              JOIN s1 ON s1.j = i.b),
+       s2 AS MATERIALIZED (SELECT j, min(v) AS v FROM c2 GROUP BY 1),
+       b2 AS MATERIALIZED (
+         SELECT c2.j, min(c2.i) AS i
+         FROM c2 JOIN s2 USING (j) WHERE c2.v = s2.v GROUP BY 1),
+       c3 AS MATERIALIZED (
+         SELECT i.b AS i, j.b AS j, s2.v + ${cost("i", "j")} AS v
+         FROM pre i JOIN pre j ON i.b < j.b
+              JOIN s2 ON s2.j = i.b),
+       s3 AS MATERIALIZED (SELECT j, min(v) AS v FROM c3 GROUP BY 1),
+       b3 AS MATERIALIZED (
+         SELECT c3.j, min(c3.i) AS i
+         FROM c3 JOIN s3 USING (j) WHERE c3.v = s3.v GROUP BY 1),
+       c4 AS MATERIALIZED (
+         SELECT i.b AS i, s3.v + ${cost("i", "j")} AS v
+         FROM pre i JOIN s3 ON s3.j = i.b
+              CROSS JOIN (SELECT * FROM pre WHERE b = 99) j
+         WHERE i.b < 99),
+       s4 AS (SELECT min(v) AS v FROM c4),
+       i3 AS (SELECT min(i) AS i FROM c4, s4 WHERE c4.v = s4.v),
+       i2 AS (SELECT b3.i AS i FROM b3, i3 WHERE b3.j = i3.i),
+       i1 AS (SELECT b2.i AS i FROM b2, i2 WHERE b2.j = i2.i),
+       tiers AS (
+         SELECT db.z, db.b,
+           CASE WHEN db.b <= i1.i THEN 1
+                WHEN db.b <= i2.i THEN 2
+                WHEN db.b <= i3.i THEN 3 ELSE 4 END AS tier
+         FROM db CROSS JOIN i1 CROSS JOIN i2 CROSS JOIN i3)
+       SELECT CAST(tier AS BIGINT) AS tier,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(b) AS BIGINT) AS bin_lo,
+              CAST(max(b) AS BIGINT) AS bin_hi,
+              round(min(z), 6) AS z_lo,
+              round(max(z), 6) AS z_hi,
+              round((SELECT v FROM s4), 6) AS total_sse
+       FROM tiers GROUP BY tier ORDER BY tier"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "q426_jenks_tiers" -> q426 _,
     "q422_change_point" -> q422 _,
     "q423_unimax_budget" -> q423 _,
     "q424_quantile_norm" -> q424 _,
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q426_jenks_tiers" -> q426Sql,
     "q422_change_point" -> q422Sql,
     "q423_unimax_budget" -> q423Sql,
     "q424_quantile_norm" -> q424Sql,
