@@ -37,29 +37,34 @@ object OptimalBreaks {
       cs(i + 1) = cs(i) + hist(i) * i
       cq(i + 1) = cq(i) + hist(i) * i.toLong * i.toLong
     }
-    // cost of bins (i+1 .. j) with the oracle's exact arithmetic
+    // cost of bins (i+1 .. j); the squared sum is multiplied in DOUBLE
+    // (ds can reach 99·N — Long would overflow past N ≈ 3e7 docs; the
+    // oracle casts the same product to DOUBLE, and below 2⁵³ the
+    // double math is still exact)
     def cost(i: Int, j: Int): Double = {
       val dn = cn(j + 1) - cn(i + 1)
       if (dn == 0) 0.0
       else {
-        val ds = cs(j + 1) - cs(i + 1)
-        (cq(j + 1) - cq(i + 1)).toDouble -
-          (ds * ds).toDouble / dn.toDouble
+        val ds = (cs(j + 1) - cs(i + 1)).toDouble
+        (cq(j + 1) - cq(i + 1)).toDouble - ds * ds / dn.toDouble
       }
     }
-    // dp(t)(j) = best cost of splitting bins 0..j into t segments;
+    // dp(t)(j) = best cost of splitting bins 0..j into t segments of
+    // >= 1 BIN each (defined only for j >= t-1 — the same domain the
+    // SQL oracle's join chain induces, so degenerate empty-prefix
+    // splits can neither win ties nor crash the backtrack);
     // bk(t)(j) = smallest argmin split (last segment = bk+1 .. j)
     var prev = Array.tabulate(n)(j => cost(-1, j))
     val back = Array.ofDim[Int](k + 1, n)
     for (t <- 2 to k) {
-      val cur = new Array[Double](n)
-      for (j <- 0 until n) {
+      val cur = Array.fill(n)(Double.MaxValue)
+      for (j <- t - 1 until n) {
         var bestV = Double.MaxValue; var bestI = -1
-        for (i <- 0 until j) {
+        for (i <- t - 2 until j) {
           val v = prev(i) + cost(i, j)
           if (v < bestV) { bestV = v; bestI = i }
         }
-        cur(j) = if (bestI >= 0) bestV else prev(j)
+        cur(j) = bestV
         back(t)(j) = bestI
       }
       prev = cur

@@ -43,14 +43,16 @@ object Pca {
   case class Model(loadings: Array[Double], means: Array[Double],
                    eigenvalue: Double, trace: Double)
 
-  /** Population covariance of `vecCol` (array of numerics, `dim` wide),
-    * one row per (i, j) ∈ [0, dim)², entries round(6)'d — the
-    * determinism boundary documented above. */
-  def covariance(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
-    val x = df.select(col(idCol).as("rid"),
+  /** The exploded (rid, i, xi) relation, checkpointed once — every
+    * downstream consumer (product join twice, raw means, rounded
+    * means) reads the materialized copy, never the corpus again. */
+  private def exploded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("rid"),
         posexplode(col(vecCol)).as(Seq("i", "xi")))
       .select(col("rid"), col("i"), col("xi").cast("double").as("xi"))
-      .localCheckpoint() // feeds the product join (twice) and the means
+      .localCheckpoint()
+
+  private def covFromX(x: DataFrame): DataFrame = {
     val means = x.groupBy("i")
       .agg((sum("xi") / count(lit(1))).as("m"))
     val prod = x.as("a").join(x.as("b"), col("a.rid") === col("b.rid"))
@@ -63,6 +65,12 @@ object Pca {
       .select(col("i"), col("j"),
         round(col("sp") / col("n") - col("mi") * col("mj"), 6).as("c"))
   }
+
+  /** Population covariance of `vecCol` (array of numerics, `dim` wide),
+    * one row per (i, j) ∈ [0, dim)², entries round(6)'d — the
+    * determinism boundary documented above. */
+  def covariance(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    covFromX(exploded(df, idCol, vecCol))
 
   /** Driver-side power loop over a collected matrix: (unsigned v, λ,
     * trace) with the oracle-matching ascending-index folds. */
@@ -123,11 +131,11 @@ object Pca {
     * matvecs are driver-side on the collected matrix. */
   def fitTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               k: Int, iters: Int): TopK = {
-    var m = collectMatrix(covariance(df, idCol, vecCol, dim), dim)
+    val x = exploded(df, idCol, vecCol)
+    var m = collectMatrix(covFromX(x), dim)
     val means = new Array[Double](dim)
-    df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(round(sum(col("xi").cast("double")) / count(lit(1)), 6).as("m"))
+    x.groupBy("i")
+      .agg(round(sum("xi") / count(lit(1)), 6).as("m"))
       .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
     var trace = 0.0
     val out = (0 until k).map { c =>
@@ -145,14 +153,8 @@ object Pca {
     * pass for the covariance, one d-row agg for the rounded means. */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
           iters: Int): Model = {
-    val cov = covariance(df, idCol, vecCol, dim)
-    val means = new Array[Double](dim)
-    df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(round(sum(col("xi").cast("double")) / count(lit(1)), 6).as("m"))
-      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
-    val (v, lam, tr) = iterate(collectMatrix(cov, dim), dim, iters)
-    val sg = if (v(0) < 0) -1.0 else 1.0
-    Model(v.map(_ * sg), means, lam, tr)
+    val top = fitTopK(df, idCol, vecCol, dim, k = 1, iters = iters)
+    val (v, lam) = top.components.head
+    Model(v, top.means, lam, top.trace)
   }
 }

@@ -35,8 +35,16 @@ object Extras66 extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** eps² rendered as the IEEE double Spark's `lit(eps * eps)` uses —
+    * DuckDB evaluates `0.025*0.025` in exact DECIMAL, which is one ulp
+    * off the double product, so the literal must be pre-multiplied. */
+  private def epsSqSql(eps: Double): String = {
+    val s = (eps * eps).toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
   private val q415Sql =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
        p AS MATERIALIZED (
          SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
                 CAST(embedding[2] AS DOUBLE) AS y
@@ -44,7 +52,8 @@ object Extras66 extends QueryPack {
        pr AS MATERIALIZED (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM p a JOIN p b ON a.vec_id < b.vec_id
-           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02),
+           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+               <= ${epsSqSql(0.02)}),
        deg AS (SELECT v, count(*) AS d
                FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
                GROUP BY 1),
@@ -551,7 +560,7 @@ object Extras66 extends QueryPack {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM p a JOIN p b ON a.vec_id < b.vec_id
            AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
-               <= 0.025*0.025),
+               <= ${epsSqSql(0.025)}),
        deg AS (SELECT v, count(*) AS d
                FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
                GROUP BY 1),

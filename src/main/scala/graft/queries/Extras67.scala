@@ -29,6 +29,7 @@ object Extras67 extends QueryPack {
     val daily = Tables(s, dir)("events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint() // feeds the window pass AND the totals pass
     val w = Window.partitionBy("event_type").orderBy("day")
     val pre = daily
       .withColumn("rn", row_number().over(w))
@@ -274,7 +275,12 @@ object Extras67 extends QueryPack {
     val e = Tables(s, dir)("events").filter(col("value") >= 0.01)
       .select(substring(floor(col("value") * 100).cast("long")
         .cast("string"), 1, 1).as("digit"))
-    val obs = e.groupBy("digit").agg(count(lit(1)).as("o"))
+    // all nine digits are kept even at zero observed count — a missing
+    // digit still owes its full expected mass to the chi-square (the
+    // fabricated-data case the audit exists to flag)
+    val obs = s.range(1, 10).select(col("id").cast("string").as("digit"))
+      .join(e.groupBy("digit").agg(count(lit(1)).as("c")), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("c"), lit(0L)).as("o"))
     val tot = obs.agg(sum("o").as("n"))
     val scored = obs.crossJoin(broadcast(tot))
       .withColumn("e",
@@ -299,7 +305,11 @@ object Extras67 extends QueryPack {
          SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
                        1, 1) AS digit
          FROM events WHERE value >= 0.01),
-       obs AS (SELECT digit, count(*) AS o FROM d GROUP BY 1),
+       raw AS (SELECT digit, count(*) AS c FROM d GROUP BY 1),
+       obs AS (
+         SELECT CAST(t.g AS VARCHAR) AS digit, coalesce(c, 0) AS o
+         FROM (SELECT unnest(generate_series(1, 9)) AS g) t
+         LEFT JOIN raw ON raw.digit = CAST(t.g AS VARCHAR)),
        tot AS (SELECT sum(o) AS n FROM obs),
        scored AS MATERIALIZED (
          SELECT digit, o,
@@ -364,11 +374,14 @@ object Extras67 extends QueryPack {
 
   private val q426Sql = {
     val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-    // cost of bins (i.b+1 .. j.b) from the inclusive prefix rows
+    // cost of bins (i.b+1 .. j.b) from the inclusive prefix rows; the
+    // squared sum multiplies in DOUBLE to mirror the Scala side's
+    // overflow-safe math (identical below 2^53, where it is exact)
     def cost(i: String, j: String): String =
       s"""CASE WHEN $j.cn - $i.cn = 0 THEN 0.0
           ELSE ($j.cq - $i.cq) -
-               ($j.cs - $i.cs) * ($j.cs - $i.cs)
+               CAST($j.cs - $i.cs AS DOUBLE) *
+               CAST($j.cs - $i.cs AS DOUBLE)
                  / ($j.cn - $i.cn) END"""
     s"""WITH f AS (
          SELECT doc_id,
@@ -405,7 +418,8 @@ object Extras67 extends QueryPack {
        s1 AS MATERIALIZED (
          SELECT b AS j,
            CASE WHEN cn = 0 THEN 0.0
-                ELSE cq - cs * cs / cn END AS v
+                ELSE cq - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / cn
+                END AS v
          FROM pre),
        c2 AS MATERIALIZED (
          SELECT i.b AS i, j.b AS j, s1.v + ${cost("i", "j")} AS v

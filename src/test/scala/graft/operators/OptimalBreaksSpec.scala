@@ -22,6 +22,19 @@ class OptimalBreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bs == Seq(24, 49, 74))
   }
 
+  test("sparse histograms with empty edge bins do not crash or emit -1 breaks") {
+    // regression: mass only at the extremes once crashed the backtrack
+    // (degenerate empty-prefix DP states); every segment must span >= 1
+    // bin, matching the SQL oracle's join-induced domain
+    val h1 = new Array[Long](100); h1(0) = 5; h1(99) = 3
+    val (bs1, sse1) = OptimalBreaks.breaks(h1, 4)
+    assert(bs1.forall(_ >= 0) && bs1 == bs1.sorted && bs1.distinct == bs1)
+    assert(sse1 == 0.0) // two point masses split perfectly by 4 tiers
+    val h2 = new Array[Long](100); h2(0) = 4; h2(50) = 2; h2(99) = 1
+    val (bs2, _) = OptimalBreaks.breaks(h2, 4)
+    assert(bs2.forall(_ >= 0) && bs2 == bs2.sorted && bs2.distinct == bs2)
+  }
+
   test("matches a brute-force search on a small random-ish histogram") {
     val hist = Array.tabulate(12)(i => ((i * 2654435761L) % 9 + 1))
     val (bs, sse) = OptimalBreaks.breaks(hist, 3)
