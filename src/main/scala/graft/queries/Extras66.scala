@@ -43,24 +43,24 @@ object Extras66 extends QueryPack {
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
 
-  private val q415Sql =
-    s"""WITH RECURSIVE
-       p AS MATERIALIZED (
-         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
-                CAST(embedding[2] AS DOUBLE) AS y
-         FROM embeddings),
-       pr AS MATERIALIZED (
+  /** The DBSCAN oracle chain (quadratic pairs → degrees → cores →
+    * recursive closure → border assignment), over a preceding CTE
+    * `p(vec_id, x, y)` — the SQL twin of [[graft.operators.Dbscan]],
+    * shared by q415/q421/q427. Ends with CTEs `pts`, `core_cl`,
+    * `bord`, `cores` for the caller's final SELECT. */
+  private def dbscanChainSql(eps: Double, minPts: Int): String =
+    s"""pr AS MATERIALIZED (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM p a JOIN p b ON a.vec_id < b.vec_id
            AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
-               <= ${epsSqSql(0.02)}),
+               <= ${epsSqSql(eps)}),
        deg AS (SELECT v, count(*) AS d
                FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
                GROUP BY 1),
        pts AS MATERIALIZED (
          SELECT p.vec_id, coalesce(d, 0) + 1 AS n_nb
          FROM p LEFT JOIN deg ON deg.v = p.vec_id),
-       cores AS MATERIALIZED (SELECT vec_id FROM pts WHERE n_nb >= 4),
+       cores AS MATERIALIZED (SELECT vec_id FROM pts WHERE n_nb >= $minPts),
        ce AS MATERIALIZED (
          SELECT id_a, id_b FROM pr
          JOIN cores ca ON ca.vec_id = pr.id_a
@@ -81,8 +81,10 @@ object Extras66 extends QueryPack {
          SELECT adj.v AS vec_id, min(k.cluster) AS cluster
          FROM adj JOIN core_cl k ON k.vec_id = adj.u
          WHERE adj.v NOT IN (SELECT vec_id FROM cores)
-         GROUP BY 1)
-       SELECT pts.vec_id, CAST(n_nb AS BIGINT) AS n_nb,
+         GROUP BY 1)"""
+
+  private val dbscanFinalSelectSql =
+    """SELECT pts.vec_id, CAST(n_nb AS BIGINT) AS n_nb,
               CASE WHEN k.vec_id IS NOT NULL THEN 'core'
                    WHEN b.vec_id IS NOT NULL THEN 'border'
                    ELSE 'noise' END AS role,
@@ -90,6 +92,15 @@ object Extras66 extends QueryPack {
        FROM pts LEFT JOIN core_cl k ON k.vec_id = pts.vec_id
                 LEFT JOIN bord b ON b.vec_id = pts.vec_id
        ORDER BY pts.vec_id"""
+
+  private val q415Sql =
+    s"""WITH RECURSIVE
+       p AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                CAST(embedding[2] AS DOUBLE) AS y
+         FROM embeddings),
+       ${dbscanChainSql(0.02, 4)}
+       $dbscanFinalSelectSql"""
 
   // --------------------------------------------------------------- q416
   /** ROUGE-2 clipped recall (Lin 2004) — the contamination metric the
@@ -556,49 +567,95 @@ object Extras66 extends QueryPack {
              i -> vl2.vl[i] * (CAST(e.embedding[i] AS DOUBLE) - ml[i])))
              AS y
          FROM embeddings e CROSS JOIN mr CROSS JOIN vl1 CROSS JOIN vl2),
-       pr AS MATERIALIZED (
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM p a JOIN p b ON a.vec_id < b.vec_id
-           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
-               <= ${epsSqSql(0.025)}),
-       deg AS (SELECT v, count(*) AS d
-               FROM (SELECT id_a AS v FROM pr UNION ALL SELECT id_b FROM pr)
-               GROUP BY 1),
-       pts AS MATERIALIZED (
-         SELECT p.vec_id, coalesce(d, 0) + 1 AS n_nb
-         FROM p LEFT JOIN deg ON deg.v = p.vec_id),
-       cores AS MATERIALIZED (SELECT vec_id FROM pts WHERE n_nb >= 4),
-       ce AS MATERIALIZED (
-         SELECT id_a, id_b FROM pr
-         JOIN cores ca ON ca.vec_id = pr.id_a
-         JOIN cores cb ON cb.vec_id = pr.id_b),
-       und AS MATERIALIZED (
-         SELECT id_a AS a, id_b AS b FROM ce
-         UNION SELECT id_b, id_a FROM ce),
-       cc AS (SELECT a, b FROM und
-              UNION SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
-       comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
-                FROM cc GROUP BY a),
-       core_cl AS MATERIALIZED (
-         SELECT c.vec_id, coalesce(component, c.vec_id) AS cluster
-         FROM cores c LEFT JOIN comp ON comp.vec_id = c.vec_id),
-       adj AS (SELECT id_a AS v, id_b AS u FROM pr
-               UNION ALL SELECT id_b, id_a FROM pr),
-       bord AS (
-         SELECT adj.v AS vec_id, min(k.cluster) AS cluster
-         FROM adj JOIN core_cl k ON k.vec_id = adj.u
-         WHERE adj.v NOT IN (SELECT vec_id FROM cores)
-         GROUP BY 1)
-       SELECT pts.vec_id, CAST(n_nb AS BIGINT) AS n_nb,
-              CASE WHEN k.vec_id IS NOT NULL THEN 'core'
-                   WHEN b.vec_id IS NOT NULL THEN 'border'
-                   ELSE 'noise' END AS role,
-              CAST(coalesce(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
-       FROM pts LEFT JOIN core_cl k ON k.vec_id = pts.vec_id
-                LEFT JOIN bord b ON b.vec_id = pts.vec_id
-       ORDER BY pts.vec_id"""
+       ${dbscanChainSql(0.025, 4)}
+       $dbscanFinalSelectSql"""
+
+  // --------------------------------------------------------------- q427
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between the DBSCAN
+    * corpus-map clusters and the embedding labels — EXTERNAL cluster
+    * validation: purity (q295) rewards shattering into tiny clusters,
+    * ARI's chance correction does not. Noise points become singleton
+    * clusters (-(id+1)), the full-partition convention. Everything is
+    * pair-counting combinatorics on INTEGER contingency counts — three
+    * hash-aggs on (cluster, label) and its margins, with the chance
+    * expectation's single double-division sequence written identically
+    * on both engines. (Integer nC2 overflows past ~3e9 rows; at that
+    * scale the sums switch to DOUBLE — noted, not needed here.) */
+  private def q427(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir)("embeddings")
+    val p = e.select(col("vec_id"),
+      element_at(col("embedding"), 1).as("x"),
+      element_at(col("embedding"), 2).as("y"))
+    val asg = Dbscan.cluster(p, "vec_id", "x", "y", eps = 0.02, minPts = 4)
+      .select(col("vec_id"),
+        when(col("cluster") >= 0, col("cluster"))
+          .otherwise(-(col("vec_id") + 1)).as("cl"))
+    val cont = asg.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cl", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // feeds the pair sum and both margins
+    val sij = cont.agg(sum(expr("(nij * (nij - 1)) div 2")).as("sij"),
+      sum("nij").as("n"))
+    val sa = cont.groupBy("cl").agg(sum("nij").as("a"))
+      .agg(sum(expr("(a * (a - 1)) div 2")).as("sa"),
+        count(lit(1)).as("n_clusters"))
+    val sb = cont.groupBy("label").agg(sum("nij").as("b"))
+      .agg(sum(expr("(b * (b - 1)) div 2")).as("sb"),
+        count(lit(1)).as("n_labels"))
+    val j = sij.crossJoin(sa).crossJoin(sb)
+      .withColumn("cn2", expr("(n * (n - 1)) div 2"))
+      .withColumn("exp", col("sa").cast("double") * col("sb") / col("cn2"))
+      .withColumn("den", (col("sa") + col("sb")) / lit(2.0) - col("exp"))
+    j.select(col("n").cast("long").as("n"),
+        col("n_clusters").cast("long").as("n_clusters"),
+        col("n_labels").cast("long").as("n_labels"),
+        col("sij").cast("long").as("pairs_both"),
+        col("sa").cast("long").as("pairs_cluster"),
+        col("sb").cast("long").as("pairs_label"),
+        round(when(col("den") === 0, 1.0)
+          .otherwise((col("sij") - col("exp")) / col("den")), 6).as("ari"))
+  }
+
+  private val q427Sql =
+    s"""WITH RECURSIVE
+       p AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                CAST(embedding[2] AS DOUBLE) AS y
+         FROM embeddings),
+       ${dbscanChainSql(0.02, 4)},
+       asg AS (
+         SELECT pts.vec_id,
+                coalesce(k.cluster, b.cluster, -(pts.vec_id + 1)) AS cl
+         FROM pts LEFT JOIN core_cl k ON k.vec_id = pts.vec_id
+                  LEFT JOIN bord b ON b.vec_id = pts.vec_id),
+       cont AS MATERIALIZED (
+         SELECT cl, e.label, count(*) AS nij
+         FROM asg JOIN embeddings e USING (vec_id)
+         GROUP BY 1, 2),
+       sij AS (SELECT sum((nij * (nij - 1)) // 2) AS sij, sum(nij) AS n
+               FROM cont),
+       sa AS (SELECT sum((a * (a - 1)) // 2) AS sa,
+                     count(*) AS n_clusters
+              FROM (SELECT cl, sum(nij) AS a FROM cont GROUP BY 1)),
+       sb AS (SELECT sum((b * (b - 1)) // 2) AS sb,
+                     count(*) AS n_labels
+              FROM (SELECT label, sum(nij) AS b FROM cont GROUP BY 1)),
+       j AS (
+         SELECT *, (n * (n - 1)) // 2 AS cn2,
+                CAST(sa AS DOUBLE) * sb / ((n * (n - 1)) // 2) AS expd
+         FROM sij CROSS JOIN sa CROSS JOIN sb)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(n_clusters AS BIGINT) AS n_clusters,
+              CAST(n_labels AS BIGINT) AS n_labels,
+              CAST(sij AS BIGINT) AS pairs_both,
+              CAST(sa AS BIGINT) AS pairs_cluster,
+              CAST(sb AS BIGINT) AS pairs_label,
+              round(CASE WHEN (sa + sb) / 2.0 - expd = 0 THEN 1.0
+                    ELSE (sij - expd) / ((sa + sb) / 2.0 - expd) END, 6)
+                AS ari
+       FROM j"""
 
   override def queries: Map[String, QueryFn] = Map(
+    "q427_dbscan_ari" -> q427 _,
     "q415_dbscan" -> q415 _,
     "q416_rouge2_clip" -> q416 _,
     "q417_split_leakage" -> q417 _,
@@ -608,6 +665,7 @@ object Extras66 extends QueryPack {
     "q421_corpus_map" -> q421 _)
 
   override def oracles: Map[String, String] = Map(
+    "q427_dbscan_ari" -> q427Sql,
     "q415_dbscan" -> q415Sql,
     "q416_rouge2_clip" -> q416Sql,
     "q417_split_leakage" -> q417Sql,

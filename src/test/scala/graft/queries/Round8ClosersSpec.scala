@@ -46,6 +46,18 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q427 ARI: pair counts consistent and ari within [-1, 1]") {
+    val r = SparkEntry.queries("q427_dbscan_ari")(spark, sf001).collect().head
+    val n = r.getAs[Long]("n")
+    val cn2 = n * (n - 1) / 2
+    assert(r.getAs[Long]("pairs_both") <= r.getAs[Long]("pairs_cluster"))
+    assert(r.getAs[Long]("pairs_both") <= r.getAs[Long]("pairs_label"))
+    assert(r.getAs[Long]("pairs_cluster") <= cn2 &&
+      r.getAs[Long]("pairs_label") <= cn2)
+    val ari = r.getAs[Double]("ari")
+    assert(ari >= -1.0 && ari <= 1.0)
+  }
+
   test("q422 change point: reduction is a valid non-negative SSE fraction") {
     val rows = SparkEntry.queries("q422_change_point")(spark, sf001).collect()
     assert(rows.nonEmpty)
