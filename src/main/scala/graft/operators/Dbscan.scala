@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *      projection, no data movement beyond the cell-key shuffle.
   *   2. Candidate pairs probe the 3×3 neighbor cells: a constant 9×
   *      fan-out explode on the probe side equi-joined to home cells.
-  *      In 2-D with cell side = eps this is EXACT (any pair within eps
-  *      is in same or adjacent cells), zero false negatives. Each
+  *      In 2-D with cell side = eps·(1+1e-12) this is EXACT (any pair
+  *      passing the dist² <= eps² test — including fp-rounding
+  *      admissions a few ulps over eps — is in same or adjacent
+  *      cells), zero false negatives. Each
   *      unordered pair survives `id_a < id_b` exactly once: the
   *      (a probes, b home) row passes iff a < b and the mirrored
   *      (b probes, a home) row iff b < a — no DISTINCT needed.
@@ -47,11 +49,20 @@ object Dbscan {
     *         density component (-1 for noise). */
   def cluster(df: DataFrame, idCol: String, xCol: String, yCol: String,
               eps: Double, minPts: Int): DataFrame = {
+    // cell side is eps inflated by 1e-12 relative: in exact arithmetic a
+    // pair within eps spans adjacent cells, but fp rounding can admit a
+    // pair whose true distance is a few ulps OVER eps (dist² rounds
+    // down into <= eps²) while its cell quotients land 2 apart — the
+    // slack re-covers that sliver. Inflation only ADDS candidates (the
+    // exact dist² predicate below still decides membership), so the
+    // result is unchanged and the zero-false-negative contract is
+    // airtight rather than ulp-lucky.
+    val cell = eps * (1.0 + 1e-12)
     val p = df
       .select(col(idCol).cast("long").as("vec_id"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .withColumn("cx", floor(col("x") / eps))
-      .withColumn("cy", floor(col("y") / eps))
+      .withColumn("cx", floor(col("x") / cell))
+      .withColumn("cy", floor(col("y") / cell))
     // p is deliberately NOT checkpointed: it is a corpus-sized narrow
     // projection (recomputing 3 columns off the scan is cheaper than
     // materializing the corpus); `pairs` below IS, because its three

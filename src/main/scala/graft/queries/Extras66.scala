@@ -36,12 +36,10 @@ object Extras66 extends QueryPack {
   }
 
   /** eps² rendered as the IEEE double Spark's `lit(eps * eps)` uses —
-    * DuckDB evaluates `0.025*0.025` in exact DECIMAL, which is one ulp
-    * off the double product, so the literal must be pre-multiplied. */
-  private def epsSqSql(eps: Double): String = {
-    val s = (eps * eps).toString
-    if (s.contains("E") || s.contains("e")) s else s + "e0"
-  }
+    * DuckDB would evaluate `0.025*0.025` in exact DECIMAL, one ulp off
+    * the double product, so the product is pre-multiplied here and
+    * rendered via [[OracleVec.doubleLit]]. */
+  private def epsSqSql(eps: Double): String = OracleVec.doubleLit(eps * eps)
 
   /** The DBSCAN oracle chain (quadratic pairs → degrees → cores →
     * recursive closure → border assignment), over a preceding CTE
@@ -233,14 +231,13 @@ object Extras66 extends QueryPack {
   }
 
   private val q417Sql = {
-    import OracleVec.{dotSql => dot, normSql => nrm}
+    // cosSql carries the zero-norm guard matching Similarity.nearDupPairs
     s"""WITH RECURSIVE
        p AS MATERIALIZED (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE ${dot("a.embedding", "b.embedding")} /
-               (${nrm("a.embedding")} * ${nrm("b.embedding")}) >= 0.3),
+         WHERE ${OracleVec.cosSql("a.embedding", "b.embedding")} >= 0.3),
        und AS MATERIALIZED (
          SELECT id_a AS a, id_b AS b FROM p
          UNION SELECT id_b, id_a FROM p),

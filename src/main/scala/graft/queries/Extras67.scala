@@ -188,6 +188,31 @@ object Extras67 extends QueryPack {
        FROM runmin CROSS JOIN prefix
        ORDER BY source"""
 
+  /** DuckDB twin of QualityClassifier.defaultModel's LOGIT as the
+    * shared `f`/`d` CTE prefix (ends at `d(doc_id[, extra], z)`) —
+    * one source of truth for q424/q426, the dbscanChainSql /
+    * pcaFitChainSql discipline. */
+  private def logitChainSql(extraCols: String): String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""f AS (
+         SELECT doc_id$extraCols,
+           CAST(len($toksSql) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(list_filter($toksSql,
+             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
+         FROM documents),
+       d AS MATERIALIZED (
+         SELECT doc_id$extraCols,
+           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
+                + (n_stop / greatest(n_tok, 1.0)) * 6.0
+                + (n_punct / greatest(n_chars, 1.0)) * -8.0
+                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+         FROM f)"""
+  }
+
   // --------------------------------------------------------------- q424
   /** Cross-source QUANTILE NORMALIZATION of the quality signal — the
     * calibration step before comparing or thresholding quality across
@@ -225,24 +250,7 @@ object Extras67 extends QueryPack {
   }
 
   private val q424Sql = {
-    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-    s"""WITH f AS (
-         SELECT doc_id, source,
-           CAST(len($toksSql) AS DOUBLE) AS n_tok,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter($toksSql,
-             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
-           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
-         FROM documents),
-       d AS MATERIALIZED (
-         SELECT doc_id, source,
-           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
-                + (n_stop / greatest(n_tok, 1.0)) * 6.0
-                + (n_punct / greatest(n_chars, 1.0)) * -8.0
-                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
-         FROM f),
+    s"""WITH ${logitChainSql(", source")},
        ref AS (
          SELECT pb, max(z) AS ref
          FROM (SELECT z, ntile(10) OVER (ORDER BY z, doc_id) AS pb FROM d)
@@ -272,7 +280,11 @@ object Extras67 extends QueryPack {
     * decimal string — exact. One corpus hash-agg on 9 groups; the
     * chi-square is a 9-term fold rounded once. */
   private def q425(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir)("events").filter(col("value") >= 0.01)
+    // upper clamp keeps floor(value*100) castable to BIGINT on BOTH
+    // engines (DuckDB raises on out-of-range doubles where Spark
+    // saturates); values past 1e15 are feed corruption anyway
+    val e = Tables(s, dir)("events")
+      .filter(col("value") >= 0.01 && col("value") < 1e15)
       .select(substring(floor(col("value") * 100).cast("long")
         .cast("string"), 1, 1).as("digit"))
     // all nine digits are kept even at zero observed count — a missing
@@ -304,7 +316,7 @@ object Extras67 extends QueryPack {
     """WITH d AS MATERIALIZED (
          SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
                        1, 1) AS digit
-         FROM events WHERE value >= 0.01),
+         FROM events WHERE value >= 0.01 AND value < 1e15),
        raw AS (SELECT digit, count(*) AS c FROM d GROUP BY 1),
        obs AS (
          SELECT CAST(t.g AS VARCHAR) AS digit, coalesce(c, 0) AS o
@@ -345,10 +357,15 @@ object Extras67 extends QueryPack {
       QualityClassifier.defaultModel(col("text")))
     val d = Tables(s, dir)("documents").select(col("doc_id"), z.as("z"))
     val st = d.agg(min("z").as("zmin"), max("z").as("zmax"))
+    // degenerate all-equal-logit corpora pin to bin 0 explicitly —
+    // Spark's floor(0/0)=floor(NaN)=0 vs DuckDB's 0/0=NULL would
+    // otherwise diverge
     val db = d.crossJoin(broadcast(st))
       .withColumn("b",
-        least(floor((col("z") - col("zmin")) / (col("zmax") - col("zmin"))
-          * 100), lit(99L)).cast("int"))
+        when(col("zmax") === col("zmin"), lit(0L))
+          .otherwise(least(
+            floor((col("z") - col("zmin")) / (col("zmax") - col("zmin"))
+              * 100), lit(99L))).cast("int"))
       .localCheckpoint() // feeds the histogram collect and the rollup
     val hist = new Array[Long](100)
     db.groupBy("b").agg(count(lit(1)).as("c"))
@@ -383,28 +400,13 @@ object Extras67 extends QueryPack {
                CAST($j.cs - $i.cs AS DOUBLE) *
                CAST($j.cs - $i.cs AS DOUBLE)
                  / ($j.cn - $i.cn) END"""
-    s"""WITH f AS (
-         SELECT doc_id,
-           CAST(len($toksSql) AS DOUBLE) AS n_tok,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter($toksSql,
-             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
-           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
-         FROM documents),
-       d AS (
-         SELECT doc_id,
-           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
-                + (n_stop / greatest(n_tok, 1.0)) * 6.0
-                + (n_punct / greatest(n_chars, 1.0)) * -8.0
-                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
-         FROM f),
+    s"""WITH ${logitChainSql("")},
        st AS (SELECT min(z) AS zmin, max(z) AS zmax FROM d),
        db AS MATERIALIZED (
          SELECT doc_id, z,
-           least(CAST(floor((z - zmin) / (zmax - zmin) * 100) AS BIGINT),
-                 99) AS b
+           CASE WHEN zmax = zmin THEN 0
+                ELSE least(CAST(floor((z - zmin) / (zmax - zmin) * 100)
+                             AS BIGINT), 99) END AS b
          FROM d CROSS JOIN st),
        hist AS (SELECT b, count(*) AS c FROM db GROUP BY 1),
        bins AS (

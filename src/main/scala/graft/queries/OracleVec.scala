@@ -24,13 +24,19 @@ private[queries] object OracleVec {
     s"""CASE WHEN ${normSql(a, dim)} * ${normSql(b, dim)} = 0 THEN 0.0
         ELSE ${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}) END"""
 
+  /** A Scala double as a DuckDB DOUBLE literal: shortest repr with an
+    * 'e0' suffix so DuckDB parses it as DOUBLE (a bare decimal would
+    * be DECIMAL-exact and can sit one ulp off the IEEE value Spark
+    * computes — e.g. 0.025*0.025). */
+  def doubleLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
   /** Hyperplane `bit` of the shared SRP family as a DuckDB list
-    * literal (doubles round-tripped via shortest repr + 'e0'). */
+    * literal (doubles round-tripped via [[doubleLit]]). */
   def hpList(bit: Int, dim: Int = 64): String =
     graft.operators.Similarity.hyperplane(bit, dim)
-      .map { d =>
-        val s = d.toString
-        if (s.contains("E") || s.contains("e")) s else s + "e0"
-      }
+      .map(doubleLit)
       .mkString("[", ", ", "]")
 }
