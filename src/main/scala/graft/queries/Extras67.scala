@@ -464,7 +464,92 @@ object Extras67 extends QueryPack {
        FROM tiers GROUP BY tier ORDER BY tier"""
   }
 
+  // --------------------------------------------------------------- q428
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus
+    * keywords = the top PageRank mass in the word CO-OCCURRENCE graph
+    * (adjacent-token pairs, both directions, count-weighted) — the
+    * graph-centrality upgrade over raw frequency (q185-style counts)
+    * and tf-idf: a word ranks high when it neighbors other
+    * high-ranking words, not merely when it is common. Composition:
+    * the q406 lowercase-letter-run lexer, stopword/short-token edge
+    * filter, [[graft.operators.PageRank.runWeighted]] for 5
+    * iterations (the q372 discipline — integer-ratio weights, unrolled
+    * CTE oracle, cross-engine float noise ~1e-15 absorbed by
+    * round(6)), and a top-20 ordered on the ROUNDED rank so exact-tie
+    * words break on the word itself identically everywhere. 100 TB
+    * shape: one (src, dst) hash-agg builds the graph; iterations touch
+    * only the vocabulary-sized edge relation, never the corpus. */
+  private def q428(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PageRank, SubstringDedup}
+    val stop = Seq("the", "a", "of", "to", "and")
+    val toks = Tables(s, dir)("documents")
+      .select(SubstringDedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val prs = toks.select(explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= 3 && length(col("b")) >= 3 &&
+        col("a") =!= col("b") &&
+        !col("a").isin(stop: _*) && !col("b").isin(stop: _*))
+    val edges = prs.select(col("a").as("src"), col("b").as("dst"))
+      .union(prs.select(col("b"), col("a")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    PageRank.runWeighted(edges, iters = 5)
+      .select(col("node").as("word"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(20)
+  }
+
+  private val q428Sql = {
+    val stopSql = "('the', 'a', 'of', 'to', 'and')"
+    val base =
+      s"""WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+             w -> w <> '') AS t
+           FROM documents),
+         prs AS MATERIALIZED (
+           SELECT u.p.a AS a, u.p.b AS b
+           FROM (SELECT list_transform(generate_series(1, len(t) - 1),
+                   i -> {'a': t[i], 'b': t[i+1]}) AS ps
+                 FROM toks WHERE len(t) >= 2),
+                unnest(ps) AS u(p)
+           WHERE length(u.p.a) >= 3 AND length(u.p.b) >= 3
+             AND u.p.a <> u.p.b
+             AND u.p.a NOT IN $stopSql AND u.p.b NOT IN $stopSql),
+         e AS MATERIALIZED (
+           SELECT src, dst, count(*) AS w
+           FROM (SELECT a AS src, b AS dst FROM prs
+                 UNION ALL SELECT b, a FROM prs)
+           GROUP BY 1, 2),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         ow AS MATERIALIZED (
+           SELECT src, sum(w) AS tw FROM e GROUP BY src),
+         pr0 AS MATERIALIZED (
+           SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    val iters = (1 to 5).map { k =>
+      s""",
+         pr$k AS MATERIALIZED (
+           SELECT n.node,
+                  (1.0::DOUBLE - 0.85::DOUBLE)
+                    + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.rank * e.w / ow.tw) AS mass
+             FROM pr${k - 1} p
+             JOIN e ON p.node = e.src
+             JOIN ow ON e.src = ow.src
+             GROUP BY 1) m ON n.node = m.node)"""
+    }.mkString
+    base + iters +
+      """
+       SELECT node AS word, round(rank, 6) AS rank FROM pr5
+       ORDER BY round(rank, 6) DESC, node LIMIT 20"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "q428_textrank" -> q428 _,
     "q426_jenks_tiers" -> q426 _,
     "q422_change_point" -> q422 _,
     "q423_unimax_budget" -> q423 _,
@@ -472,6 +557,7 @@ object Extras67 extends QueryPack {
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q428_textrank" -> q428Sql,
     "q426_jenks_tiers" -> q426Sql,
     "q422_change_point" -> q422Sql,
     "q423_unimax_budget" -> q423Sql,

@@ -46,6 +46,19 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q428 TextRank: 20 ranked keywords, no stopwords, positive mass") {
+    val rows = SparkEntry.queries("q428_textrank")(spark, sf001).collect()
+    assert(rows.length == 20)
+    val stop = Set("the", "a", "of", "to", "and")
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(w.length >= 3 && !stop(w))
+    }
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("q427 ARI: pair counts consistent and ari within [-1, 1]") {
     val r = SparkEntry.queries("q427_dbscan_ari")(spark, sf001).collect().head
     val n = r.getAs[Long]("n")
