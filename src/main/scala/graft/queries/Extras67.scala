@@ -548,7 +548,106 @@ object Extras67 extends QueryPack {
        ORDER BY round(rank, 6) DESC, node LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- q429
+  /** Newman WEIGHTED MODULARITY of the region partition over the
+    * nation trade graph — "is trade volume region-assortative?": Q =
+    * within/(2m) − Σ_c D_c²/(2m)², the gap between observed
+    * within-region weight and the degree-preserving null model. The
+    * same number scores ANY candidate partition (near-dup communities,
+    * label blocks) against any graph here. Determinism: the graph is
+    * symmetrized integer counts (self-loops excluded), so `within`,
+    * D_c and 2m are EXACT integers, Σ_c D_c² is an exact integer sum,
+    * and Q is two double divisions in a fixed order — no float folds
+    * anywhere (the 2m² product is computed in DOUBLE for the 100 TB
+    * case where it would overflow BIGINT). One edges hash-agg + a
+    * region-keyed rollup. */
+  private def q429(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e0 = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
+      .agg(count(lit(1)).as("c"))
+    // symmetric weights: A(i,j) = c(i->j) + c(j->i), kept as ORDERED
+    // pairs so within-community weight double-counts like 2m does
+    val a = e0.select(col("i"), col("j"), col("c"))
+      .union(e0.select(col("j"), col("i"), col("c")))
+      .groupBy("i", "j").agg(sum("c").as("w"))
+      .localCheckpoint() // feeds degrees AND the within-region sum
+    val reg = t("nation").join(t("region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nk"), col("r_name").as("region"))
+    val k = a.groupBy("i").agg(sum("w").as("k"))
+      .join(broadcast(reg), col("i") === col("nk"))
+    val dc = k.groupBy("region").agg(sum("k").as("d_c"))
+    val within = a
+      .join(broadcast(reg.select(col("nk").as("i"), col("region").as("ri"))), Seq("i"))
+      .join(broadcast(reg.select(col("nk").as("j"), col("region").as("rj"))), Seq("j"))
+      .filter(col("ri") === col("rj"))
+      .groupBy(col("ri").as("region")).agg(sum("w").as("w_in"))
+    val tot = dc.agg(sum("d_c").as("m2"),
+      sum(col("d_c") * col("d_c")).as("sd2"))
+      .crossJoin(dc.join(within, Seq("region"), "left")
+        .agg(sum(coalesce(col("w_in"), lit(0L))).as("w_in_all")))
+    val q = tot.select(
+      (col("w_in_all").cast("double") / col("m2") -
+        col("sd2").cast("double") /
+          (col("m2").cast("double") * col("m2"))).as("q"))
+    dc.join(within, Seq("region"), "left")
+      .crossJoin(broadcast(q))
+      .select(col("region"),
+        col("d_c").cast("long").as("degree_mass"),
+        coalesce(col("w_in"), lit(0L)).cast("long").as("within_weight"),
+        round(col("q"), 6).as("modularity"))
+      .orderBy("region")
+  }
+
+  private val q429Sql =
+    """WITH e0 AS MATERIALIZED (
+         SELECT c_nationkey AS i, s_nationkey AS j, count(*) AS c
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE c_nationkey <> s_nationkey
+         GROUP BY 1, 2),
+       a AS MATERIALIZED (
+         SELECT i, j, sum(c) AS w
+         FROM (SELECT i, j, c FROM e0 UNION ALL SELECT j, i, c FROM e0)
+         GROUP BY 1, 2),
+       reg AS MATERIALIZED (
+         SELECT n_nationkey AS nk, r_name AS region
+         FROM nation JOIN region ON n_regionkey = r_regionkey),
+       k AS (SELECT a.i, sum(a.w) AS k, reg.region
+             FROM a JOIN reg ON reg.nk = a.i GROUP BY 1, 3),
+       dc AS MATERIALIZED (
+         SELECT region, sum(k) AS d_c FROM k GROUP BY 1),
+       win AS MATERIALIZED (
+         SELECT ri.region, sum(a.w) AS w_in
+         FROM a JOIN reg ri ON ri.nk = a.i
+                JOIN reg rj ON rj.nk = a.j
+         WHERE ri.region = rj.region
+         GROUP BY 1),
+       tot AS (
+         SELECT (SELECT sum(d_c) FROM dc) AS m2,
+                (SELECT sum(d_c * d_c) FROM dc) AS sd2,
+                (SELECT sum(coalesce(w_in, 0))
+                 FROM dc LEFT JOIN win USING (region)) AS w_in_all),
+       q AS (
+         SELECT CAST(w_in_all AS DOUBLE) / m2 -
+                CAST(sd2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2) AS q
+         FROM tot)
+       SELECT dc.region,
+              CAST(d_c AS BIGINT) AS degree_mass,
+              CAST(coalesce(w_in, 0) AS BIGINT) AS within_weight,
+              round(q.q, 6) AS modularity
+       FROM dc LEFT JOIN win USING (region) CROSS JOIN q
+       ORDER BY dc.region"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "q429_modularity" -> q429 _,
     "q428_textrank" -> q428 _,
     "q426_jenks_tiers" -> q426 _,
     "q422_change_point" -> q422 _,
@@ -557,6 +656,7 @@ object Extras67 extends QueryPack {
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q429_modularity" -> q429Sql,
     "q428_textrank" -> q428Sql,
     "q426_jenks_tiers" -> q426Sql,
     "q422_change_point" -> q422Sql,

@@ -59,6 +59,16 @@ class Round8ClosersSpec extends GraftTestBase {
     assert(ranks.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("q429 modularity: Q within [-0.5, 1], within-weight bounded by degree mass") {
+    val rows = SparkEntry.queries("q429_modularity")(spark, sf001).collect()
+    assert(rows.length == 5)
+    val q = rows.map(_.getAs[Double]("modularity")).distinct
+    assert(q.length == 1 && q.head >= -0.5 && q.head <= 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("within_weight") <= r.getAs[Long]("degree_mass"))
+    }
+  }
+
   test("q427 ARI: pair counts consistent and ari within [-1, 1]") {
     val r = SparkEntry.queries("q427_dbscan_ari")(spark, sf001).collect().head
     val n = r.getAs[Long]("n")
