@@ -646,7 +646,92 @@ object Extras67 extends QueryPack {
        FROM dc LEFT JOIN win USING (region) CROSS JOIN q
        ORDER BY dc.region"""
 
+  // --------------------------------------------------------------- q430
+  /** Degree ASSORTATIVITY (Newman 2002) of the embedding near-dup
+    * graph — do highly-duplicated documents link to other
+    * highly-duplicated ones (r > 0: boilerplate families chain into
+    * hubs) or to isolated near-singletons (r < 0)? Pearson correlation
+    * of endpoint degrees over the directed symmetric edge list: every
+    * sum (M, Σk, Σk², Σk_i·k_j) is an EXACT integer aggregate, and r
+    * is one fixed-order double expression at the end — the same
+    * no-float-folds discipline as q429. Graph = the q65 blocked
+    * near-dup pairs; degrees are per-node integer counts. */
+  private def q430(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val pairs = Similarity.nearDupPairs(Tables(s, dir)("embeddings"),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val und = pairs.select(col("id_a").as("i"), col("id_b").as("j"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .localCheckpoint() // feeds the degree agg AND the edge scan
+    val deg = und.groupBy("i").agg(count(lit(1)).as("k"))
+    val ej = und
+      .join(deg.select(col("i"), col("k").as("ka")), Seq("i"))
+      .join(deg.select(col("i").as("j"), col("k").as("kb")), Seq("j"))
+    val sums = ej.agg(count(lit(1)).as("m"),
+      sum("ka").as("sx"), sum("kb").as("sy"),
+      sum(col("ka") * col("kb")).as("sxy"),
+      sum(col("ka") * col("ka")).as("sxx"),
+      sum(col("kb") * col("kb")).as("syy"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    val md = col("m").cast("double")
+    val num = col("sxy").cast("double") / md -
+      (col("sx").cast("double") / md) * (col("sy").cast("double") / md)
+    val vx = col("sxx").cast("double") / md -
+      (col("sx").cast("double") / md) * (col("sx").cast("double") / md)
+    val vy = col("syy").cast("double") / md -
+      (col("sy").cast("double") / md) * (col("sy").cast("double") / md)
+    sums.select(col("n_nodes").cast("long").as("n_nodes"),
+      (col("m") / 2).cast("long").as("n_edges"),
+      round(when(vx * vy === 0, 0.0)
+        .otherwise(num / sqrt(vx * vy)), 6).as("assortativity"))
+  }
+
+  private val q430Sql =
+    s"""WITH p AS MATERIALIZED (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${OracleVec.cosSql("a.embedding", "b.embedding")} >= 0.3),
+       und AS MATERIALIZED (
+         SELECT id_a AS i, id_b AS j FROM p
+         UNION ALL SELECT id_b, id_a FROM p),
+       deg AS MATERIALIZED (SELECT i, count(*) AS k FROM und GROUP BY 1),
+       ej AS (
+         SELECT da.k AS ka, db.k AS kb
+         FROM und JOIN deg da ON da.i = und.i
+                  JOIN deg db ON db.i = und.j),
+       sums AS (
+         SELECT count(*) AS m, sum(ka) AS sx, sum(kb) AS sy,
+                sum(ka * kb) AS sxy, sum(ka * ka) AS sxx,
+                sum(kb * kb) AS syy,
+                (SELECT count(*) FROM deg) AS n_nodes
+         FROM ej)
+       SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(m // 2 AS BIGINT) AS n_edges,
+              round(CASE WHEN
+                  (CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE) -
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))) *
+                  (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE) -
+                   (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))) = 0
+                THEN 0.0
+                ELSE (CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE) -
+                      (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) *
+                      (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))) /
+                     sqrt(
+                  (CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE) -
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))) *
+                  (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE) -
+                   (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))))
+                END, 6) AS assortativity
+       FROM sums"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "q430_assortativity" -> q430 _,
     "q429_modularity" -> q429 _,
     "q428_textrank" -> q428 _,
     "q426_jenks_tiers" -> q426 _,
@@ -656,6 +741,7 @@ object Extras67 extends QueryPack {
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q430_assortativity" -> q430Sql,
     "q429_modularity" -> q429Sql,
     "q428_textrank" -> q428Sql,
     "q426_jenks_tiers" -> q426Sql,

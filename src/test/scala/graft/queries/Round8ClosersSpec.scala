@@ -69,6 +69,14 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q430 assortativity: r within [-1, 1] on a non-empty near-dup graph") {
+    val r = SparkEntry.queries("q430_assortativity")(spark, sf001)
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") > 0 && r.getAs[Long]("n_edges") > 0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+  }
+
   test("q427 ARI: pair counts consistent and ari within [-1, 1]") {
     val r = SparkEntry.queries("q427_dbscan_ari")(spark, sf001).collect().head
     val n = r.getAs[Long]("n")
