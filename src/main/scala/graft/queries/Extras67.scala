@@ -730,7 +730,193 @@ object Extras67 extends QueryPack {
                 END, 6) AS assortativity
        FROM sums"""
 
+  // --------------------------------------------------------------- q431
+  /** MANN-KENDALL trend test per event type — the nonparametric "is
+    * this feed drifting" companion to q422's change point (a change
+    * point is a STEP; this detects monotone DRIFT, robust to
+    * distribution shape): S = Σ_{i<j} sgn(x_j − x_i) over the daily
+    * count series, tie-corrected variance, and the ±1-continuity
+    * Z score with the 1.96 two-sided call. Everything is integers (S,
+    * the tie-group cubic sums, the 18ths numerator) until the final
+    * Z division — no float folds. The pair join is quadratic in DAYS
+    * (365² per series, not corpus-sized) after the one (type, day)
+    * corpus hash-agg. */
+  private def q431(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir)("events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both pair sides, ties, and totals
+    val a = daily.select(col("event_type"), col("day").as("di"), col("c").as("xi"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("c").as("xj"))
+    val sRel = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val z = n.join(ties, Seq("event_type")).join(sRel, Seq("event_type"))
+      .withColumn("vr",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+          .cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("vr")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("vr")))
+          .otherwise(0.0))
+    z.select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("s"),
+        round(col("vr"), 6).as("variance"),
+        round(col("z"), 6).as("z"),
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val q431Sql =
+    """WITH daily AS MATERIALIZED (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       s_rel AS (
+         SELECT a.event_type,
+                sum(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) AS s
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.day < b.day
+         GROUP BY 1),
+       ties AS (
+         SELECT event_type,
+                sum(t * (t - 1) * (2 * t + 5)) AS tsum
+         FROM (SELECT event_type, c, count(*) AS t
+               FROM daily GROUP BY 1, 2)
+         GROUP BY 1),
+       n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+       z AS (
+         SELECT n.event_type, n.n, s_rel.s,
+                CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tsum
+                  AS DOUBLE) / 18.0 AS vr
+         FROM n JOIN ties USING (event_type)
+                JOIN s_rel USING (event_type))
+       SELECT event_type, CAST(n AS BIGINT) AS n_days,
+              CAST(s AS BIGINT) AS s,
+              round(vr, 6) AS variance,
+              round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                         ELSE 0.0 END, 6) AS z,
+              CASE WHEN (CASE WHEN s > 0
+                           THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                           WHEN s < 0
+                           THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                           ELSE 0.0 END) >= 1.96 THEN 'increasing'
+                   WHEN (CASE WHEN s > 0
+                           THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                           WHEN s < 0
+                           THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                           ELSE 0.0 END) <= -1.96 THEN 'decreasing'
+                   ELSE 'no_trend' END AS trend
+       FROM z ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q432
+  /** THEIL-SEN robust slope per event type — the drift MAGNITUDE next
+    * to q431's drift test: the median of all pairwise slopes
+    * (x_j − x_i)/(rank_j − rank_i) shrugs off outlier days that wreck
+    * a least-squares fit (q414's Zipf fit shows the OLS discipline;
+    * this is its robust counterpart). Each slope is ONE double
+    * division of exact integers (IEEE-identical both engines); the
+    * median is rank-selected under a (slope, i, j) total order — odd
+    * count takes the middle row, even count averages the two middles
+    * in fixed order. Intercept = median(x_i − slope·rank_i), same
+    * selection. Quadratic in days per series, never corpus-sized. */
+  private def q432(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir)("events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ranked = daily.withColumn("rn", row_number().over(w))
+      .localCheckpoint() // feeds both pair sides and the residuals
+    val a = ranked.select(col("event_type"), col("rn").as("i"), col("c").as("xi"))
+    val b = ranked.select(col("event_type"), col("rn").as("j"), col("c").as("xj"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("i") < col("j"))
+      .select(col("event_type"),
+        ((col("xj") - col("xi")).cast("double") /
+          (col("j") - col("i"))).as("sl"), col("i"), col("j"))
+    def medianOf(df: DataFrame, valCol: String,
+                 tieCols: Seq[String]): DataFrame = {
+      val ord = (col(valCol) +: tieCols.map(col)).map(_.asc)
+      val ww = Window.partitionBy("event_type").orderBy(ord: _*)
+      val wp = Window.partitionBy("event_type")
+      df.withColumn("r", row_number().over(ww))
+        .withColumn("m", count(lit(1)).over(wp))
+        .filter(col("r") === expr("(m + 1) div 2") ||
+          col("r") === expr("(m + 2) div 2"))
+        .groupBy("event_type")
+        .agg((sum(col(valCol)) /
+          when(pmod(max("m"), lit(2)) === 1, 1.0).otherwise(2.0)).as("med"))
+    }
+    val slope = medianOf(slopes, "sl", Seq("i", "j"))
+      .withColumnRenamed("med", "slope")
+    val resid = ranked.join(slope, Seq("event_type"))
+      .select(col("event_type"),
+        (col("c").cast("double") - col("slope") * col("rn")).as("rs"),
+        col("rn"), col("slope"))
+    val intercept = medianOf(resid.select(col("event_type"), col("rs"),
+        col("rn")), "rs", Seq("rn"))
+      .withColumnRenamed("med", "intercept")
+    slope.join(intercept, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val q432Sql = {
+    // median under a (val, ties...) total order: middle row for odd m,
+    // mean of the two middles for even (integer (m+1)//2 and (m+2)//2
+    // coincide when odd)
+    def medianSql(rel: String, v: String, ties: String): String =
+      s"""SELECT event_type,
+            sum(CASE WHEN r = (m + 1) // 2 OR r = (m + 2) // 2
+                THEN $v ELSE 0.0 END) /
+            (CASE WHEN m % 2 = 1 THEN 1.0 ELSE 2.0 END) AS med
+          FROM (SELECT event_type, $v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY $v, $ties) AS r,
+                  count(*) OVER (PARTITION BY event_type) AS m
+                FROM $rel)
+          GROUP BY event_type, m"""
+    s"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       ranked AS MATERIALIZED (
+         SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         FROM daily),
+       slopes AS MATERIALIZED (
+         SELECT a.event_type,
+                CAST(b.c - a.c AS DOUBLE) / (b.rn - a.rn) AS sl,
+                a.rn AS i, b.rn AS j
+         FROM ranked a JOIN ranked b
+           ON a.event_type = b.event_type AND a.rn < b.rn),
+       slope AS MATERIALIZED (
+         ${medianSql("slopes", "sl", "i, j")}),
+       resid AS (
+         SELECT r.event_type,
+                CAST(r.c AS DOUBLE) - slope.med * r.rn AS rs, r.rn
+         FROM ranked r JOIN slope ON slope.event_type = r.event_type),
+       icept AS (
+         ${medianSql("resid", "rs", "rn")})
+       SELECT slope.event_type,
+              round(slope.med, 6) AS slope,
+              round(icept.med, 6) AS intercept
+       FROM slope JOIN icept ON icept.event_type = slope.event_type
+       ORDER BY slope.event_type"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "q431_mann_kendall" -> q431 _,
+    "q432_theil_sen" -> q432 _,
     "q430_assortativity" -> q430 _,
     "q429_modularity" -> q429 _,
     "q428_textrank" -> q428 _,
@@ -741,6 +927,8 @@ object Extras67 extends QueryPack {
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q431_mann_kendall" -> q431Sql,
+    "q432_theil_sen" -> q432Sql,
     "q430_assortativity" -> q430Sql,
     "q429_modularity" -> q429Sql,
     "q428_textrank" -> q428Sql,

@@ -77,6 +77,39 @@ class Round8ClosersSpec extends GraftTestBase {
     assert(a >= -1.0 && a <= 1.0)
   }
 
+  test("q431 Mann-Kendall: S bounded by pair count, trend call matches z") {
+    val rows = SparkEntry.queries("q431_mann_kendall")(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val s = r.getAs[Long]("s")
+      assert(math.abs(s) <= n * (n - 1) / 2)
+      val z = r.getAs[Double]("z")
+      val t = r.getAs[String]("trend")
+      assert((z >= 1.96) == (t == "increasing"))
+      assert((z <= -1.96) == (t == "decreasing"))
+    }
+  }
+
+  test("q432 Theil-Sen: the fitted line roughly centers the daily series") {
+    import org.apache.spark.sql.functions._
+    val fit = SparkEntry.queries("q432_theil_sen")(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("intercept")))).toMap
+    val daily = graft.Tables(spark, sf001)("events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    daily.foreach { case (et, rows) =>
+      val (sl, ic) = fit(et)
+      val xs = rows.map(_.getAs[Double]("c")).sorted
+      // robust-fit level at mid-series stays within the value range
+      val mid = ic + sl * (rows.length / 2.0)
+      assert(mid >= xs.head - 1 && mid <= xs.last + 1,
+        s"$et: mid-series fit $mid outside [${xs.head}, ${xs.last}]")
+    }
+  }
+
   test("q427 ARI: pair counts consistent and ari within [-1, 1]") {
     val r = SparkEntry.queries("q427_dbscan_ari")(spark, sf001).collect().head
     val n = r.getAs[Long]("n")
