@@ -7,10 +7,11 @@ import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{ConnectedComponents, Dbscan, Pca, Similarity}
 
-/** Round-8 pack, part 9: grid-blocked DBSCAN over the 2-D corpus map
-  * (q415), ROUGE-2 clipped-recall contamination scoring (q416), the
-  * cluster-aware split leakage audit (q417), and the PCA spectrum
-  * probe + reconstruction-error outliers (q418/q419).
+/** Round-8 pack, part 9: the corpus-map family — grid-blocked DBSCAN
+  * (q415), ROUGE-2 clipped-recall contamination (q416), the
+  * cluster-aware split leakage audit (q417), the PCA spectrum probe /
+  * outliers / top-2 deflation (q418-q420), the end-to-end projected
+  * corpus map (q421), and its ARI external validation (q427).
   */
 object Extras66 extends QueryPack {
 

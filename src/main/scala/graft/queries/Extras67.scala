@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Round-8 pack, part 10: ingestion change-point detection (q422) and
-  * UniMax-style token-budget water-filling (q423).
+/** Round-8 pack, part 10: feed telemetry and allocation — change-point
+  * detection (q422), UniMax budget water-filling (q423), quantile
+  * normalization (q424), the Benford audit (q425), Jenks quality tiers
+  * (q426), TextRank keywords (q428), modularity/assortativity graph
+  * diagnostics (q429/q430), and the Mann-Kendall + Theil-Sen drift
+  * pair (q431/q432).
   */
 object Extras67 extends QueryPack {
 
