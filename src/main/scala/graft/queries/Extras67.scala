@@ -560,10 +560,12 @@ object Extras67 extends QueryPack {
     * same number scores ANY candidate partition (near-dup communities,
     * label blocks) against any graph here. Determinism: the graph is
     * symmetrized integer counts (self-loops excluded), so `within`,
-    * D_c and 2m are EXACT integers, Σ_c D_c² is an exact integer sum,
-    * and Q is two double divisions in a fixed order — no float folds
-    * anywhere (the 2m² product is computed in DOUBLE for the 100 TB
-    * case where it would overflow BIGINT). One edges hash-agg + a
+    * D_c and 2m are EXACT integers; Σ_c D_c² multiplies and sums in
+    * DECIMAL(38,0) on the Spark side, mirroring DuckDB's HUGEINT
+    * promotion (a raw Long product would wrap silently past D_c ≈ 3e9
+    * — exactly the 100 TB community masses); Q is then two double
+    * divisions in a fixed order — no float folds anywhere (the 2m²
+    * product is likewise computed in DOUBLE). One edges hash-agg + a
     * region-keyed rollup. */
   private def q429(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -592,7 +594,7 @@ object Extras67 extends QueryPack {
       .filter(col("ri") === col("rj"))
       .groupBy(col("ri").as("region")).agg(sum("w").as("w_in"))
     val tot = dc.agg(sum("d_c").as("m2"),
-      sum(col("d_c") * col("d_c")).as("sd2"))
+      sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("sd2"))
       .crossJoin(dc.join(within, Seq("region"), "left")
         .agg(sum(coalesce(col("w_in"), lit(0L))).as("w_in_all")))
     val q = tot.select(
@@ -636,7 +638,7 @@ object Extras67 extends QueryPack {
          GROUP BY 1),
        tot AS (
          SELECT (SELECT sum(d_c) FROM dc) AS m2,
-                (SELECT sum(d_c * d_c) FROM dc) AS sd2,
+                (SELECT sum(CAST(d_c AS HUGEINT) * d_c) FROM dc) AS sd2,
                 (SELECT sum(coalesce(w_in, 0))
                  FROM dc LEFT JOIN win USING (region)) AS w_in_all),
        q AS (

@@ -84,10 +84,14 @@ class Round8ClosersSpec extends GraftTestBase {
       val n = r.getAs[Long]("n_days")
       val s = r.getAs[Long]("s")
       assert(math.abs(s) <= n * (n - 1) / 2)
+      // z is the 6-dp ROUNDED column while the trend call used the
+      // unrounded value — leave a rounding-width dead band at the
+      // 1.96 boundaries instead of an exact iff
       val z = r.getAs[Double]("z")
       val t = r.getAs[String]("trend")
-      assert((z >= 1.96) == (t == "increasing"))
-      assert((z <= -1.96) == (t == "decreasing"))
+      if (z > 1.96 + 1e-6) assert(t == "increasing")
+      if (z < -1.96 - 1e-6) assert(t == "decreasing")
+      if (math.abs(z) < 1.96 - 1e-6) assert(t == "no_trend")
     }
   }
 
