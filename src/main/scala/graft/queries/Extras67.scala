@@ -920,7 +920,112 @@ object Extras67 extends QueryPack {
        ORDER BY slope.event_type"""
   }
 
+  // --------------------------------------------------------------- q433
+  /** SEASONAL Mann-Kendall (Hirsch & Slack 1984) — q431 made robust to
+    * weekly periodicity: a weekday cycle (weekend dips) reads as pure
+    * noise to plain MK or even masks a real drift; stratifying by
+    * weekday and comparing each day only against SAME-weekday days
+    * removes the cycle from S entirely. S' = Σ_g S_g and
+    * var' = Σ_g var_g over the seven strata, with the same ±1
+    * continuity Z. The weekday key never appears in the output, so
+    * Spark's 1-7 vs DuckDB's 0-6 dayofweek conventions don't matter —
+    * only the equality PARTITIONING must agree, and both map the same
+    * date to the same stratum. All integers until the final Z. */
+  private def q433(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir)("events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("g", dayofweek(col("day")))
+      .localCheckpoint() // feeds both pair sides, ties, and totals
+    val a = daily.select(col("event_type"), col("g"),
+      col("day").as("di"), col("c").as("xi"))
+    val b = daily.select(col("event_type"), col("g"),
+      col("day").as("dj"), col("c").as("xj"))
+    val sRel = a.join(b, Seq("event_type", "g"))
+      .filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val perG = daily.groupBy("event_type", "g")
+      .agg(count(lit(1)).as("ng"))
+    val ties = daily.groupBy(col("event_type"), col("g"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type", "g")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    val vr = perG.join(ties, Seq("event_type", "g"))
+      .groupBy("event_type")
+      .agg(sum(col("ng") * (col("ng") - 1) * (lit(2) * col("ng") + 5)
+        - col("tsum")).as("vnum"),
+        sum("ng").as("n"))
+    val z = vr.join(sRel, Seq("event_type"))
+      .withColumn("vr", col("vnum").cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("vr")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("vr")))
+          .otherwise(0.0))
+    z.select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("s"),
+        round(col("vr"), 6).as("variance"),
+        round(col("z"), 6).as("z"),
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val q433Sql =
+    """WITH daily AS MATERIALIZED (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                dayofweek(CAST(ts AS DATE)) AS g, count(*) AS c
+         FROM events GROUP BY 1, 2, 3),
+       s_rel AS (
+         SELECT a.event_type,
+                sum(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) AS s
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.g = b.g
+              AND a.day < b.day
+         GROUP BY 1),
+       per_g AS (
+         SELECT event_type, g, count(*) AS ng
+         FROM daily GROUP BY 1, 2),
+       ties AS (
+         SELECT event_type, g,
+                sum(t * (t - 1) * (2 * t + 5)) AS tsum
+         FROM (SELECT event_type, g, c, count(*) AS t
+               FROM daily GROUP BY 1, 2, 3)
+         GROUP BY 1, 2),
+       vr AS (
+         SELECT p.event_type,
+                sum(p.ng * (p.ng - 1) * (2 * p.ng + 5) - ties.tsum) AS vnum,
+                sum(p.ng) AS n
+         FROM per_g p JOIN ties USING (event_type, g)
+         GROUP BY 1),
+       z AS (
+         SELECT vr.event_type, vr.n, s_rel.s,
+                CAST(vr.vnum AS DOUBLE) / 18.0 AS vr
+         FROM vr JOIN s_rel USING (event_type))
+       SELECT event_type, CAST(n AS BIGINT) AS n_days,
+              CAST(s AS BIGINT) AS s,
+              round(vr, 6) AS variance,
+              round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                         ELSE 0.0 END, 6) AS z,
+              CASE WHEN (CASE WHEN s > 0
+                           THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                           WHEN s < 0
+                           THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                           ELSE 0.0 END) >= 1.96 THEN 'increasing'
+                   WHEN (CASE WHEN s > 0
+                           THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                           WHEN s < 0
+                           THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                           ELSE 0.0 END) <= -1.96 THEN 'decreasing'
+                   ELSE 'no_trend' END AS trend
+       FROM z ORDER BY event_type"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "q433_seasonal_mk" -> q433 _,
     "q431_mann_kendall" -> q431 _,
     "q432_theil_sen" -> q432 _,
     "q430_assortativity" -> q430 _,
@@ -933,6 +1038,7 @@ object Extras67 extends QueryPack {
     "q425_benford" -> q425 _)
 
   override def oracles: Map[String, String] = Map(
+    "q433_seasonal_mk" -> q433Sql,
     "q431_mann_kendall" -> q431Sql,
     "q432_theil_sen" -> q432Sql,
     "q430_assortativity" -> q430Sql,

@@ -95,6 +95,18 @@ class Round8ClosersSpec extends GraftTestBase {
     }
   }
 
+  test("q433 seasonal MK: stratified S bounded by within-stratum pair count") {
+    val rows = SparkEntry.queries("q433_seasonal_mk")(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      // 7 strata of ~n/7 days each bound |S'| well below plain MK's nC2
+      val bound = 7L * (n / 7 + 1) * (n / 7) / 2
+      assert(math.abs(r.getAs[Long]("s")) <= bound)
+      assert(r.getAs[Double]("variance") > 0.0)
+    }
+  }
+
   test("q432 Theil-Sen: the fitted line roughly centers the daily series") {
     import org.apache.spark.sql.functions._
     val fit = SparkEntry.queries("q432_theil_sen")(spark, sf001).collect()
