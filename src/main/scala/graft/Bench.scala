@@ -113,10 +113,32 @@ object Bench {
     val stallsJson = stalls
       .map { case (k, (r, m2, t)) => "\"" + k + s"""\":[${f(r)},${f(m2)},${f(t)}]""" }
       .mkString("{", ",", "}")
+    // Ambient-window discipline, automated (was hand-applied and
+    // narrated in BASELINE.md): the median per-query ratio vs the
+    // committed map decides whether this sweep ran in a comparable
+    // host window. Median (not mean) so a handful of stalls can't
+    // drag the verdict; 1.1 is the documented accept bar — 20-25%
+    // ambient swing shows up as a median near 1, a contended window
+    // shifts the WHOLE distribution. A sweep with no committed
+    // reference (first run at a new SF) is vacuously accepted.
+    val ratios = results.collect {
+      case (n, t) if t > 0 && reference.getOrElse(n, -1.0) > 0 =>
+        t / reference(n)
+    }.sorted
+    val ambientRatio =
+      if (ratios.isEmpty) 1.0
+      else {
+        val m = ratios.size
+        if (m % 2 == 1) ratios(m / 2)
+        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0
+      }
+    val accepted = ambientRatio <= 1.1
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""stalls":$stallsJson,""" +
+      s""""ambient_ratio":${f(ambientRatio)},"ambient_n":${ratios.size},""" +
+      s""""accepted":$accepted,""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     // A filtered run (local iteration args) must NOT clobber the full
     // artifact: BENCH_FULL.json doubles as the committed stall-detection
@@ -135,7 +157,8 @@ object Bench {
     val headlineSubset = results.filter { case (k, _) => Bench.headline(k) }
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(headlineSubset)},""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"$outName"}""")
+      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""ambient_ratio":${f(ambientRatio)},"accepted":$accepted,"full":"$outName"}""")
     spark.stop()
   }
 

@@ -560,13 +560,19 @@ object Extras67 extends QueryPack {
     * same number scores ANY candidate partition (near-dup communities,
     * label blocks) against any graph here. Determinism: the graph is
     * symmetrized integer counts (self-loops excluded), so `within`,
-    * D_c and 2m are EXACT integers; Σ_c D_c² multiplies and sums in
-    * DECIMAL(38,0) on the Spark side, mirroring DuckDB's HUGEINT
-    * promotion (a raw Long product would wrap silently past D_c ≈ 3e9
-    * — exactly the 100 TB community masses); Q is then two double
-    * divisions in a fixed order — no float folds anywhere (the 2m²
-    * product is likewise computed in DOUBLE). One edges hash-agg + a
-    * region-keyed rollup. */
+    * D_c and 2m are EXACT integers; Σ_c D_c² multiplies and sums with
+    * BOTH factors cast to DECIMAL(38,0) on the Spark side, mirroring
+    * DuckDB's HUGEINT promotion (a raw Long product would wrap
+    * silently past D_c ≈ 3e9 — exactly the 100 TB community masses);
+    * Q is then two double divisions in a fixed order — no float folds
+    * anywhere (the 2m² product is likewise computed in DOUBLE).
+    * Overflow asymmetry past the decimal ceiling (D_c > ~1e19, i.e.
+    * Σ D_c² > 1e38): Spark's non-ANSI decimal multiply yields NULL
+    * (the modularity column goes null — visible, not wrong), while
+    * DuckDB's HUGEINT errors at 1.7e38; neither silently wraps, but a
+    * cluster deployment that could reach that mass should flip on
+    * spark.sql.ansi.enabled so the Spark side errors too. One edges
+    * hash-agg + a region-keyed rollup. */
   private def q429(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val e0 = t("lineitem")
@@ -594,7 +600,8 @@ object Extras67 extends QueryPack {
       .filter(col("ri") === col("rj"))
       .groupBy(col("ri").as("region")).agg(sum("w").as("w_in"))
     val tot = dc.agg(sum("d_c").as("m2"),
-      sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("sd2"))
+      sum(col("d_c").cast("decimal(38,0)") *
+        col("d_c").cast("decimal(38,0)")).as("sd2"))
       .crossJoin(dc.join(within, Seq("region"), "left")
         .agg(sum(coalesce(col("w_in"), lit(0L))).as("w_in_all")))
     val q = tot.select(
@@ -827,23 +834,29 @@ object Extras67 extends QueryPack {
   // --------------------------------------------------------------- q432
   /** THEIL-SEN robust slope per event type — the drift MAGNITUDE next
     * to q431's drift test: the median of all pairwise slopes
-    * (x_j − x_i)/(rank_j − rank_i) shrugs off outlier days that wreck
+    * (x_j − x_i)/(day_j − day_i) shrugs off outlier days that wreck
     * a least-squares fit (q414's Zipf fit shows the OLS discipline;
-    * this is its robust counterpart). Each slope is ONE double
+    * this is its robust counterpart). The denominator is the CALENDAR
+    * day gap (epoch-day coordinate), not the observation rank — a
+    * series with missing days would otherwise compress the reported
+    * drift into per-observed-step units. Each slope is ONE double
     * division of exact integers (IEEE-identical both engines); the
     * median is rank-selected under a (slope, i, j) total order — odd
     * count takes the middle row, even count averages the two middles
-    * in fixed order. Intercept = median(x_i − slope·rank_i), same
-    * selection. Quadratic in days per series, never corpus-sized. */
+    * in fixed order. Intercept = median(x_i − slope·day_i) in the same
+    * epoch-day coordinate, same selection. Quadratic in days per
+    * series, never corpus-sized. */
   private def q432(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables(s, dir)("events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-    val ranked = daily.withColumn("rn", row_number().over(w))
+    // epoch-day integer coordinate: exact on both engines, carries the
+    // true calendar gaps that row_number() would erase
+    val ranked = daily
+      .withColumn("dn", datediff(col("day"), to_date(lit("1970-01-01"))))
       .localCheckpoint() // feeds both pair sides and the residuals
-    val a = ranked.select(col("event_type"), col("rn").as("i"), col("c").as("xi"))
-    val b = ranked.select(col("event_type"), col("rn").as("j"), col("c").as("xj"))
+    val a = ranked.select(col("event_type"), col("dn").as("i"), col("c").as("xi"))
+    val b = ranked.select(col("event_type"), col("dn").as("j"), col("c").as("xj"))
     val slopes = a.join(b, Seq("event_type")).filter(col("i") < col("j"))
       .select(col("event_type"),
         ((col("xj") - col("xi")).cast("double") /
@@ -865,10 +878,10 @@ object Extras67 extends QueryPack {
       .withColumnRenamed("med", "slope")
     val resid = ranked.join(slope, Seq("event_type"))
       .select(col("event_type"),
-        (col("c").cast("double") - col("slope") * col("rn")).as("rs"),
-        col("rn"), col("slope"))
+        (col("c").cast("double") - col("slope") * col("dn")).as("rs"),
+        col("dn"), col("slope"))
     val intercept = medianOf(resid.select(col("event_type"), col("rs"),
-        col("rn")), "rs", Seq("rn"))
+        col("dn")), "rs", Seq("dn"))
       .withColumnRenamed("med", "intercept")
     slope.join(intercept, Seq("event_type"))
       .select(col("event_type"),
@@ -897,22 +910,22 @@ object Extras67 extends QueryPack {
          FROM events GROUP BY 1, 2),
        ranked AS MATERIALIZED (
          SELECT event_type, c,
-           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           datediff('day', DATE '1970-01-01', day) AS dn
          FROM daily),
        slopes AS MATERIALIZED (
          SELECT a.event_type,
-                CAST(b.c - a.c AS DOUBLE) / (b.rn - a.rn) AS sl,
-                a.rn AS i, b.rn AS j
+                CAST(b.c - a.c AS DOUBLE) / (b.dn - a.dn) AS sl,
+                a.dn AS i, b.dn AS j
          FROM ranked a JOIN ranked b
-           ON a.event_type = b.event_type AND a.rn < b.rn),
+           ON a.event_type = b.event_type AND a.dn < b.dn),
        slope AS MATERIALIZED (
          ${medianSql("slopes", "sl", "i, j")}),
        resid AS (
          SELECT r.event_type,
-                CAST(r.c AS DOUBLE) - slope.med * r.rn AS rs, r.rn
+                CAST(r.c AS DOUBLE) - slope.med * r.dn AS rs, r.dn
          FROM ranked r JOIN slope ON slope.event_type = r.event_type),
        icept AS (
-         ${medianSql("resid", "rs", "rn")})
+         ${medianSql("resid", "rs", "dn")})
        SELECT slope.event_type,
               round(slope.med, 6) AS slope,
               round(icept.med, 6) AS intercept

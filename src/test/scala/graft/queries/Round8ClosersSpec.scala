@@ -115,12 +115,17 @@ class Round8ClosersSpec extends GraftTestBase {
     val daily = graft.Tables(spark, sf001)("events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("dn",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("double"))
       .collect().groupBy(_.getAs[String]("event_type"))
     daily.foreach { case (et, rows) =>
       val (sl, ic) = fit(et)
       val xs = rows.map(_.getAs[Double]("c")).sorted
-      // robust-fit level at mid-series stays within the value range
-      val mid = ic + sl * (rows.length / 2.0)
+      // robust-fit level at the mid-series CALENDAR coordinate (the
+      // fit's x axis is epoch days, not observation ranks) stays
+      // within the value range
+      val dns = rows.map(_.getAs[Double]("dn")).sorted
+      val mid = ic + sl * ((dns.head + dns.last) / 2.0)
       assert(mid >= xs.head - 1 && mid <= xs.last + 1,
         s"$et: mid-series fit $mid outside [${xs.head}, ${xs.last}]")
     }
