@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -318,6 +319,113 @@ object Dedup {
       .select(col("in_id"), col("idx_id"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  // -------------------------------------------- bottom-k containment
+
+  /** Distinct (id, h) char-shingle hash relation — the set
+    * representation the containment estimator samples from and
+    * verifies against. One narrow explode + distinct; the text never
+    * rides past the projection. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int,
+                    baseHash: Column => Column): DataFrame =
+    docs.filter(length(col(textCol)) >= shingleLen)
+      .select(col(idCol),
+        explode(TextFunctions.charShingles(col(textCol), shingleLen)).as("__sg"))
+      .select(col(idCol), baseHash(col("__sg")).as("h"))
+      .distinct()
+
+  /** Bottom-k CONTAINMENT scores — the asymmetric companion to
+    * [[minhashCandidates]]'s symmetric resemblance banding, which
+    * structurally misses near-SUBSET pairs (a quote contained in a
+    * long document collides in a band with probability jaccard^bands,
+    * and subset pairs have LOW jaccard by construction — Broder 1997's
+    * containment-vs-resemblance distinction).
+    *
+    * Estimator: each document's k smallest shingle hashes over the
+    * hot-capped universe are a uniform sample of its shingle set, so
+    * the count m of those sampled hashes present in another document
+    * estimates containment |Q∩D|/|Q| as m/k — independent of jaccard,
+    * which is exactly what a symmetric sketch cannot give.
+    *
+    * Scale shape (each stage bounded, never all-pairs):
+    *   1. hot shingles (in > hotCap docs) are capped out first — the
+    *      boilerplate guard; the estimate is then containment w.r.t.
+    *      the capped universe, and the EXACT verify restores the
+    *      uncapped truth for survivors;
+    *   2. per-doc bottom-k via one partitioned window (k rows per doc
+    *      ride forward — a fixed-size sample, not the shingle set);
+    *   3. the probe equi-joins the capped relation on the hash, so
+    *      fan-out per sampled hash is ≤ hotCap — candidate rows per
+    *      query doc are ≤ k·hotCap by construction;
+    *   4. only pairs with m ≥ k/2 (est containment ≥ 0.5) reach the
+    *      exact (doc, shingle) equi-join verify on the UNCAPPED sets.
+    *
+    * Output (one row per surviving ORDERED pair — every doc is a
+    * query, so q⊂d and d⊂q appear separately): (qid, did, m,
+    * est_containment, shared, n_q, n_d, containment, jaccard), where
+    * containment = shared/n_q is the fraction of the QUERY doc's
+    * shingles inside the other doc. Ratios are unrounded doubles of
+    * exact integer counts; q410's oracle rounds them.
+    *
+    * Reference scope: the reference has whole-row dedup only (Capstone
+    * notebook cell 17); this is extension surface next to
+    * MinHash/SimHash. */
+  def containmentScores(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5, k: Int = 16,
+                        hotCap: Int = 200,
+                        baseHash: Column => Column = xxhash64(_))
+      : DataFrame = {
+    // materialized once: the (doc, hash) relation feeds the cold
+    // filter, the exact-count side, and both exact-verify joins
+    val g = shingleHashes(docs, idCol, textCol, shingleLen, baseHash)
+      .localCheckpoint()
+    val gCold = dropHotBuckets(g, Seq("h"), hotCap).localCheckpoint()
+    val w = Window.partitionBy(idCol).orderBy("h")
+    val bottoms = gCold.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol).as("qid"), col("h"))
+    val m = bottoms
+      .join(gCold.select(col(idCol).as("did"), col("h")), Seq("h"))
+      .filter(col("did") =!= col("qid"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= k / 2)
+    val cnt = g.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val ix = m
+      .join(g.select(col(idCol).as("qid"), col("h")), Seq("qid"))
+      .join(g.select(col(idCol).as("did"), col("h")), Seq("did", "h"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
+    m.join(ix, Seq("qid", "did"))
+      .join(cnt.select(col(idCol).as("qid"), col("n").as("n_q")), Seq("qid"))
+      .join(cnt.select(col(idCol).as("did"), col("n").as("n_d")), Seq("did"))
+      .select(col("qid"), col("did"),
+        col("m").cast("long").as("m"),
+        (col("m").cast("double") / k).as("est_containment"),
+        col("shared").cast("long").as("shared"),
+        col("n_q").cast("long").as("n_q"), col("n_d").cast("long").as("n_d"),
+        (col("shared").cast("double") / col("n_q")).as("containment"),
+        (col("shared").cast("double") /
+          (col("n_q") + col("n_d") - col("shared"))).as("jaccard"))
+  }
+
+  /** The GATE over [[containmentScores]]: near-subset pairs — the
+    * query doc's shingles are ≥ minContainment inside the other doc
+    * while resemblance stays < maxJaccard (pairs above maxJaccard are
+    * the symmetric near-dups the MinHash stage already owns). A
+    * curation funnel drops `contained_id` (the doc that is mostly a
+    * quote of `container_id`); syndication/patchwork corpora pass
+    * resemblance dedup without this stage. */
+  def containmentGate(docs: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 5, k: Int = 16, hotCap: Int = 200,
+                      minContainment: Double = 0.8,
+                      maxJaccard: Double = 0.5,
+                      baseHash: Column => Column = xxhash64(_))
+      : DataFrame =
+    containmentScores(docs, idCol, textCol, shingleLen, k, hotCap, baseHash)
+      .filter(col("containment") >= minContainment &&
+        col("jaccard") < maxJaccard)
+      .select(col("qid").as("contained_id"), col("did").as("container_id"),
+        col("containment"), col("jaccard"))
 
   // ------------------------------------------------------------ SimHash
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SubstringDedup}
+import graft.operators.{Dedup, SubstringDedup, Winnowing}
 
 /** End-to-end corpus curation — the composed production job the
   * individual operators exist for: raw documents in, training-ready
@@ -23,6 +23,21 @@ import graft.operators.{Dedup, SubstringDedup}
   *      per doc (SubstringDedup, xxhash64 gram keys); drops docs whose
   *      duplication is spread across many partners and therefore
   *      invisible to pairwise MinHash similarity.
+  *   2c. CONTAINMENT GATE — bottom-k containment (Dedup.containmentGate)
+  *      drops near-SUBSET docs (quote/syndication pairs: containment
+  *      >= 0.8 while Jaccard < 0.5) that symmetric MinHash banding
+  *      structurally misses — band collision probability is
+  *      jaccard^bands, and subset pairs have low Jaccard by
+  *      construction.
+  *   2d. WINNOW GATE — fraction of a doc's winnowing fingerprints
+  *      shared with ANY other surviving doc (one window shuffle on the
+  *      32-bit fingerprint key). Largely redundant with 2b on a batch
+  *      corpus; its reason to exist is the STREAMING twin, where the
+  *      corpus fingerprint set is the broadcastable state that lets
+  *      the same gate run content-based on never-seen documents at
+  *      ingestion ([[graft.streaming.StreamingCuration]]) — keeping it
+  *      in the batch funnel keeps the two funnels equal by
+  *      construction.
   *   3. DECONTAMINATION — drop documents sharing any word-3-gram with
   *      the benchmark set (tiny by construction → broadcast join).
   *   4. QUALITY GATE — length window + stopword-ratio floor per
@@ -54,10 +69,12 @@ object CurationPipeline {
           nearDupThreshold: Double = 0.7,
           maxDupGramFrac: Double = 0.6,
           maxSubstringDupFrac: Double = 0.5,
-          domainCap: Long = Long.MaxValue): (DataFrame, Seq[Report]) = {
+          domainCap: Long = Long.MaxValue,
+          minContainment: Double = 0.8,
+          maxWinnowDupFrac: Double = 0.5): (DataFrame, Seq[Report]) = {
     val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap)
+      domainCap, minContainment, maxWinnowDupFrac)
     (packed, funnel)
   }
 
@@ -73,11 +90,13 @@ object CurationPipeline {
           nearDupThreshold: Double = 0.7,
           maxDupGramFrac: Double = 0.6,
           maxSubstringDupFrac: Double = 0.5,
-          domainCap: Long = Long.MaxValue)
+          domainCap: Long = Long.MaxValue,
+          minContainment: Double = 0.8,
+          maxWinnowDupFrac: Double = 0.5)
       : (DataFrame, Seq[Report], DataFrame) = {
     val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap)
+      domainCap, minContainment, maxWinnowDupFrac)
     val dropped = frames.sliding(2).collect {
       case Seq((_, prev), (stage, cur)) =>
         prev.select(col("doc_id"))
@@ -95,7 +114,10 @@ object CurationPipeline {
           nearDupThreshold: Double = 0.7,
           maxDupGramFrac: Double = 0.6,
           maxSubstringDupFrac: Double = 0.5,
-          domainCap: Long): (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
+          domainCap: Long = Long.MaxValue,
+          minContainment: Double = 0.8,
+          maxWinnowDupFrac: Double = 0.5)
+      : (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
     val funnel = Seq.newBuilder[Report]
     // Each stage is MATERIALIZED once (localCheckpoint) before its
     // funnel count: the count then reads cached partitions and — the
@@ -148,9 +170,39 @@ object CurationPipeline {
       near.join(heavy, Seq("doc_id"), "left_anti")
     })
 
+    // 2c. containment gate: drop near-subset docs (mostly a quote of a
+    // longer survivor — high containment, low Jaccard) that symmetric
+    // MinHash banding structurally misses
+    val contained = count("containment_gate", {
+      val losers = Dedup.containmentGate(substr, "doc_id", "text",
+          minContainment = minContainment)
+        .select(col("contained_id").as("doc_id")).distinct()
+      substr.join(losers, Seq("doc_id"), "left_anti")
+    })
+
+    // 2d. winnow gate: duplicated-fingerprint fraction over the
+    // surviving corpus (one window shuffle on the fingerprint key;
+    // Winnowing.fingerprints emits per-doc DISTINCT fps, so the
+    // per-key count IS the holding-doc count). The batch twin of the
+    // streaming content gate — see the stage-2d scaladoc above.
+    val winnowed = count("winnow_gate", {
+      val wf = Winnowing.fingerprints(contained, "doc_id", "text",
+        k = 8, w = 4)
+      // sum(lit(1)) == count(*) here (no nulls); the local `count`
+      // stage helper shadows functions.count in this scope
+      val heavy = wf
+        .withColumn("__nd", sum(lit(1L)).over(Window.partitionBy("fp")))
+        .groupBy("doc_id")
+        .agg((sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double") /
+          sum(lit(1L))).as("__wfrac"))
+        .filter(col("__wfrac") > maxWinnowDupFrac)
+        .select("doc_id")
+      contained.join(heavy, Seq("doc_id"), "left_anti")
+    })
+
     // 3. decontamination vs the benchmark slice
     val decon = count("decontaminate", {
-      val sh = substr
+      val sh = winnowed
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -158,7 +210,7 @@ object CurationPipeline {
       val bench = sh.filter(benchmarkIds(col("doc_id"))).select("sh").distinct()
       val contaminated = sh.filter(!benchmarkIds(col("doc_id")))
         .join(broadcast(bench), "sh").select("doc_id").distinct()
-      substr.filter(!benchmarkIds(col("doc_id")))
+      winnowed.filter(!benchmarkIds(col("doc_id")))
         .join(contaminated, Seq("doc_id"), "left_anti")
     })
 

@@ -245,50 +245,24 @@ object Extras65 extends QueryPack {
     * partitioned window over the capped gram relation; probe rows
     * equi-join the same relation on the hash (fan-out bounded by the
     * cap); pairs with m >= k/2 are verified EXACTLY on the uncapped
-    * sets. Everything is integers until the two output ratios. */
+    * sets. Everything is integers until the two output ratios.
+    * Operator form: [[graft.operators.Dedup.containmentScores]] (this
+    * query is that operator on the md5 oracle family plus rounding and
+    * a total order); the curation funnel composes the
+    * [[graft.operators.Dedup.containmentGate]] filter as its
+    * containment_gate stage. */
   private def q410(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     import graft.operators.Dedup
-    val K = 16; val Cap = 200
-    val d = Tables(s, dir)("documents")
-    // materialized once: the distinct (doc, hash) relation feeds the
-    // cold-filter build, the exact-count side, and BOTH exact-verify
-    // joins — five subtree reads without the checkpoint
-    val g = d.filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        explode(TextFunctions.charShingles(col("text"), 5)).as("sg"))
-      .select(col("doc_id"),
-        conv(substring(md5(encode(col("sg"), "UTF-8")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
-      .localCheckpoint()
-    val gCold = Dedup.dropHotBuckets(g, Seq("h"), Cap).localCheckpoint()
-    val w = Window.partitionBy("doc_id").orderBy("h")
-    val bottoms = gCold.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-      .select(col("doc_id").as("qid"), col("h"))
-    val m = bottoms
-      .join(gCold.select(col("doc_id").as("did"), col("h")), Seq("h"))
-      .filter(col("did") =!= col("qid"))
-      .groupBy("qid", "did").agg(count(lit(1)).as("m"))
-      .filter(col("m") >= K / 2)
-    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ix = m
-      .join(g.select(col("doc_id").as("qid"), col("h")), Seq("qid"))
-      .join(g.select(col("doc_id").as("did"), col("h")), Seq("did", "h"))
-      .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
-    m.join(ix, Seq("qid", "did"))
-      .join(cnt.select(col("doc_id").as("qid"), col("n").as("n_q")), Seq("qid"))
-      .join(cnt.select(col("doc_id").as("did"), col("n").as("n_d")), Seq("did"))
-      .select(col("qid"), col("did"),
-        col("m").cast("long").as("m"),
-        round(col("m").cast("double") / K, 6).as("est_containment"),
-        col("shared").cast("long").as("shared"),
-        col("n_q").cast("long").as("n_q"), col("n_d").cast("long").as("n_d"),
-        round(col("shared").cast("double") / col("n_q"), 6)
-          .as("containment"),
-        round(col("shared").cast("double") /
-          (col("n_q") + col("n_d") - col("shared")), 6).as("jaccard"))
+    // the operator (promoted from this query's original inline body)
+    // on the md5 oracle family; the query adds only rounding + the
+    // presentation total order
+    Dedup.containmentScores(Tables(s, dir)("documents"), "doc_id", "text",
+        shingleLen = 5, k = 16, hotCap = 200, baseHash = Dedup.mdBaseHash)
+      .select(col("qid"), col("did"), col("m"),
+        round(col("est_containment"), 6).as("est_containment"),
+        col("shared"), col("n_q"), col("n_d"),
+        round(col("containment"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("containment").desc, col("qid"), col("did"))
       .limit(50)
   }

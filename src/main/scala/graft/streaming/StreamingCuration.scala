@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SubstringDedup}
+import graft.operators.{Dedup, SubstringDedup, Winnowing}
 
 /** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
   * curation funnel applied at INGESTION time, with the historical
@@ -24,8 +24,22 @@ import graft.operators.{Dedup, SubstringDedup}
   *      est-Jaccard verify against idx_id < doc_id. On the same
   *      corpus this reproduces the batch loser set EXACTLY (same
   *      signatures, same capped buckets, same scoring).
-  *   2b/3. substring + decontamination → broadcast static heavy-id /
-  *      benchmark-shingle sets distilled from the batch stages.
+  *   2b/2c. substring + containment gates → broadcast static heavy-id /
+  *      contained-id sets distilled from the batch stages. These are
+  *      ID sets: exact for corpus replay, blind to never-seen docs —
+  *      the winnow gate below is the content-based backstop that
+  *      catches an unseen patchwork/subset doc at ingestion.
+  *   2d. winnow gate → the corpus' winnowing FINGERPRINT state
+  *      (fp, n_docs, min_id) — a ~2/(w+1)-density content sketch, the
+  *      one gate distillate that sees INSIDE a never-seen document: an
+  *      incoming doc computes its own fingerprints row-locally and is
+  *      rejected when the fraction held by OTHER docs (n_docs >= 2, or
+  *      a sole holder that isn't this doc) exceeds the threshold. On
+  *      corpus replay this reduces to the batch window-count rule
+  *      exactly (a corpus doc holds its own fp, so "foreign" ⟺
+  *      n_docs >= 2 on both sides).
+  *   3. decontamination → broadcast static benchmark-shingle set
+  *      (already content-based: an unseen contaminated doc is caught).
   *   4/5. quality + repetition gates → identical map-side expressions.
   *   6. domain cap         → foreachBatch: per-source admission ranked
   *      by the SAME deterministic hash order as the batch window,
@@ -37,10 +51,20 @@ import graft.operators.{Dedup, SubstringDedup}
   *      counts while the curated view filters on the flag.
   *
   * All gate state is micro relative to the corpus (fingerprint minima,
-  * signatures, band keys, heavy ids, bench shingles — never text), so
-  * at 100 TB every per-batch operation is a broadcast join or a
-  * map-side filter; the only shuffle is the per-batch cap window over
-  * the batch's own rows.
+  * signatures, band keys, heavy/contained ids, winnow fingerprints,
+  * bench shingles — never text). The winnow state is the largest
+  * piece: ~2/(w+1) of the corpus' gram count as 32-bit keys — at
+  * 100 TB it lives as a table partitioned by fp and the probe becomes
+  * a keyed join instead of a broadcast; every other per-batch
+  * operation is a broadcast join or a map-side filter, and the only
+  * per-batch shuffles are the cap window and the winnow/contamination
+  * per-doc rollups over the batch's own rows.
+  *
+  * A document whose exact fingerprint is NOT in the corpus index is
+  * ADMITTED through stage 1 (a genuinely new fingerprint is not a
+  * duplicate) and then gated content-based by the near-dup, winnow,
+  * and decontamination probes — the ingestion path for never-seen
+  * data, exercised by the planted-patchwork spec.
   */
 object StreamingCuration {
 
@@ -48,16 +72,26 @@ object StreamingCuration {
   private val K = 64
   private val Bands = 16
 
-  /** Drains the full documents stream for `dir` through the curation
-    * gates into `resultTable` (a catalog table with columns
+  private val WinnowK = 8
+  private val WinnowW = 4
+
+  /** Drains the documents stream through the curation gates into
+    * `resultTable` (a catalog table with columns
     * (doc_id BIGINT, source STRING, lang STRING, sampled BOOLEAN)).
-    * Parameters mirror [[graft.pipelines.CurationPipeline.run]]'s
-    * defaults so the drained table matches the batch funnel. */
+    * Gate state distills from `dir`'s documents table; the stream
+    * reads `streamDir` (defaults to `dir` — the replay/convergence
+    * case; point it elsewhere to ingest never-seen documents through
+    * the same gates). Parameters mirror
+    * [[graft.pipelines.CurationPipeline.run]]'s defaults so the
+    * drained table matches the batch funnel. */
   def curateToTable(spark: SparkSession, dir: String, resultTable: String,
                     domainCap: Long = Long.MaxValue,
                     nearDupThreshold: Double = 0.7,
                     maxDupGramFrac: Double = 0.6,
-                    maxSubstringDupFrac: Double = 0.5): Unit =
+                    maxSubstringDupFrac: Double = 0.5,
+                    minContainment: Double = 0.8,
+                    maxWinnowDupFrac: Double = 0.5,
+                    streamDir: Option[String] = None): Unit =
     EventsStream.withDrainPartitions(spark) {
       import graft.functions.expressions.ShingleMinHash.shingleMinhash
       val input = Tables(spark, dir)("documents")
@@ -92,7 +126,33 @@ object StreamingCuration {
         .localCheckpoint()
       val substrSet = near.join(heavy,
         near("doc_id") === heavy("heavy_id"), "left_anti")
-      val benchSh = substrSet
+      val containedIds = Dedup.containmentGate(substrSet, "doc_id", "text",
+          minContainment = minContainment)
+        .select(col("contained_id")).distinct()
+        .localCheckpoint()
+      val containSet = substrSet.join(containedIds,
+        substrSet("doc_id") === containedIds("contained_id"), "left_anti")
+      // winnow fingerprint state over the containment survivors — the
+      // content sketch the ingestion gate probes: per fp, how many
+      // docs hold it and the smallest holder id (so a sole holder can
+      // recognize ITSELF as non-foreign on replay)
+      val winnowState = Winnowing
+        .fingerprints(containSet, "doc_id", "text", WinnowK, WinnowW)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("fp_min_id"))
+        .localCheckpoint()
+      val winnowHeavyIds = Winnowing
+        .fingerprints(containSet, "doc_id", "text", WinnowK, WinnowW)
+        .join(broadcast(winnowState), Seq("fp"))
+        .groupBy("doc_id")
+        .agg((sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("__wfrac"))
+        .filter(col("__wfrac") > maxWinnowDupFrac)
+        .select(col("doc_id").as("winnow_id"))
+        .localCheckpoint()
+      val winnowSet = containSet.join(winnowHeavyIds,
+        containSet("doc_id") === winnowHeavyIds("winnow_id"), "left_anti")
+      val benchSh = winnowSet
         .filter(benchmark(col("doc_id")))
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -102,10 +162,14 @@ object StreamingCuration {
 
       // ---- per-batch gate: batch semantics inside foreachBatch ----
       def curateBatch(batch: DataFrame): DataFrame = {
+        // left join: a fingerprint ABSENT from the corpus index is a
+        // genuinely new document, not a duplicate — admit it (the
+        // never-seen ingestion path); a matched fingerprint survives
+        // iff this doc IS its group's minimum (the replay path)
         val s1 = batch
           .withColumn("fp", TextFunctions.fingerprint(col("text")))
-          .join(broadcast(fpMin), Seq("fp"))
-          .filter(col("doc_id") === col("min_id"))
+          .join(broadcast(fpMin), Seq("fp"), "left")
+          .filter(col("min_id").isNull || col("doc_id") === col("min_id"))
           .drop("fp", "min_id")
         val inBands = Dedup.bandRows(
           s1.filter(length(col("text")) >= ShingleLen)
@@ -125,14 +189,33 @@ object StreamingCuration {
         val s2 = s1.join(flagged, Seq("doc_id"), "left_anti")
         val s2b = s2.join(broadcast(heavy),
           s2("doc_id") === heavy("heavy_id"), "left_anti")
-        val contaminated = s2b.filter(!benchmark(col("doc_id")))
+        val s2c = s2b.join(broadcast(containedIds),
+          s2b("doc_id") === containedIds("contained_id"), "left_anti")
+        // winnow gate, content-based: the incoming doc's own
+        // fingerprints (row-local array math) probe the corpus state;
+        // a fingerprint is FOREIGN when other docs hold it — n_docs
+        // >= 2, or a sole holder that isn't this doc (the unseen-doc
+        // case; on corpus replay the min_id term is never the decider,
+        // so this reduces to the batch pipeline's n >= 2 window rule)
+        val winnowHeavy = Winnowing
+          .fingerprints(s2c, "doc_id", "text", WinnowK, WinnowW)
+          .join(broadcast(winnowState), Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg((sum(when(col("n_docs") >= 2 ||
+              (col("n_docs") === 1 && col("fp_min_id") =!= col("doc_id")),
+              1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("__wfrac"))
+          .filter(col("__wfrac") > maxWinnowDupFrac)
+          .select("doc_id")
+        val s2d = s2c.join(winnowHeavy, Seq("doc_id"), "left_anti")
+        val contaminated = s2d.filter(!benchmark(col("doc_id")))
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
           .join(broadcast(benchSh), "sh")
           .select("doc_id").distinct()
-        val s3 = s2b.filter(!benchmark(col("doc_id")))
+        val s3 = s2d.filter(!benchmark(col("doc_id")))
           .join(contaminated, Seq("doc_id"), "left_anti")
         val quality = s3
           .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
@@ -150,11 +233,12 @@ object StreamingCuration {
       }
 
       // ---- streaming drain: gate → cap → sample → MERGE ----
+      val srcDir = streamDir.getOrElse(dir)
       val schema = spark.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
+        .parquet(srcDir).schema
       val incoming = spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+        .parquet(srcDir)
       val q = incoming.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sess = batch.sparkSession

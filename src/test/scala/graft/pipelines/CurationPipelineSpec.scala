@@ -12,8 +12,8 @@ class CurationPipelineSpec extends GraftTestBase {
 
   test("funnel is monotone and reports every stage") {
     assert(funnel.map(_.stage) == Seq("input", "exact_dedup", "near_dedup",
-      "substring_gate", "decontaminate", "quality_gate", "repetition_gate",
-      "domain_cap", "hash_sample"))
+      "substring_gate", "containment_gate", "winnow_gate", "decontaminate",
+      "quality_gate", "repetition_gate", "domain_cap", "hash_sample"))
     assert(funnel.sliding(2).forall { case Seq(a, b) => b.docs <= a.docs })
     assert(funnel.head.docs == 500) // sf0.001 documents
     assert(funnel.last.docs > 0, "pipeline filtered everything out")
@@ -84,6 +84,45 @@ class CurationPipelineSpec extends GraftTestBase {
       "patchwork doc survived curation")
     assert(f.find(_.stage == "substring_gate").get.docs <
            f.find(_.stage == "near_dedup").get.docs)
+  }
+
+  test("containment gate drops a near-subset doc the other gates can't see") {
+    import spark.implicits._
+    // Big doc B: 200 long pseudo-random letter-only words. Small doc S:
+    // 60 of B's words in REVERSED order. Why each earlier gate misses S:
+    //   - near-dup: shingle jaccard(S, B) ≈ |S|/|B| ≈ 0.26 < 0.7;
+    //   - substring gate: S's word-8-gram SEQUENCES never occur in B
+    //     (order reversed), so S has zero duplicated spans;
+    //   - but S's 5-char shingle SET is ~87% inside B's (only shingles
+    //     crossing a word boundary see the reordering) → containment
+    //     ≥ 0.8 while jaccard < 0.5: exactly the near-subset signature.
+    def word(i: Int) = {
+      val r = new scala.util.Random(i) // deterministic per word
+      (0 until 30).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val big = (0 until 200).map(word).mkString(" ")
+    val small = (50 until 110).map(word).reverse.mkString(" ")
+    val docs = Tables(spark, sf001)("documents")
+      .unionByName(Seq(
+        (400001L, big, "en", "srcC", big.length.toLong),
+        (400002L, small, "en", "srcC", small.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the operator's own signal discriminates the planted pair
+    val pair = graft.operators.Dedup
+      .containmentScores(docs, "doc_id", "text")
+      .filter(col("qid") === 400002L && col("did") === 400001L)
+      .collect()
+    assert(pair.length == 1, "planted subset pair not surfaced")
+    assert(pair.head.getAs[Double]("containment") >= 0.8,
+      s"containment ${pair.head.getAs[Double]("containment")}")
+    assert(pair.head.getAs[Double]("jaccard") < 0.5,
+      s"jaccard ${pair.head.getAs[Double]("jaccard")}")
+    // and the pipeline drops S exactly at the containment stage
+    val (_, _, disp) = CurationPipeline.runWithDisposition(spark, docs)
+    val at = disp.filter(col("doc_id") === 400002L)
+      .collect().map(_.getAs[String]("dropped_at"))
+    assert(at.toSeq == Seq("containment_gate"),
+      s"small doc disposition: ${at.mkString(",")}")
   }
 
   test("output carries no exact duplicates and no benchmark docs") {

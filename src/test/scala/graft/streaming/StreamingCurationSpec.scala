@@ -53,6 +53,57 @@ class StreamingCurationSpec extends GraftTestBase {
     assert(first == second)
   }
 
+  test("never-seen docs at ingestion: patchwork rejected by winnow state, fresh doc admitted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = freshTable("curated_ingest")
+    val corpus = Tables(spark, sf001)("documents")
+
+    // steal 30-token runs from four docs that SURVIVE the batch funnel
+    // (so the stitched text is decon-safe and its spans are guaranteed
+    // to be in the winnow gate state)
+    val (packed, funnel) = CurationPipeline.run(spark, corpus)
+    val donors = packed.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .filter(_._2.length >= 40).take(4)
+    assert(donors.length == 4, "not enough token-rich batch survivors")
+    val patchwork = donors.map(_._2.take(30).mkString(" ")).mkString(" ")
+    // a fresh doc sharing NOTHING with the corpus: unique letter words
+    def cw(i: Int) =
+      s"zq${('a' + i / 26).toChar}${('a' + i % 26).toChar}xverat"
+    val fresh = (0 until 60).map(cw).mkString(" ")
+    // 300001 % 97 == 77, 300002 % 97 == 78 — neither is a benchmark id
+    val streamed = corpus.unionByName(Seq(
+      (300001L, patchwork, "en", "srcP", patchwork.length.toLong),
+      (300002L, fresh, "en", "srcNew", fresh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the source expects a FILE named documents.parquet (pathGlobFilter
+    // matches leaf files): write one part and rename it into place
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_src").toString
+    streamed.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stage")
+    val part = new java.io.File(s"$tmp/_stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+
+    // gate state from the CORPUS dir; stream from the extended dir
+    StreamingCuration.curateToTable(spark, sf001, table,
+      streamDir = Some(tmp))
+    val admitted = spark.table(table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the patchwork is built from corpus spans → its winnowing
+    // fingerprints are overwhelmingly held by OTHER docs → rejected
+    // at ingestion, before any batch re-sweep
+    assert(!admitted.contains(300001L), "patchwork doc was admitted")
+    // the genuinely new doc sails through every content gate
+    assert(admitted.contains(300002L), "fresh doc was rejected")
+    // and the corpus slice still matches the batch funnel exactly
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    assert(admitted.count(_ < 300000L).toLong == f("domain_cap"))
+  }
+
   test("uncapped drain matches the uncapped batch membership") {
     val table = freshTable("curated_uncapped")
     StreamingCuration.curateToTable(spark, sf001, table)
