@@ -376,6 +376,285 @@ object Extras63 extends QueryPack {
        FROM hit CROSS JOIN sizes"""
   }
 
+  // --------------------------------------------------------------- q434
+  /** MULTI-PROBE SRP bitext blocking — the recall remedy q408's ~0.4
+    * honestly reports, measured side by side: the SOURCE collection
+    * probes, per band, its exact key plus the r one-bit-flip keys
+    * (Lv et al. 2007 via [[graft.operators.Similarity.srpMultiProbeTopK]]'s
+    * probe rule), while the TARGET index stays byte-identical — the
+    * multi-probe trade is query-side probe rows, never a re-index.
+    * One row per mode (single vs multi) with recall against q401's
+    * exact argmax-margin pairs and the candidate fraction of the full
+    * S×T matrix — the table that decides whether the blocked path may
+    * replace the exact matrix at scale. 100 TB shape: the exact-matrix
+    * `best` side exists only for the audit; production runs the banded
+    * join alone, so cost is the probe-side ×(r+1) row fan-out into the
+    * same equi-join. */
+  private def q434(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val Bits = 16; val Bands = 4; val R = Bits / Bands
+    // band rows materialized once: the target index + both source
+    // probe sets read them (three consumers of the 16-dot signature)
+    val bnd = Tables(s, dir)("embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"),
+        Similarity.srpSignature(col("embedding"), Bits, Dim).as("sig"))
+      .select(col("vec_id"), col("label"),
+        posexplode(array((0 until Bands).map(b =>
+          (shiftright(col("sig"), b * R) % (1 << R)).cast("int")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+      .localCheckpoint()
+    val tgtB = bnd.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("band"), col("key"))
+    val srcSingle = bnd.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("band"), col("key"))
+    val srcMulti = bnd.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("band"),
+        explode(array(col("key") +:
+          (0 until R).map(j => col("key").bitwiseXOR(lit(1 << j))): _*))
+          .as("key"))
+    // exact argmax-margin truth, materialized once for both audits
+    val best = bitextBest(s, dir).select(col("src_id"), col("tgt_id"))
+      .localCheckpoint()
+    val sizes = Tables(s, dir)("embeddings")
+      .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("nt"))
+    def audit(mode: String, probes: DataFrame): DataFrame = {
+      val cand = probes.join(tgtB, Seq("band", "key"))
+        .select(col("src_id"), col("tgt_id")).distinct()
+        .localCheckpoint() // feeds the hit join AND the size count
+      val hit = best.join(cand.withColumn("inc", lit(1)),
+          Seq("src_id", "tgt_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_src"),
+          sum(coalesce(col("inc"), lit(0))).cast("long").as("n_hit"))
+      hit.crossJoin(sizes.crossJoin(cand.agg(count(lit(1)).as("nc"))))
+        .select(lit(mode).as("mode"),
+          col("n_src"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_src"), 6).as("recall"),
+          (col("ns") * col("nt")).cast("long").as("n_full_pairs"),
+          col("nc").cast("long").as("n_cand_pairs"),
+          round(col("nc").cast("double") / (col("ns") * col("nt")), 6)
+            .as("cand_frac"))
+    }
+    audit("multi", srcMulti).unionByName(audit("single", srcSingle))
+      .orderBy("mode")
+  }
+
+  private val q434Sql = {
+    val Bits = 16; val Bands = 4; val R = Bits / Bands
+    val mask = (1 << R) - 1
+    import OracleVec.hpList
+    val sigExpr = (0 until Bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    val probeList = ("key" +: (0 until R).map(j => s"xor(key, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    def pivot =
+      (1 to 4).map(i => s"max(CASE WHEN rk = $i THEN c END)").mkString(" + ")
+    def auditSql(mode: String, candRel: String) =
+      s"""SELECT '$mode' AS mode,
+            (SELECT count(*) FROM best) AS n_src,
+            (SELECT count(*) FROM best b
+             WHERE EXISTS (SELECT 1 FROM $candRel c
+               WHERE c.src_id = b.src_id AND c.tgt_id = b.tgt_id)) AS n_hit,
+            (SELECT count(*) FROM $candRel) AS nc"""
+    s"""WITH sv AS MATERIALIZED (SELECT vec_id AS src_id, embedding AS s_emb
+                    FROM embeddings WHERE label = 0),
+       tv AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS t_emb
+              FROM embeddings WHERE label = 1),
+       sigs AS MATERIALIZED (
+         SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig
+         FROM embeddings WHERE label IN (0, 1)),
+       bnd AS MATERIALIZED (
+         SELECT vec_id, label, u.b AS band, (sig >> ($R * u.b)) & $mask AS key
+         FROM sigs, unnest(generate_series(0, ${Bands - 1})) AS u(b)),
+       tb AS MATERIALIZED (
+         SELECT vec_id AS tgt_id, band, key FROM bnd WHERE label = 1),
+       cand_single AS MATERIALIZED (
+         SELECT DISTINCT sb.vec_id AS src_id, tb.tgt_id
+         FROM bnd sb JOIN tb ON sb.band = tb.band AND sb.key = tb.key
+         WHERE sb.label = 0),
+       sprobe AS (
+         SELECT vec_id, band, p.pk AS key
+         FROM bnd, unnest($probeList) AS p(pk)
+         WHERE label = 0),
+       cand_multi AS MATERIALIZED (
+         SELECT DISTINCT sp.vec_id AS src_id, tb.tgt_id
+         FROM sprobe sp JOIN tb ON sp.band = tb.band AND sp.key = tb.key),
+       cos AS MATERIALIZED (
+         SELECT src_id, tgt_id, ${cosSql("sv.s_emb", "tv.t_emb")} AS c
+         FROM sv CROSS JOIN tv),
+       rs AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY c DESC, tgt_id) AS rk FROM cos),
+       ax AS (SELECT src_id, ($pivot) / 4 AS ax
+              FROM rs WHERE rk <= 4 GROUP BY src_id),
+       rt AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY c DESC, src_id) AS rk FROM cos),
+       ay AS (SELECT tgt_id, ($pivot) / 4 AS ay
+              FROM rt WHERE rk <= 4 GROUP BY tgt_id),
+       m AS (SELECT cos.src_id, cos.tgt_id,
+               cos.c / ((ax.ax + ay.ay) / 2) AS m
+             FROM cos JOIN ax ON ax.src_id = cos.src_id
+                      JOIN ay ON ay.tgt_id = cos.tgt_id),
+       best AS MATERIALIZED (
+         SELECT src_id, tgt_id
+         FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                           ORDER BY m DESC, tgt_id) AS rn FROM m)
+         WHERE rn = 1),
+       sizes AS (
+         SELECT CAST((SELECT count(*) FROM sv) *
+                     (SELECT count(*) FROM tv) AS BIGINT) AS n_full_pairs),
+       modes AS (
+         ${auditSql("multi", "cand_multi")}
+         UNION ALL
+         ${auditSql("single", "cand_single")})
+       SELECT mode, CAST(n_src AS BIGINT) AS n_src,
+              CAST(n_hit AS BIGINT) AS n_hit,
+              round(n_hit * 1.0 / n_src, 6) AS recall,
+              n_full_pairs,
+              CAST(nc AS BIGINT) AS n_cand_pairs,
+              round(nc * 1.0 / n_full_pairs, 6) AS cand_frac
+       FROM modes CROSS JOIN sizes ORDER BY mode"""
+  }
+
+  // --------------------------------------------------------------- q435
+  /** QUERY-DIRECTED multi-probe bitext blocking — the production point
+    * the q434 ladder motivates: naive all-Hamming-1 probing buys
+    * recall 0.92 but at 0.77 of the matrix (uneconomical); the full
+    * Lv et al. 2007 probe sequence ([[graft.operators.Similarity
+    * .directedProbeRows]]) spends a FIXED probe budget (16) on the
+    * perturbations most likely to flip — 1-2 bit flips scored by the
+    * flipped hyperplanes' |dot| boundary distance — over a FINER
+    * 36-bit / 6-band geometry whose smaller buckets make each probe
+    * cheap. Measured here: recall ≈ 0.61-0.62 at ≈ 0.30 candidate
+    * fraction (sf0.01/sf0.1) vs single-probe 0.38 at 0.23 — recall
+    * +60% for +7pp cost, and the target index is exact-keys-only, so
+    * serving more probes never re-indexes. (At sf0.001 the target
+    * collection is 47 vectors — one missed pair is 2pp of recall —
+    * and the point lands at ≈ 0.55/0.32.) One row: the audit shape of
+    * q408/q434. */
+  private def q435(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val Bands = 6; val R = 6; val P = 16
+    val emb = Tables(s, dir)("embeddings")
+    val srcProbes = Similarity.directedProbeRows(
+        emb.filter(col("label") === 0), "vec_id", "embedding", Dim,
+        Bands, R, P)
+      .withColumnRenamed("vec_id", "src_id")
+    val tgtIndex = Similarity.directedProbeRows(
+        emb.filter(col("label") === 1), "vec_id", "embedding", Dim,
+        Bands, R, probes = 0)
+      .withColumnRenamed("vec_id", "tgt_id")
+    val cand = srcProbes.join(tgtIndex, Seq("band", "key"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+      .localCheckpoint() // feeds the hit join AND the size count
+    val best = bitextBest(s, dir).select(col("src_id"), col("tgt_id"))
+    val sizes = emb
+      .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("nt"))
+    best.join(cand.withColumn("inc", lit(1)),
+        Seq("src_id", "tgt_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_src"),
+        sum(coalesce(col("inc"), lit(0))).cast("long").as("n_hit"))
+      .crossJoin(sizes.crossJoin(cand.agg(count(lit(1)).as("nc"))))
+      .select(col("n_src"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_src"), 6).as("recall"),
+        (col("ns") * col("nt")).cast("long").as("n_full_pairs"),
+        col("nc").cast("long").as("n_cand_pairs"),
+        round(col("nc").cast("double") / (col("ns") * col("nt")), 6)
+          .as("cand_frac"))
+  }
+
+  private val q435Sql = {
+    val Bands = 6; val R = 6; val P = 16
+    import OracleVec.hpList
+    val dots36 = (0 until Bands * R)
+      .map(b => dotSql("embedding", s"(${hpList(b)})"))
+      .mkString("[", ", ", "]")
+    val keysList = (0 until Bands).map { b =>
+      "(" + (0 until R)
+        .map(j => s"CASE WHEN d[${b * R + j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ") + ")"
+    }.mkString("[", ", ", "]")
+    val subs: Seq[(Int, Seq[Int])] =
+      (0 until R).map(j => (1 << j, Seq(j))) ++
+        (for { j <- 0 until R; l <- j + 1 until R }
+          yield ((1 << j) | (1 << l), Seq(j, l)))
+    val pertList = (for { b <- 0 until Bands; (mask, js) <- subs } yield
+      s"{'score': ${js.map(j => s"abs(d[${b * R + j + 1}])").mkString(" + ")}, " +
+        s"'band': $b, 'mask': $mask}")
+      .mkString("[", ", ", "]")
+    def pivot =
+      (1 to 4).map(i => s"max(CASE WHEN rk = $i THEN c END)").mkString(" + ")
+    s"""WITH sv AS MATERIALIZED (SELECT vec_id AS src_id, embedding AS s_emb
+                    FROM embeddings WHERE label = 0),
+       tv AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS t_emb
+              FROM embeddings WHERE label = 1),
+       alld AS MATERIALIZED (
+         SELECT vec_id, label, $dots36 AS d
+         FROM embeddings WHERE label IN (0, 1)),
+       allk AS MATERIALIZED (
+         SELECT vec_id, label, d, $keysList AS k FROM alld),
+       tb AS MATERIALIZED (
+         SELECT vec_id AS tgt_id, u.b AS band, k[u.b + 1] AS key
+         FROM allk, unnest(generate_series(0, ${Bands - 1})) AS u(b)
+         WHERE label = 1),
+       spert AS (
+         SELECT vec_id, k, list_slice(list_sort($pertList), 1, $P) AS pl
+         FROM allk WHERE label = 0),
+       sprobes AS MATERIALIZED (
+         SELECT vec_id AS src_id, u.b AS band, k[u.b + 1] AS key
+         FROM allk, unnest(generate_series(0, ${Bands - 1})) AS u(b)
+         WHERE label = 0
+         UNION ALL
+         SELECT vec_id, p.band, xor(k[p.band + 1], p.mask)
+         FROM spert, unnest(pl) AS t(p)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT sp.src_id, tb.tgt_id
+         FROM sprobes sp JOIN tb
+           ON sp.band = tb.band AND sp.key = tb.key),
+       cos AS MATERIALIZED (
+         SELECT src_id, tgt_id, ${cosSql("sv.s_emb", "tv.t_emb")} AS c
+         FROM sv CROSS JOIN tv),
+       rs AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY c DESC, tgt_id) AS rk FROM cos),
+       ax AS (SELECT src_id, ($pivot) / 4 AS ax
+              FROM rs WHERE rk <= 4 GROUP BY src_id),
+       rt AS (SELECT src_id, tgt_id, c,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY c DESC, src_id) AS rk FROM cos),
+       ay AS (SELECT tgt_id, ($pivot) / 4 AS ay
+              FROM rt WHERE rk <= 4 GROUP BY tgt_id),
+       m AS (SELECT cos.src_id, cos.tgt_id,
+               cos.c / ((ax.ax + ay.ay) / 2) AS m
+             FROM cos JOIN ax ON ax.src_id = cos.src_id
+                      JOIN ay ON ay.tgt_id = cos.tgt_id),
+       best AS (
+         SELECT src_id, tgt_id
+         FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                           ORDER BY m DESC, tgt_id) AS rn FROM m)
+         WHERE rn = 1),
+       hit AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_src,
+                CAST(sum(CASE WHEN cand.src_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM best LEFT JOIN cand
+           ON cand.src_id = best.src_id AND cand.tgt_id = best.tgt_id),
+       sizes AS (
+         SELECT CAST((SELECT count(*) FROM sv) *
+                     (SELECT count(*) FROM tv) AS BIGINT) AS n_full_pairs,
+                CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand_pairs)
+       SELECT n_src, n_hit,
+              round(n_hit * 1.0 / n_src, 6) AS recall,
+              n_full_pairs, n_cand_pairs,
+              round(n_cand_pairs * 1.0 / n_full_pairs, 6) AS cand_frac
+       FROM hit CROSS JOIN sizes"""
+  }
+
   // --------------------------------------------------------------- q413
   /** Johnson-Lindenstrauss PROJECTION distortion audit — the
     * real-valued rung between exact 64-d search and the sign-quantized
@@ -455,12 +734,16 @@ object Extras63 extends QueryPack {
     "q401_bitext_margin" -> q401 _,
     "q402_cluster_split" -> q402 _,
     "q408_bitext_blocked" -> q408 _,
-    "q413_jl_distortion" -> q413 _)
+    "q413_jl_distortion" -> q413 _,
+    "q434_multiprobe_bitext" -> q434 _,
+    "q435_directed_probe_bitext" -> q435 _)
 
   override def oracles: Map[String, String] = Map(
     "q400_triplet_mining" -> q400Sql,
     "q401_bitext_margin" -> q401Sql,
     "q402_cluster_split" -> q402Sql,
     "q408_bitext_blocked" -> q408Sql,
-    "q413_jl_distortion" -> q413Sql)
+    "q413_jl_distortion" -> q413Sql,
+    "q434_multiprobe_bitext" -> q434Sql,
+    "q435_directed_probe_bitext" -> q435Sql)
 }

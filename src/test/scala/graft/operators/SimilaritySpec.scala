@@ -79,6 +79,31 @@ class SimilaritySpec extends GraftTestBase {
     assert(multi >= 0.6, s"multi-probe recall=$multi")
   }
 
+  test("directed probes: superset of exact keys, fixed fan-out, budget buys recall cheaply") {
+    val all = graft.Tables(spark, sf001)("embeddings")
+    val src = all.filter($"label" === 0)
+    val exactRows = Similarity.directedProbeRows(src, "vec_id", "embedding",
+      dim = 64, probes = 0)
+    val probedRows = Similarity.directedProbeRows(src, "vec_id", "embedding",
+      dim = 64, probes = 16)
+    // probe rows ⊇ exact rows (the sequence adds keys, never replaces)
+    assert(exactRows.exceptAll(probedRows).isEmpty)
+    // fixed per-vector fan-out: bands + probes rows each
+    val perVec = probedRows.groupBy("vec_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(perVec == Seq(6 + 16), s"fan-out $perVec")
+    // the measured trade on the bitext audit: recall nearly doubles vs
+    // single probe while the candidate fraction stays around 0.3 (the
+    // sf0.001 target collection is 47 vectors — one missed pair is 2pp
+    // of recall — hence the floor here sits below q435's sf0.01+ 0.6)
+    val r = graft.SparkEntry.queries("q435_directed_probe_bitext")(spark, sf001)
+      .collect().head
+    assert(r.getAs[Double]("recall") >= 0.5,
+      s"recall ${r.getAs[Double]("recall")}")
+    assert(r.getAs[Double]("cand_frac") <= 0.35,
+      s"cand_frac ${r.getAs[Double]("cand_frac")}")
+  }
+
   test("ivf ANN: nprobe=all buckets degenerates to exact brute-force top-k") {
     // With every bucket probed, IVF must return exactly the brute-force
     // result — the approximation comes ONLY from unprobed buckets.
