@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Greedy modularity optimization over a weighted graph — the
+  * OPTIMIZER half of q429's scorer (which evaluates a GIVEN
+  * partition): Louvain-style local moves (Blondel et al. 2008)
+  * under the fixed-round discipline of [[LabelPropagation]], never
+  * until-fixpoint.
+  *
+  * Move rule per round (all relational, all deterministic):
+  *   1. every node i computes the EXACT integer modularity gain of
+  *      moving from its community a to each neighbor community b:
+  *      with Q in q429's ordered-pair convention, ΔQ · m2²/2 =
+  *      G = (w(i,b) − w(i,a∖i))·m2 − k_i·(D_b − D_a + k_i) — pure
+  *      Long arithmetic off integer edge weights, so the argmax is
+  *      float-free (at masses where these products could pass 2^63
+  *      the q429 DECIMAL(38,0) note applies verbatim);
+  *   2. per node, the best positive move under the total order
+  *      (G desc, b asc);
+  *   3. LOCALLY-DOMINANT selection (the Manne–Bisseling parallel
+  *      matching rule): a move survives only if it out-ranks — under
+  *      the global order (G desc, i asc, b asc) — every other
+  *      candidate move touching either of its two communities.
+  *      Surviving moves therefore touch pairwise-DISJOINT community
+  *      sets, and disjoint single-node moves have exactly ADDITIVE
+  *      ΔQ (each move's w(i,·) and D_· terms are untouched by the
+  *      others), so the round's total Q change is a sum of positive
+  *      exact gains: Q is NON-DECREASING by construction — the
+  *      property a free-for-all parallel Louvain round cannot
+  *      guarantee (two simultaneous movers into each other's
+  *      communities can oscillate);
+  *   4. apply the survivors, localCheckpoint (cut the per-round
+  *      lineage exactly as the other iterative graph operators).
+  *
+  * The globally best move always survives rule 3, so progress is
+  * made whenever any positive move exists; fixed `rounds` bounds the
+  * work (a round with no positive move is the identity). 100 TB
+  * shape: each round is two hash-aggregates (D_c, w(i,c)), a handful
+  * of equi-joins, and two window ranks — no collect, no all-pairs;
+  * convergence speed scales with how many disjoint community pairs
+  * improve per round (many, on a large graph).
+  *
+  * Reference scope: the reference repo has no graph operators at all
+  * (SURVEY.md §2.9); this extends the graph family (components,
+  * PageRank, HITS, label propagation, q429/q430 diagnostics).
+  */
+object Louvain {
+
+  /** Materialize AND reset plan statistics. localCheckpoint alone cuts
+    * the lineage but PROPAGATES the checkpointed plan's sizeInBytes —
+    * and a loop whose state frame appears ~6 times per round makes
+    * that estimate a PRODUCT of products: the BigInt's digit count
+    * grows ~6× per round and Catalyst stats evaluation itself becomes
+    * the bottleneck (observed: minutes inside BigInteger.multiply by
+    * round 8 — the stats, not the data). Rebuilding from the
+    * checkpointed RDD resets the leaf to the constant
+    * defaultSizeInBytes, so every round plans against bounded stats.
+    * Cost: one InternalRow↔Row conversion over the NODE frame (not
+    * the edges) per round. */
+  private def cutStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Communities after `rounds` of locally-dominant moves.
+    *
+    * `edges`: ORDERED-pair weights (srcCol, dstCol, wCol) with BOTH
+    * directions present and no self-loops (q429's symmetrized-count
+    * convention — build it once, reuse for scoring). Initial
+    * communities are the node ids. Output: (id, community). */
+  def cluster(edges: DataFrame, srcCol: String, dstCol: String,
+              wCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
+      col(wCol).cast("long").as("w"))
+    // static per-node degree mass and total weight (moves never
+    // change either) — computed once, reused every round
+    val deg = e.groupBy("i").agg(sum("w").as("k")).localCheckpoint()
+    val m2 = deg.agg(sum("k").as("m2"))
+    var comm = cutStats(deg.select(col("i"), col("i").as("c")))
+    for (_ <- 0 until rounds) {
+      val dc = comm.join(deg, "i").groupBy("c").agg(sum("k").as("d"))
+      // w(i, community-of-j): one aggregate over the edge list
+      val wic = e.join(comm.select(col("i").as("__j"), col("c").as("b")),
+          col("j") === col("__j"))
+        .groupBy("i", "b").agg(sum("w").as("wib"))
+        .localCheckpoint() // feeds the candidate join AND the own-side lookup
+      val cand = wic
+        .join(comm, "i").filter(col("c") =!= col("b"))
+        // own-community weight keyed on (i, c): null when i has no
+        // within-community edges
+        .join(wic.select(col("i"), col("b").as("c"), col("wib").as("wia")),
+          Seq("i", "c"), "left")
+        .withColumn("wia", coalesce(col("wia"), lit(0L)))
+        .join(deg, "i")
+        .join(dc.select(col("c").as("__b2"), col("d").as("db")),
+          col("b") === col("__b2"))
+        .join(dc.select(col("c").as("__c2"), col("d").as("da")),
+          col("c") === col("__c2"))
+        .crossJoin(broadcast(m2))
+        .select(col("i"), col("c").as("a"), col("b"),
+          ((col("wib") - col("wia")) * col("m2") -
+            col("k") * (col("db") - col("da") + col("k"))).as("g"))
+        .filter(col("g") > 0)
+      val wBest = Window.partitionBy("i").orderBy(col("g").desc, col("b"))
+      val best = cand.withColumn("__rb", row_number().over(wBest))
+        .filter(col("__rb") === 1).drop("__rb")
+      // global priority as a comparable struct (−g, i, b) — min per
+      // touched community replaces a global row_number, so there is
+      // NO single-partition sort anywhere in the round
+      val ranked = best
+        .withColumn("pri", struct((-col("g")).as("ng"), col("i"), col("b")))
+        .localCheckpoint() // feeds the touched-community min AND the filter
+      val tmin = ranked
+        .select(col("pri"), explode(array(col("a"), col("b"))).as("tc"))
+        .groupBy("tc").agg(min("pri").as("mn"))
+      val movers = ranked
+        .join(tmin.select(col("tc").as("a"), col("mn").as("mna")), Seq("a"))
+        .join(tmin.select(col("tc").as("b"), col("mn").as("mnb")), Seq("b"))
+        .filter(col("pri") === col("mna") && col("pri") === col("mnb"))
+        .select(col("i"), col("b"))
+      comm = cutStats(
+        comm.join(movers.select(col("i"), col("b")), Seq("i"), "left")
+          .select(col("i"), coalesce(col("b"), col("c")).as("c")))
+    }
+    comm.select(col("i").as("id"), col("c").as("community"))
+  }
+
+  /** q429's exact scorer for an arbitrary partition of the same
+    * ordered-pair graph: Q = w_in/m2 − Σ_c D_c²/m2² with integer
+    * masses and two fixed-order double divisions (the spec's monotone
+    * and beats-the-region assertions evaluate THIS number). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, comm: DataFrame): Double = {
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
+      col(wCol).cast("long").as("w"))
+    val cm = comm.select(col("id").as("__n"), col("community").as("__c"))
+    val deg = e.groupBy("i").agg(sum("w").as("k"))
+      .join(cm, col("i") === col("__n"))
+    val dc = deg.groupBy("__c").agg(sum("k").as("d"))
+    val win = e
+      .join(cm.select(col("__n").as("i"), col("__c").as("ci")), Seq("i"))
+      .join(cm.select(col("__n").as("j"), col("__c").as("cj")), Seq("j"))
+      .filter(col("ci") === col("cj"))
+      .agg(coalesce(sum("w"), lit(0L)).as("w_in"))
+    val tot = dc.agg(sum("d").as("m2"),
+      sum(col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+        .as("sd2"))
+    win.crossJoin(tot)
+      .select((col("w_in").cast("double") / col("m2") -
+        col("sd2").cast("double") /
+          (col("m2").cast("double") * col("m2"))).as("q"))
+      .collect().head.getDouble(0)
+  }
+}
