@@ -117,9 +117,145 @@ object Extras68 extends QueryPack {
        ORDER BY n_nationkey"""
   }
 
+  // --------------------------------------------------------------- q437
+  /** KNESER-NEY bigram perplexity per document — the CCNet-style
+    * model-based quality signal, two rungs above q278's unigram
+    * surprisal and built on q376's bigram-count machinery: documents
+    * whose bigram chains are IMPROBABLE under the corpus's own
+    * interpolated-KN bigram model (token salad, OCR noise, shuffled
+    * boilerplate) score high perplexity and get filtered.
+    *
+    * Model (Kneser-Ney, interpolated, one discount):
+    *   D = n1/(n1 + 2·n2)                    (Ney's estimate — n1/n2 =
+    *     bigram types seen once/twice; exact integer ratio)
+    *   P(w2|w1) = max(c2−D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+    *     where c1 counts w1-started bigram OCCURRENCES, N1+(w1·) the
+    *     distinct continuations, N1+(·w2) the distinct PREDECESSORS
+    *     (the Kneser-Ney insight: "Francisco" is frequent but follows
+    *     only "San", so its continuation probability is tiny), T the
+    *     total distinct bigram types.
+    *
+    * Determinism: every input to a term is an exact integer; D is one
+    * double division; each per-bigram nll is a FIXED expression tree
+    * both engines write identically; and the per-doc sum folds the
+    * (w1, w2, term) list in SORTED bigram order on both sides — the
+    * q406 sorted-bucket precedent — so no float-summation order can
+    * diverge (exp() stays in the output projection after round(), the
+    * cross-engine exp gotcha).
+    *
+    * Scale shape: model tables are vocab-bounded (broadcast side);
+    * the corpus shuffles once on (doc, w1, w2); scalars ride 1-row
+    * cross joins. Same-corpus scoring means no OOV row exists (every
+    * doc bigram is in the model by construction); a production run
+    * against a reference model adds the q376 left-join floor. */
+  private def q437(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SubstringDedup
+    val d = Tables(s, dir)("documents")
+    val toks = d.select(col("doc_id"), col("source"),
+        SubstringDedup.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    // (doc, w1, w2, n): per-doc bigram occurrence counts — feeds the
+    // corpus model (re-aggregated) AND the scoring join
+    val db = toks.select(col("doc_id"), col("source"), explode(
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+                      element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bg = db.groupBy("w1", "w2").agg(sum("n").as("c2")).localCheckpoint()
+    val c1 = bg.groupBy("w1").agg(sum("c2").as("c1"),
+      count(lit(1)).as("n1p"))
+    val npre = bg.groupBy("w2").agg(count(lit(1)).as("npre"))
+    val disc = bg.agg(
+      count(lit(1)).as("tt"),
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("tt"),
+        // Ney's estimate is undefined when no bigram type occurs once
+        // or twice (a fully-templated corpus — sf0.1's synthetic text
+        // hits this); the standard fixed discount 0.75 is the fallback
+        when(col("n1") + col("n2") * 2 === 0, lit(0.75))
+          .otherwise(col("n1").cast("double") / (col("n1") + col("n2") * 2))
+          .as("dd"))
+    val terms = db
+      .join(bg, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(npre, Seq("w2"))
+      .crossJoin(broadcast(disc))
+      .select(col("doc_id"), col("source"), col("w1"), col("w2"), col("n"),
+        (col("n") * -log(
+          greatest(col("c2").cast("double") - col("dd"), lit(0.0)) / col("c1") +
+            ((col("dd") * col("n1p")) / col("c1")) *
+              (col("npre").cast("double") / col("tt")))).as("term"))
+    terms.groupBy("doc_id", "source")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))),
+            e => e.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("nllsum"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        round(col("nllsum") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("nllsum") / col("n_bigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  private val q437Sql =
+    """WITH toks AS (
+         SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                  w -> w <> '') AS t
+         FROM documents),
+       db AS MATERIALIZED (
+         SELECT doc_id, source, t[i + 1] AS w1, t[i + 2] AS w2,
+                count(*) AS n
+         FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)
+         WHERE len(t) >= 2
+         GROUP BY 1, 2, 3, 4),
+       bg AS MATERIALIZED (
+         SELECT w1, w2, sum(n) AS c2 FROM db GROUP BY 1, 2),
+       c1 AS MATERIALIZED (
+         SELECT w1, sum(c2) AS c1, count(*) AS n1p FROM bg GROUP BY 1),
+       npre AS MATERIALIZED (
+         SELECT w2, count(*) AS npre FROM bg GROUP BY 1),
+       disc AS (
+         SELECT count(*) AS tt,
+                CASE WHEN sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) +
+                          2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) = 0
+                     THEN 0.75
+                     ELSE CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                            (sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) +
+                             2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END))
+                END AS dd
+         FROM bg),
+       terms AS (
+         SELECT db.doc_id, db.source, db.w1, db.w2, db.n,
+                db.n * -ln(
+                  greatest(CAST(bg.c2 AS DOUBLE) - disc.dd, 0.0) / c1.c1 +
+                    ((disc.dd * c1.n1p) / c1.c1) *
+                      (CAST(npre.npre AS DOUBLE) / disc.tt)) AS term
+         FROM db
+         JOIN bg ON bg.w1 = db.w1 AND bg.w2 = db.w2
+         JOIN c1 ON c1.w1 = db.w1
+         JOIN npre ON npre.w2 = db.w2
+         CROSS JOIN disc),
+       per_doc AS (
+         SELECT doc_id, source, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                list_sum(list_transform(
+                  list({'w1': w1, 'w2': w2, 'v': term} ORDER BY w1, w2),
+                  e -> e.v)) AS nllsum
+         FROM terms GROUP BY 1, 2)
+       SELECT doc_id, source, n_bigrams,
+              round(nllsum / n_bigrams, 6) AS avg_nll,
+              round(exp(nllsum / n_bigrams), 4) AS perplexity
+       FROM per_doc ORDER BY doc_id"""
+
   override def queries: Map[String, QueryFn] = Map(
-    "q436_louvain" -> q436 _)
+    "q436_louvain" -> q436 _,
+    "q437_kn_perplexity" -> q437 _)
 
   override def oracles: Map[String, String] = Map(
-    "q436_louvain" -> q436Sql)
+    "q436_louvain" -> q436Sql,
+    "q437_kn_perplexity" -> q437Sql)
 }
