@@ -43,6 +43,38 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** Grid-blocked eps-neighbor pairs WITH their exact squared
+    * distance: (id_a, id_b, d2) for every unordered pair with
+    * d2 <= eps² — step 1-2 of the MR-DBSCAN decomposition, shared
+    * with [[SingleLink]] (which filters the SAME relation at each
+    * dendrogram cut instead of re-blocking per threshold). Exactness
+    * argument (cell inflation, once-per-pair survival) in the object
+    * scaladoc. */
+  def blockedPairs(df: DataFrame, idCol: String, xCol: String,
+                   yCol: String, eps: Double): DataFrame = {
+    val cell = eps * (1.0 + 1e-12)
+    val p = df
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / cell))
+      .withColumn("cy", floor(col("y") / cell))
+    val home = p.select(col("vec_id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = p.select(col("vec_id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), col("cx"), col("cy"), explode(offs).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= lit(eps * eps))
+      .select(col("id_a"), col("id_b"), col("d2"))
+  }
+
   /** @return one row per input point: (idCol, n_nb, role, cluster) —
     *         n_nb counts eps-neighbors INCLUDING self, role is
     *         core/border/noise, cluster is the min core id of the
@@ -54,31 +86,17 @@ object Dbscan {
     // pair whose true distance is a few ulps OVER eps (dist² rounds
     // down into <= eps²) while its cell quotients land 2 apart — the
     // slack re-covers that sliver. Inflation only ADDS candidates (the
-    // exact dist² predicate below still decides membership), so the
-    // result is unchanged and the zero-false-negative contract is
-    // airtight rather than ulp-lucky.
-    val cell = eps * (1.0 + 1e-12)
+    // exact dist² predicate still decides membership), so the result is
+    // unchanged and the zero-false-negative contract is airtight rather
+    // than ulp-lucky. The input projection inside blockedPairs is
+    // deliberately NOT checkpointed (a corpus-sized narrow projection —
+    // recomputing 3 columns off the scan is cheaper than materializing
+    // the corpus); `pairs` IS, because its three consumers would each
+    // replay the grid join.
     val p = df
       .select(col(idCol).cast("long").as("vec_id"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .withColumn("cx", floor(col("x") / cell))
-      .withColumn("cy", floor(col("y") / cell))
-    // p is deliberately NOT checkpointed: it is a corpus-sized narrow
-    // projection (recomputing 3 columns off the scan is cheaper than
-    // materializing the corpus); `pairs` below IS, because its three
-    // consumers would each replay the grid join
-    val home = p.select(col("vec_id").as("id_b"), col("x").as("xb"),
-      col("y").as("yb"), col("cx"), col("cy"))
-    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
-      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probe = p.select(col("vec_id").as("id_a"), col("x").as("xa"),
-        col("y").as("ya"), col("cx"), col("cy"), explode(offs).as("o"))
-      .select(col("id_a"), col("xa"), col("ya"),
-        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
-    val pairs = probe.join(home, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b"))
-      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
-        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
+    val pairs = blockedPairs(df, idCol, xCol, yCol, eps)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // feeds degree, core edges, and border adjacency
     val deg = pairs.select(col("id_a").as("v"))

@@ -251,11 +251,79 @@ object Extras68 extends QueryPack {
               round(exp(nllsum / n_bigrams), 4) AS perplexity
        FROM per_doc ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q438
+  /** SINGLE-LINK DENDROGRAM CUTS over the corpus-map plane — the
+    * hierarchical companion of q415's density view: single-link at
+    * threshold eps IS connected components of the eps-neighbor graph,
+    * so three fixed cuts (0.005 / 0.01 / 0.02 — the coarsest being
+    * q415's own eps) give the fine→coarse membership ladder without
+    * the O(n²) successive-merge loop, and each cut is replayable by a
+    * recursive-CTE closure (the exact merge HEIGHTS would be an
+    * until-fixpoint structure — the k-core rejection rationale — but
+    * fixed cuts are deterministic). The pair relation is grid-blocked
+    * once at the largest cut with exact d² kept
+    * ([[graft.operators.SingleLink]]); finer cuts filter it. Nesting
+    * (a fine cluster never straddles two coarse ones) holds by edge-set
+    * monotonicity — pinned in the spec. */
+  private def q438(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SingleLink
+    val p = Tables(s, dir)("embeddings").select(col("vec_id"),
+      element_at(col("embedding"), 1).as("x"),
+      element_at(col("embedding"), 2).as("y"))
+    SingleLink.cuts(p, "vec_id", "x", "y", Seq(0.005, 0.01, 0.02))
+      .select(col("id").as("vec_id"),
+        col("cut0").cast("long").as("c_fine"),
+        col("cut1").cast("long").as("c_mid"),
+        col("cut2").cast("long").as("c_coarse"))
+      .orderBy("vec_id")
+  }
+
+  private val q438Sql: String = {
+    // one closure per cut: symmetric edges → transitive reachability →
+    // min-id label (the q402/q415 spanning-forest convention); eps² is
+    // pre-multiplied and rendered as the IEEE double Spark's
+    // lit(eps*eps) uses (the q415 DECIMAL gotcha)
+    def cutSql(k: Int, eps: Double): String =
+      s"""e$k AS MATERIALIZED (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM p a JOIN p b ON a.vec_id < b.vec_id
+             AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                 <= ${OracleVec.doubleLit(eps * eps)}),
+         und$k AS (SELECT ia AS a, ib AS b FROM e$k
+                   UNION SELECT ib, ia FROM e$k),
+         cc$k AS (
+           SELECT a, b FROM und$k
+           UNION
+           SELECT cc$k.a, u.b FROM cc$k JOIN und$k u ON cc$k.b = u.a),
+         comp$k AS MATERIALIZED (
+           SELECT a AS vec_id, least(a, min(b)) AS component
+           FROM cc$k GROUP BY a)"""
+    val cuts = Seq(0.005, 0.01, 0.02).zipWithIndex
+      .map { case (eps, k) => cutSql(k, eps) }.mkString(",\n       ")
+    s"""WITH RECURSIVE
+       p AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                CAST(embedding[2] AS DOUBLE) AS y
+         FROM embeddings),
+       $cuts
+       SELECT p.vec_id,
+              CAST(coalesce(c0.component, p.vec_id) AS BIGINT) AS c_fine,
+              CAST(coalesce(c1.component, p.vec_id) AS BIGINT) AS c_mid,
+              CAST(coalesce(c2.component, p.vec_id) AS BIGINT) AS c_coarse
+       FROM p
+       LEFT JOIN comp0 c0 ON c0.vec_id = p.vec_id
+       LEFT JOIN comp1 c1 ON c1.vec_id = p.vec_id
+       LEFT JOIN comp2 c2 ON c2.vec_id = p.vec_id
+       ORDER BY p.vec_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q436_louvain" -> q436 _,
-    "q437_kn_perplexity" -> q437 _)
+    "q437_kn_perplexity" -> q437 _,
+    "q438_dendrogram_cuts" -> q438 _)
 
   override def oracles: Map[String, String] = Map(
     "q436_louvain" -> q436Sql,
-    "q437_kn_perplexity" -> q437Sql)
+    "q437_kn_perplexity" -> q437Sql,
+    "q438_dendrogram_cuts" -> q438Sql)
 }
