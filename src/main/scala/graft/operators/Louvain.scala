@@ -68,16 +68,23 @@ object Louvain {
   /** Communities after `rounds` of locally-dominant moves.
     *
     * `edges`: ORDERED-pair weights (srcCol, dstCol, wCol) with BOTH
-    * directions present and no self-loops (q429's symmetrized-count
-    * convention — build it once, reuse for scoring). Initial
-    * communities are the node ids. Output: (id, community). */
+    * directions present (q429's symmetrized-count convention — build
+    * it once, reuse for scoring). Self-loops are handled (they arise
+    * on [[contract]]ed graphs: a supernode's internal mass rides as
+    * w(i,i), counts toward its degree, and is EXCLUDED from the
+    * move-gain's own-community term — it moves with the node and
+    * cancels in ΔQ). Initial communities are the node ids.
+    * Output: (id, community). */
   def cluster(edges: DataFrame, srcCol: String, dstCol: String,
               wCol: String, rounds: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
       col(wCol).cast("long").as("w"))
     // static per-node degree mass and total weight (moves never
-    // change either) — computed once, reused every round
+    // change either) — computed once, reused every round; the
+    // self-loop mass (contracted graphs) is likewise static
     val deg = e.groupBy("i").agg(sum("w").as("k")).localCheckpoint()
+    val selfw = e.filter(col("i") === col("j"))
+      .select(col("i"), col("w").as("wself")).localCheckpoint()
     val m2 = deg.agg(sum("k").as("m2"))
     var comm = cutStats(deg.select(col("i"), col("i").as("c")))
     for (_ <- 0 until rounds) {
@@ -93,7 +100,11 @@ object Louvain {
         // within-community edges
         .join(wic.select(col("i"), col("b").as("c"), col("wib").as("wia")),
           Seq("i", "c"), "left")
-        .withColumn("wia", coalesce(col("wia"), lit(0L)))
+        // own-community weight EXCLUDES the node's self-loop (it moves
+        // with the node, so it must not count as mass left behind)
+        .join(selfw, Seq("i"), "left")
+        .withColumn("wia",
+          coalesce(col("wia"), lit(0L)) - coalesce(col("wself"), lit(0L)))
         .join(deg, "i")
         .join(dc.select(col("c").as("__b2"), col("d").as("db")),
           col("b") === col("__b2"))
@@ -126,6 +137,55 @@ object Louvain {
           .select(col("i"), coalesce(col("b"), col("c")).as("c")))
     }
     comm.select(col("i").as("id"), col("c").as("community"))
+  }
+
+  /** Phase 2 of Blondel et al.: CONTRACT each community to a
+    * supernode — edge mass re-keyed by community on both endpoints,
+    * so within-community mass becomes the supernode's self-loop.
+    * Modularity of a partition of the contracted graph equals
+    * modularity of its projection onto the original graph (the
+    * classic Louvain invariant), which is what makes further moves on
+    * the contracted graph legitimate Q improvements. One double join
+    * + hash-agg; the contracted graph is communities², bounded by the
+    * current community count, not the corpus. */
+  def contract(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, comm: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
+      col(wCol).cast("long").as("w"))
+    e.join(comm.select(col("id").as("i"), col("community").as("ci")),
+        Seq("i"))
+      .join(comm.select(col("id").as("j"), col("community").as("cj")),
+        Seq("j"))
+      .groupBy(col("ci").as("i"), col("cj").as("j"))
+      .agg(sum("w").as("w"))
+  }
+
+  /** FULL Louvain: `levels` alternations of local-move rounds and
+    * contraction, final labels projected back through every level.
+    * Q is non-decreasing across the whole schedule: within a level by
+    * the locally-dominant rule, and across the contraction boundary
+    * because contracted-graph moves improve the PROJECTED partition's
+    * Q by the [[contract]] invariant (a level with no positive move
+    * is the identity). Output: (id, community) on the ORIGINAL ids. */
+  def clusterLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, rounds: Int, levels: Int): DataFrame = {
+    require(levels >= 1)
+    var e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
+      col(wCol).cast("long").as("w"))
+    var mapping: DataFrame = null
+    for (l <- 0 until levels) {
+      val comm = cluster(e, "i", "j", "w", rounds)
+      mapping =
+        if (mapping == null) cutStats(comm)
+        else cutStats(mapping
+          .select(col("id"), col("community").as("__mid"))
+          .join(comm.select(col("id").as("__mid"),
+            col("community")), Seq("__mid"))
+          .select(col("id"), col("community")))
+      if (l < levels - 1)
+        e = cutStats(contract(e, "i", "j", "w", comm))
+    }
+    mapping
   }
 
   /** q429's exact scorer for an arbitrary partition of the same

@@ -317,13 +317,131 @@ object Extras68 extends QueryPack {
        ORDER BY p.vec_id"""
   }
 
+  // --------------------------------------------------------------- q439
+  /** FULL two-level LOUVAIN — q436 plus Blondel et al.'s phase 2:
+    * after 8 locally-dominant move rounds, every community CONTRACTS
+    * to a supernode (within mass becomes the supernode's self-loop,
+    * which the move gain must exclude from the own-community term —
+    * it travels with the node and cancels in ΔQ), and 8 more rounds
+    * run on the contracted graph. Contracted-graph modularity equals
+    * the projected partition's modularity on the original graph, so Q
+    * stays non-decreasing across the level boundary (LouvainSpec pins
+    * Q(levels=2) >= Q(levels=1)). The oracle unrolls BOTH levels —
+    * 16 round-blocks around one contraction CTE — replaying the exact
+    * move order; final labels project back through the level-0 map.
+    * Same exact-integer gain arithmetic as q436. */
+  private val LouvainL2Rounds = 8
+
+  private def q439(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Louvain
+    val t = Tables(s, dir)
+    val e0 = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val a = e0.select(col("i"), col("j"), col("c"))
+      .union(e0.select(col("j"), col("i"), col("c")))
+      .groupBy("i", "j").agg(sum("c").as("w"))
+      .localCheckpoint()
+    val comm = Louvain.clusterLevels(a, "i", "j", "w",
+      rounds = LouvainL2Rounds, levels = 2)
+    t("nation").join(comm, col("n_nationkey") === col("id"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("community").cast("long").as("community"))
+      .orderBy("n_nationkey")
+  }
+
+  private val q439Sql: String = {
+    // generalized round template: prefix p distinguishes the two
+    // levels' comm chains; selfRel carries the contracted graph's
+    // self-loops (empty at level 0 — the LEFT JOIN coalesces to 0)
+    def round(p: String, n: Int, aRel: String, degRel: String,
+              selfRel: String): String =
+      s"""dc$p$n AS MATERIALIZED (
+           SELECT c, sum(k) AS d FROM comm$p$n JOIN $degRel USING (i) GROUP BY c),
+         wic$p$n AS MATERIALIZED (
+           SELECT $aRel.i, cj.c AS b, sum($aRel.w) AS wib
+           FROM $aRel JOIN comm$p$n cj ON cj.i = $aRel.j GROUP BY 1, 2),
+         cand$p$n AS MATERIALIZED (
+           SELECT w.i, cm.c AS ca, w.b,
+             (w.wib - (coalesce(wa.wib, 0) - coalesce(sw.wself, 0))) * m2.m2
+               - $degRel.k * (db.d - da.d + $degRel.k) AS g
+           FROM wic$p$n w
+           JOIN comm$p$n cm ON cm.i = w.i AND cm.c <> w.b
+           LEFT JOIN wic$p$n wa ON wa.i = w.i AND wa.b = cm.c
+           LEFT JOIN $selfRel sw ON sw.i = w.i
+           JOIN $degRel ON $degRel.i = w.i
+           JOIN dc$p$n db ON db.c = w.b
+           JOIN dc$p$n da ON da.c = cm.c
+           CROSS JOIN m2),
+         best$p$n AS MATERIALIZED (
+           SELECT i, ca, b, g FROM (
+             SELECT *, row_number() OVER (PARTITION BY i
+                         ORDER BY g DESC, b) AS rb
+             FROM cand$p$n WHERE g > 0) WHERE rb = 1),
+         tmin$p$n AS MATERIALIZED (
+           SELECT u.tc, min({'ng': -g, 'i': i, 'b': b}) AS mn
+           FROM best$p$n, unnest([ca, b]) AS u(tc) GROUP BY 1),
+         mv$p$n AS MATERIALIZED (
+           SELECT bs.i, bs.b FROM best$p$n bs
+           JOIN tmin$p$n ta ON ta.tc = bs.ca
+           JOIN tmin$p$n tb ON tb.tc = bs.b
+           WHERE {'ng': -bs.g, 'i': bs.i, 'b': bs.b} = ta.mn
+             AND {'ng': -bs.g, 'i': bs.i, 'b': bs.b} = tb.mn),
+         comm$p${n + 1} AS MATERIALIZED (
+           SELECT c0.i, coalesce(mv.b, c0.c) AS c
+           FROM comm$p$n c0 LEFT JOIN mv$p$n mv ON mv.i = c0.i)"""
+    val R = LouvainL2Rounds
+    val lvlA = (0 until R)
+      .map(n => round("a", n, "a", "deg", "selfw0")).mkString(",\n       ")
+    val lvlB = (0 until R)
+      .map(n => round("b", n, "a1", "deg1", "selfw1")).mkString(",\n       ")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT c_nationkey AS i, s_nationkey AS j, count(*) AS c
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE c_nationkey <> s_nationkey
+         GROUP BY 1, 2),
+       a AS MATERIALIZED (
+         SELECT i, j, sum(c) AS w
+         FROM (SELECT i, j, c FROM e0 UNION ALL SELECT j, i, c FROM e0)
+         GROUP BY 1, 2),
+       deg AS MATERIALIZED (SELECT i, sum(w) AS k FROM a GROUP BY i),
+       selfw0 AS MATERIALIZED (SELECT i, w AS wself FROM a WHERE i = j),
+       m2 AS MATERIALIZED (SELECT sum(k) AS m2 FROM deg),
+       comma0 AS MATERIALIZED (SELECT i, i AS c FROM deg),
+       $lvlA,
+       a1 AS MATERIALIZED (
+         SELECT ca.c AS i, cb.c AS j, sum(a.w) AS w
+         FROM a JOIN comma$R ca ON ca.i = a.i
+                JOIN comma$R cb ON cb.i = a.j
+         GROUP BY 1, 2),
+       deg1 AS MATERIALIZED (SELECT i, sum(w) AS k FROM a1 GROUP BY i),
+       selfw1 AS MATERIALIZED (SELECT i, w AS wself FROM a1 WHERE i = j),
+       commb0 AS MATERIALIZED (SELECT i, i AS c FROM deg1),
+       $lvlB
+       SELECT n_nationkey, n_name,
+              CAST(cb.c AS BIGINT) AS community
+       FROM nation
+       JOIN comma$R ca ON ca.i = n_nationkey
+       JOIN commb$R cb ON cb.i = ca.c
+       ORDER BY n_nationkey"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q436_louvain" -> q436 _,
     "q437_kn_perplexity" -> q437 _,
-    "q438_dendrogram_cuts" -> q438 _)
+    "q438_dendrogram_cuts" -> q438 _,
+    "q439_louvain_levels" -> q439 _)
 
   override def oracles: Map[String, String] = Map(
     "q436_louvain" -> q436Sql,
     "q437_kn_perplexity" -> q437Sql,
-    "q438_dendrogram_cuts" -> q438Sql)
+    "q438_dendrogram_cuts" -> q438Sql,
+    "q439_louvain_levels" -> q439Sql)
 }

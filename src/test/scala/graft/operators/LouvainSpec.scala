@@ -35,6 +35,16 @@ class LouvainSpec extends GraftTestBase {
     assert(comm(0L) != comm(4L), s"clusters merged: $comm")
   }
 
+  test("phase-2 contraction never lowers Q (projected-modularity invariant)") {
+    val edges = tradeEdges.localCheckpoint()
+    val q1 = Louvain.modularity(edges, "i", "j", "w",
+      Louvain.cluster(edges, "i", "j", "w", rounds = 8))
+    val q2 = Louvain.modularity(edges, "i", "j", "w",
+      Louvain.clusterLevels(edges, "i", "j", "w", rounds = 8, levels = 2))
+    info(f"levels=1 Q=$q1%.4f levels=2 Q=$q2%.4f")
+    assert(q2 >= q1 - 1e-12, s"levels=2 $q2 < levels=1 $q1")
+  }
+
   test("Q is non-decreasing per round and beats the region partition") {
     val edges = tradeEdges.localCheckpoint()
     val qs = Seq(0, 1, 2, 3, 4, 6, 8, 12).map { r =>
