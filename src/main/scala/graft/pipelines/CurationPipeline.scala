@@ -47,6 +47,12 @@ import graft.operators.{Dedup, SubstringDedup, Winnowing}
   *      Computed per-row with array_distinct — map-side, NO shuffle;
   *      the per-gram-count formulation (q112) is for reporting, not
   *      gating.
+  *   5b. PERPLEXITY GATE (off unless maxAvgNll is set) — the
+  *      model-based quality signal (KnLm, q437's operator): a
+  *      Kneser-Ney bigram model fit on the current survivors scores
+  *      every document, and average-nll outliers (token salad, OCR
+  *      noise — text the surface heuristics above cannot fault) drop.
+  *      Model tables are vocab-bounded broadcast state.
   *   6. DOMAIN CAP — keep at most `domainCap` documents per source in
   *      deterministic hash order (one window per source; caps crawl
   *      skew so no single domain dominates the mix).
@@ -71,10 +77,11 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
-          maxWinnowDupFrac: Double = 0.5): (DataFrame, Seq[Report]) = {
+          maxWinnowDupFrac: Double = 0.5,
+          maxAvgNll: Double = Double.PositiveInfinity): (DataFrame, Seq[Report]) = {
     val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxWinnowDupFrac)
+      domainCap, minContainment, maxWinnowDupFrac, maxAvgNll)
     (packed, funnel)
   }
 
@@ -92,11 +99,12 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
-          maxWinnowDupFrac: Double = 0.5)
+          maxWinnowDupFrac: Double = 0.5,
+          maxAvgNll: Double = Double.PositiveInfinity)
       : (DataFrame, Seq[Report], DataFrame) = {
     val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxWinnowDupFrac)
+      domainCap, minContainment, maxWinnowDupFrac, maxAvgNll)
     val dropped = frames.sliding(2).collect {
       case Seq((_, prev), (stage, cur)) =>
         prev.select(col("doc_id"))
@@ -116,7 +124,8 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
-          maxWinnowDupFrac: Double = 0.5)
+          maxWinnowDupFrac: Double = 0.5,
+          maxAvgNll: Double = Double.PositiveInfinity)
       : (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
     val funnel = Seq.newBuilder[Report]
     // Each stage is MATERIALIZED once (localCheckpoint) before its
@@ -236,14 +245,28 @@ object CurationPipeline {
         .drop("ws", "__dup_frac")
     })
 
+    // 5b. model-based perplexity gate (off unless maxAvgNll is set):
+    // Kneser-Ney bigram model fit on the CURRENT survivors, documents
+    // whose average bigram nll exceeds the threshold (token salad, OCR
+    // noise) drop. Docs too short for a bigram carry no evidence and
+    // are kept.
+    val perpGated = count("perplexity_gate",
+      if (maxAvgNll == Double.PositiveInfinity) repGated
+      else {
+        val m = graft.operators.KnLm.fit(repGated, "doc_id", "text")
+        val bad = graft.operators.KnLm.score(repGated, "doc_id", "text", m)
+          .filter(col("avg_nll") > maxAvgNll).select("doc_id")
+        repGated.join(bad, Seq("doc_id"), "left_anti")
+      })
+
     // 6. per-source (domain) cap in deterministic hash order
     val capped = count("domain_cap",
-      if (domainCap == Long.MaxValue) repGated
+      if (domainCap == Long.MaxValue) perpGated
       else {
         val w = Window.partitionBy(col("source"))
           .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
                    col("doc_id"))
-        repGated.withColumn("__rk", row_number().over(w))
+        perpGated.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= domainCap).drop("__rk")
       })
 

@@ -149,55 +149,19 @@ object Extras68 extends QueryPack {
     * doc bigram is in the model by construction); a production run
     * against a reference model adds the q376 left-join floor. */
   private def q437(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.SubstringDedup
+    // the operator pair ([[graft.operators.KnLm]]) fit and scored on
+    // the corpus itself; the query adds the source column, rounding,
+    // and row order. KnLm's unseen-event coalesce branches are
+    // identity on fit-corpus hits, so values are bit-identical to the
+    // inner-join oracle below.
+    import graft.operators.KnLm
     val d = Tables(s, dir)("documents")
-    val toks = d.select(col("doc_id"), col("source"),
-        SubstringDedup.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    // (doc, w1, w2, n): per-doc bigram occurrence counts — feeds the
-    // corpus model (re-aggregated) AND the scoring join
-    val db = toks.select(col("doc_id"), col("source"), explode(
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-                      element_at(col("t"), i + 2).as("w2")))).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val bg = db.groupBy("w1", "w2").agg(sum("n").as("c2")).localCheckpoint()
-    val c1 = bg.groupBy("w1").agg(sum("c2").as("c1"),
-      count(lit(1)).as("n1p"))
-    val npre = bg.groupBy("w2").agg(count(lit(1)).as("npre"))
-    val disc = bg.agg(
-      count(lit(1)).as("tt"),
-      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"))
-      .select(col("tt"),
-        // Ney's estimate is undefined when no bigram type occurs once
-        // or twice (a fully-templated corpus — sf0.1's synthetic text
-        // hits this); the standard fixed discount 0.75 is the fallback
-        when(col("n1") + col("n2") * 2 === 0, lit(0.75))
-          .otherwise(col("n1").cast("double") / (col("n1") + col("n2") * 2))
-          .as("dd"))
-    val terms = db
-      .join(bg, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .join(npre, Seq("w2"))
-      .crossJoin(broadcast(disc))
-      .select(col("doc_id"), col("source"), col("w1"), col("w2"), col("n"),
-        (col("n") * -log(
-          greatest(col("c2").cast("double") - col("dd"), lit(0.0)) / col("c1") +
-            ((col("dd") * col("n1p")) / col("c1")) *
-              (col("npre").cast("double") / col("tt")))).as("term"))
-    terms.groupBy("doc_id", "source")
-      .agg(sum("n").cast("long").as("n_bigrams"),
-        aggregate(
-          transform(
-            sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))),
-            e => e.getField("term")),
-          lit(0.0), (acc, x) => acc + x).as("nllsum"))
+    val model = KnLm.fit(d, "doc_id", "text")
+    KnLm.score(d, "doc_id", "text", model)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
-        round(col("nllsum") / col("n_bigrams"), 6).as("avg_nll"),
-        round(exp(col("nllsum") / col("n_bigrams")), 4).as("perplexity"))
+        round(col("avg_nll"), 6).as("avg_nll"),
+        round(exp(col("avg_nll")), 4).as("perplexity"))
       .orderBy("doc_id")
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SubstringDedup, Winnowing}
+import graft.operators.{Dedup, KnLm, SubstringDedup, Winnowing}
 
 /** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
   * curation funnel applied at INGESTION time, with the historical
@@ -91,6 +91,7 @@ object StreamingCuration {
                     maxSubstringDupFrac: Double = 0.5,
                     minContainment: Double = 0.8,
                     maxWinnowDupFrac: Double = 0.5,
+                    maxAvgNll: Double = Double.PositiveInfinity,
                     streamDir: Option[String] = None): Unit =
     EventsStream.withDrainPartitions(spark) {
       import graft.functions.expressions.ShingleMinHash.shingleMinhash
@@ -159,6 +160,38 @@ object StreamingCuration {
         .select(explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
         .distinct()
         .localCheckpoint()
+      // KN model distillate (only when the perplexity gate is on):
+      // the batch pipeline fits on its repetition-gate survivors, so
+      // the static chain replays decon -> quality -> repetition from
+      // the winnow survivors to reach the identical fit corpus; the
+      // model tables are vocab-bounded broadcast state, and the score
+      // probe is CONTENT-based — it prices a never-seen document too
+      val knModel: Option[KnLm.Model] =
+        if (maxAvgNll == Double.PositiveInfinity) None
+        else {
+          val contaminatedSt = winnowSet.filter(!benchmark(col("doc_id")))
+            .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 3)
+            .select(col("doc_id"),
+              explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+            .join(broadcast(benchSh), "sh").select("doc_id").distinct()
+          val deconSt = winnowSet.filter(!benchmark(col("doc_id")))
+            .join(contaminatedSt, Seq("doc_id"), "left_anti")
+          val qualSt = deconSt
+            .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
+            .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+          val ws0 = split(col("text"), " ")
+          val grams0 = expr(
+            "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
+          val repSt = qualSt
+            .withColumn("ws", ws0)
+            .withColumn("__dup_frac",
+              lit(1.0) - size(array_distinct(grams0)).cast("double") /
+                size(grams0).cast("double"))
+            .filter(col("__dup_frac") <= maxDupGramFrac)
+            .drop("ws", "__dup_frac")
+          Some(KnLm.fit(repSt, "doc_id", "text"))
+        }
 
       // ---- per-batch gate: batch semantics inside foreachBatch ----
       def curateBatch(batch: DataFrame): DataFrame = {
@@ -223,13 +256,20 @@ object StreamingCuration {
         val ws = split(col("text"), " ")
         val grams = expr(
           "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
-        quality
+        val repetitionOut = quality
           .withColumn("ws", ws)
           .withColumn("__dup_frac",
             lit(1.0) - size(array_distinct(grams)).cast("double") /
               size(grams).cast("double"))
           .filter(col("__dup_frac") <= maxDupGramFrac)
           .drop("ws", "__dup_frac")
+        knModel match {
+          case None => repetitionOut
+          case Some(m) =>
+            val bad = KnLm.score(repetitionOut, "doc_id", "text", m)
+              .filter(col("avg_nll") > maxAvgNll).select("doc_id")
+            repetitionOut.join(bad, Seq("doc_id"), "left_anti")
+        }
       }
 
       // ---- streaming drain: gate → cap → sample → MERGE ----

@@ -13,7 +13,8 @@ class CurationPipelineSpec extends GraftTestBase {
   test("funnel is monotone and reports every stage") {
     assert(funnel.map(_.stage) == Seq("input", "exact_dedup", "near_dedup",
       "substring_gate", "containment_gate", "winnow_gate", "decontaminate",
-      "quality_gate", "repetition_gate", "domain_cap", "hash_sample"))
+      "quality_gate", "repetition_gate", "perplexity_gate", "domain_cap",
+      "hash_sample"))
     assert(funnel.sliding(2).forall { case Seq(a, b) => b.docs <= a.docs })
     assert(funnel.head.docs == 500) // sf0.001 documents
     assert(funnel.last.docs > 0, "pipeline filtered everything out")
@@ -123,6 +124,39 @@ class CurationPipelineSpec extends GraftTestBase {
       .collect().map(_.getAs[String]("dropped_at"))
     assert(at.toSeq == Seq("containment_gate"),
       s"small doc disposition: ${at.mkString(",")}")
+  }
+
+  test("perplexity gate drops a token-salad doc when enabled") {
+    import spark.implicits._
+    val corpus = Tables(spark, sf001)("documents")
+    // fluent plant: a greedy bigram walk that never REUSES a bigram —
+    // every step is a high-count corpus bigram (low KN nll) but the
+    // walk's own 2-grams stay distinct (passes the repetition gate)
+    // and its 8-gram runs are novel recombinations (passes the winnow
+    // gate). salad plant: vocabulary words in hash order — adjacent
+    // pairs barely exist in the model.
+    val (fluent, salad) = graft.TestCorpusPlants.fluentAndSalad(corpus)
+    val docs = corpus.unionByName(Seq(
+      (600001L, fluent, "en", "srcQ", fluent.length.toLong),
+      (600002L, salad, "en", "srcQ", salad.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // threshold: midpoint of the plants' scores under a corpus-fit
+    // model (the gate's survivor-fit model differs by a handful of
+    // dropped docs — far less than the fluent/salad gap)
+    import graft.operators.KnLm
+    val m = KnLm.fit(corpus, "doc_id", "text")
+    val nll = KnLm.score(docs.filter(col("doc_id") >= 600001L),
+        "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    assert(nll(600002L) > nll(600001L) + 0.5,
+      s"plants not separated: $nll")
+    val thr = (nll(600001L) + nll(600002L)) / 2
+    val (_, _, disp) = CurationPipeline.runWithDisposition(
+      spark, docs, maxAvgNll = thr)
+    val at = disp.filter(col("doc_id") >= 600001L).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("dropped_at")).toMap
+    assert(at(600002L) == "perplexity_gate", s"salad: ${at(600002L)}")
+    assert(at(600001L) != "perplexity_gate", s"fluent: ${at(600001L)}")
   }
 
   test("output carries no exact duplicates and no benchmark docs") {

@@ -104,6 +104,46 @@ class StreamingCurationSpec extends GraftTestBase {
     assert(admitted.count(_ < 300000L).toLong == f("domain_cap"))
   }
 
+  test("perplexity gate prices never-seen docs at ingestion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = freshTable("curated_ppl")
+    val corpus = Tables(spark, sf001)("documents")
+    // plants as in CurationPipelineSpec's gate test: a no-bigram-reuse
+    // greedy walk (fluent, all SEEN high-count bigrams) vs hash-ordered
+    // vocabulary (salad, bigrams the model has never seen — the score
+    // probe's unseen-event fallbacks are exactly what prices it)
+    val (fluent, salad) = graft.TestCorpusPlants.fluentAndSalad(corpus)
+    // threshold from the corpus-fit model (what the gate state holds)
+    import graft.operators.KnLm
+    val m = KnLm.fit(corpus, "doc_id", "text")
+    val plants = Seq(
+      (700001L, fluent, "en", "srcR", fluent.length.toLong),
+      (700002L, salad, "en", "srcR", salad.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nll = KnLm.score(plants, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    val thr = (nll(700001L) + nll(700002L)) / 2
+    val streamed = corpus.unionByName(plants)
+    val tmp = java.nio.file.Files.createTempDirectory("ppl_src").toString
+    streamed.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stage")
+    val part = new java.io.File(s"$tmp/_stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    StreamingCuration.curateToTable(spark, sf001, table,
+      maxAvgNll = thr, streamDir = Some(tmp))
+    val admitted = spark.table(table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(700002L), "salad doc was admitted")
+    assert(admitted.contains(700001L), "fluent doc was rejected")
+    // corpus slice still equals the batch funnel under the same gate
+    val (_, funnel) = CurationPipeline.run(spark, corpus, maxAvgNll = thr)
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    assert(admitted.count(_ < 700000L).toLong == f("domain_cap"))
+  }
+
   test("uncapped drain matches the uncapped batch membership") {
     val table = freshTable("curated_uncapped")
     StreamingCuration.curateToTable(spark, sf001, table)
