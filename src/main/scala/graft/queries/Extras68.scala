@@ -397,15 +397,152 @@ object Extras68 extends QueryPack {
        ORDER BY n_nationkey"""
   }
 
+  // --------------------------------------------------------------- q440
+  /** MinHash-LSH PARAMETER TUNER — the table an operator consults
+    * before picking (rows, bands) for a 64-slot signature: banding
+    * collides a pair of Jaccard j with probability
+    * s(j) = 1 − (1 − j^r)^b, and for the dedup threshold t = 0.7 the
+    * design cost is the S-curve's mass on the wrong sides —
+    * FP = ∫₀ᵗ s(j)dj (non-dups paying exact verification),
+    * FN = ∫ₜ¹ (1 − s(j))dj (true dups never candidate). Both
+    * integrals as 200-step midpoint sums weighted by the corpus's
+    * OWN observed pair-Jaccard mix (uniform weights here — stated in
+    * the column names). Cross-engine float discipline: j^r and
+    * (1−j^r)^b are INTEGER powers expanded as left-fold repeated
+    * multiplication (never libm pow(), whose last ulp differs across
+    * engines); the 200-term integral folds in ascending-i order via
+    * the q406 list discipline on both sides. One row per (r, b)
+    * factorization of 64, ranked by total error. What the table
+    * actually says: (8, 8) minimizes the EQUAL-WEIGHT total
+    * (0.085), while the committed default (4, 16) is the min-FN
+    * choice (FN 0.0004 at FP 0.25) — the right asymmetry for dedup,
+    * where a missed true duplicate is unrecoverable but a false
+    * candidate only pays one cheap exact verification. Both facts
+    * pinned in Round9ClosersSpec. */
+  private def q440(s: SparkSession, dir: String): DataFrame = {
+    val T = 0.7; val Steps = 200
+    val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4),
+      (32, 2), (64, 1))
+    // integer power by left-fold repeated multiplication — identical
+    // IEEE sequence on both engines
+    def ipow(x: org.apache.spark.sql.Column, n: Int) =
+      Seq.fill(n)(x).reduce(_ * _)
+    val grid = s.range(0, Steps).select(
+      ((col("id").cast("double") + 0.5) / Steps).as("j"))
+    val rows = configs.map { case (r, b) =>
+      val sj = lit(1.0) - ipow(lit(1.0) - ipow(col("j"), r), b)
+      val fpTerm = when(col("j") < T, sj).otherwise(lit(0.0)) / Steps
+      val fnTerm = when(col("j") >= T, lit(1.0) - sj).otherwise(lit(0.0)) / Steps
+      grid.select(col("j"), fpTerm.as("fp_t"), fnTerm.as("fn_t"))
+        .agg(
+          aggregate(transform(sort_array(collect_list(
+            struct(col("j"), col("fp_t")))), e => e.getField("fp_t")),
+            lit(0.0), (a, x) => a + x).as("fp"),
+          aggregate(transform(sort_array(collect_list(
+            struct(col("j"), col("fn_t")))), e => e.getField("fn_t")),
+            lit(0.0), (a, x) => a + x).as("fn"))
+        .select(lit(r).as("r"), lit(b).as("b"),
+          round(col("fp"), 6).as("fp_mass_uniform"),
+          round(col("fn"), 6).as("fn_mass_uniform"),
+          round(col("fp") + col("fn"), 6).as("total_err"))
+    }
+    rows.reduce(_ unionByName _)
+      .orderBy(col("total_err"), col("r"))
+  }
+
+  private val q440Sql: String = {
+    val T = 0.7; val Steps = 200
+    val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4),
+      (32, 2), (64, 1))
+    def ipow(x: String, n: Int) = Seq.fill(n)(x).mkString("(", " * ", ")")
+    val branches = configs.map { case (r, b) =>
+      val sj = s"1.0 - ${ipow(s"(1.0 - ${ipow("j", r)})", b)}"
+      s"""SELECT $r AS r, $b AS b,
+            round(list_sum(list_transform(
+              list({'j': j, 'v': CASE WHEN j < $T THEN ($sj) ELSE 0.0 END
+                                   / $Steps} ORDER BY j),
+              e -> e.v)), 6) AS fp_mass_uniform,
+            round(list_sum(list_transform(
+              list({'j': j, 'v': CASE WHEN j >= $T THEN 1.0 - ($sj) ELSE 0.0 END
+                                   / $Steps} ORDER BY j),
+              e -> e.v)), 6) AS fn_mass_uniform,
+            round(list_sum(list_transform(
+              list({'j': j, 'v': CASE WHEN j < $T THEN ($sj) ELSE 0.0 END
+                                   / $Steps} ORDER BY j),
+              e -> e.v)) +
+              list_sum(list_transform(
+              list({'j': j, 'v': CASE WHEN j >= $T THEN 1.0 - ($sj) ELSE 0.0 END
+                                   / $Steps} ORDER BY j),
+              e -> e.v)), 6) AS total_err
+          FROM grid"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH grid AS MATERIALIZED (
+         SELECT (CAST(i AS DOUBLE) + 0.5) / $Steps AS j
+         FROM unnest(generate_series(0, ${Steps - 1})) AS u(i))
+       SELECT * FROM (
+       $branches)
+       ORDER BY total_err, r"""
+  }
+
+  // --------------------------------------------------------------- q441
+  /** STRATIFIED EXACT-COUNT train/val/test split (80/10/10 by source)
+    * — [[graft.operators.StratifiedSplit]]: per stratum the split
+    * sizes are the largest-remainder apportionment of the integer
+    * percentages (a 10-doc source yields exactly 8/1/1, never the
+    * 10/0/0 a per-row hash split can produce), with rows filling
+    * quotas in deterministic md5 order. All quota arithmetic is
+    * integer (n·pct div/mod 100) — no floor(n·0.8) double hazard —
+    * and the md5 rank order is the engines' shared hex-string sort,
+    * so the per-doc assignment hash-matches. */
+  private def q441(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StratifiedSplit
+    StratifiedSplit.assign(Tables(s, dir)("documents"), "doc_id", "source",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .orderBy("doc_id")
+  }
+
+  private val q441Sql =
+    """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       sp AS (SELECT * FROM (VALUES (0, 'train', 80), (1, 'val', 10),
+                                    (2, 'test', 10)) AS t(k, split, pct)),
+       q0 AS (SELECT source, n, k, split,
+                (n * pct) // 100 AS floorq, (n * pct) % 100 AS rem
+              FROM cnt CROSS JOIN sp),
+       q1 AS (SELECT *,
+                n - sum(floorq) OVER (PARTITION BY source) AS extras,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY rem DESC, k) AS rr
+              FROM q0),
+       q2 AS (SELECT source, k, split,
+                floorq + CASE WHEN rr <= extras THEN 1 ELSE 0 END AS quota
+              FROM q1),
+       q3 AS (SELECT *,
+                sum(quota) OVER (PARTITION BY source ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM q2),
+       ranked AS (
+         SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5('spl:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+       SELECT r.doc_id, r.source, q3.split
+       FROM ranked r JOIN q3 ON q3.source = r.source
+         AND r.rk > q3.cum - q3.quota AND r.rk <= q3.cum
+       ORDER BY r.doc_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q436_louvain" -> q436 _,
     "q437_kn_perplexity" -> q437 _,
     "q438_dendrogram_cuts" -> q438 _,
-    "q439_louvain_levels" -> q439 _)
+    "q439_louvain_levels" -> q439 _,
+    "q440_lsh_tuner" -> q440 _,
+    "q441_stratified_split" -> q441 _)
 
   override def oracles: Map[String, String] = Map(
     "q436_louvain" -> q436Sql,
     "q437_kn_perplexity" -> q437Sql,
     "q438_dendrogram_cuts" -> q438Sql,
-    "q439_louvain_levels" -> q439Sql)
+    "q439_louvain_levels" -> q439Sql,
+    "q440_lsh_tuner" -> q440Sql,
+    "q441_stratified_split" -> q441Sql)
 }

@@ -60,6 +60,25 @@ class Round9ClosersSpec extends GraftTestBase {
       s"shuffled ${ppl(500002L)} not clearly above fluent ${ppl(500001L)}")
   }
 
+  test("q440 tuner: (8,8) is the balanced optimum, (4,16) the min-FN (dedup) choice") {
+    val rows = SparkEntry.queries("q440_lsh_tuner")(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("b")) ->
+        ((r.getAs[Double]("fp_mass_uniform"),
+          r.getAs[Double]("fn_mass_uniform"),
+          r.getAs[Double]("total_err")))).toMap
+    assert(rows.size == 7)
+    val best = rows.minBy(_._2._3)._1
+    assert(best == ((8, 8)), s"balanced optimum $best")
+    // the committed minhashDedup default (r=4, b=16): lowest FN among
+    // configs that keep FP below 0.3 — the recall-first dedup trade
+    val affordable = rows.filter(_._2._1 < 0.3)
+    assert(affordable.minBy(_._2._2)._1 == ((4, 16)),
+      s"min-FN affordable config ${affordable.minBy(_._2._2)._1}")
+    // S-curve sanity: FN decreases as bands grow at fixed k
+    assert(rows((4, 16))._2 < rows((8, 8))._2 &&
+      rows((8, 8))._2 < rows((16, 4))._2)
+  }
+
   test("q436 louvain output: every nation labeled, labels are member nationkeys") {
     val rows = SparkEntry.queries("q436_louvain")(spark, sf001).collect()
     assert(rows.length == 25)
