@@ -248,6 +248,62 @@ class PlanShapeSpec extends GraftTestBase {
       s"q403 saw ${shuffles(plan("q403_batch_padding"))}")
   }
 
+  test("round-9 additions hold their plan shapes") {
+    // q435: the ONLY non-equi join allowed is the designed exact
+    // S×T matrix (the audit's truth side — production runs the banded
+    // join alone); probe/index joins must stay equi-keyed on
+    // (band, key), and the sizes aggregate rides 1-row broadcasts.
+    val p435 = plan("q435_directed_probe_bitext")
+    val nonEqui435 = p435.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }
+    // the ONE designed exact matrix appears 3x by logical-tree
+    // duplication (margins + both kNN-average windows re-reference the
+    // cos subtree; ReuseExchange collapses them at execution) + two
+    // 1-row scalar crosses of the audit = 5
+    assert(nonEqui435.size <= 5,
+      s"q435 planned ${nonEqui435.size} non-equi joins")
+    // the banded candidate join is localCheckpointed out of q435's
+    // final plan — assert its equi-join shape at the operator level
+    val emb9 = graft.Tables(spark, sf001)("embeddings")
+    val probes9 = graft.operators.Similarity.directedProbeRows(
+      emb9.filter(org.apache.spark.sql.functions.col("label") === 0),
+      "vec_id", "embedding", dim = 64)
+    val index9 = graft.operators.Similarity.directedProbeRows(
+      emb9.filter(org.apache.spark.sql.functions.col("label") === 1),
+      "vec_id", "embedding", dim = 64, probes = 0)
+    val candPlan = probes9.join(index9, Seq("band", "key"))
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    assert(candPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.isEmpty, "directed-probe candidate join planned non-equi")
+    // q438: grid-blocked pairs + spanning forest — NOTHING may plan a
+    // cartesian or nested loop (the contraction is equi-keyed
+    // throughout).
+    val p438 = plan("q438_dendrogram_cuts")
+    assert(p438.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.isEmpty, "q438 planned a non-equi join")
+    // q441: count agg + tiny quota windows + one rank window over the
+    // data + the range join back = 6 exchange ceiling; the quota side
+    // must broadcast (it is strata×splits rows).
+    val p441 = plan("q441_stratified_split")
+    assert(shuffles(p441) <= 6, s"q441 saw ${shuffles(p441)}")
+    // q437: model joins are equi-keyed; the only non-equi is the
+    // broadcast 1-row discount scalar.
+    val p437 = plan("q437_kn_perplexity")
+    assert(p437.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.size <= 1, "q437 planned more than the 1-row discount cross")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
