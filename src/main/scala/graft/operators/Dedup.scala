@@ -408,6 +408,61 @@ object Dedup {
           (col("n_q") + col("n_d") - col("shared"))).as("jaccard"))
   }
 
+  /** CROSS-CORPUS containment scores: INCOMING documents scored
+    * against an INDEXED shingle-hash relation (idx_id, h) — the
+    * incremental/ingestion twin of [[containmentScores]], the same
+    * new-vs-index shape as [[minhashGate]]. The hot-shingle cap is
+    * defined by the INDEX side (the corpus decides what boilerplate
+    * is); incoming docs' hashes are computed content-side, so a
+    * NEVER-SEEN document is priced too. On a replay of the index
+    * corpus through itself this reproduces [[containmentScores]]'
+    * qid-side rows exactly (same capped universe, same bottom-k
+    * sample, same m >= k/2 gate, same uncapped exact verify) — the
+    * property the streaming funnel-equality spec leans on. Within-
+    * batch new×new pairs are NOT scored (same contract as the
+    * near-dup gate: new×index only). Output shape = containmentScores
+    * minus est: (qid, did, m, shared, n_q, n_d, containment,
+    * jaccard). */
+  def containmentScoresAgainst(inDocs: DataFrame, idCol: String,
+                               textCol: String, idxHashes: DataFrame,
+                               shingleLen: Int = 5, k: Int = 16,
+                               hotCap: Int = 200,
+                               baseHash: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val hot = idxHashes.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > hotCap).select("h")
+    val gIn = shingleHashes(inDocs, idCol, textCol, shingleLen, baseHash)
+      .localCheckpoint() // feeds the cold probe AND the exact verify
+    val gInCold = gIn.join(hot, Seq("h"), "left_anti")
+    val idxCold = idxHashes.join(hot, Seq("h"), "left_anti")
+    val w = Window.partitionBy(idCol).orderBy("h")
+    val bottoms = gInCold.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol).as("qid"), col("h"))
+    val m = bottoms
+      .join(idxCold.select(col("idx_id").as("did"), col("h")), Seq("h"))
+      .filter(col("did") =!= col("qid"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= k / 2)
+    val nQ = gIn.groupBy(idCol).agg(count(lit(1)).as("n_q"))
+    val nD = idxHashes.groupBy("idx_id").agg(count(lit(1)).as("n_d"))
+    val ix = m
+      .join(gIn.select(col(idCol).as("qid"), col("h")), Seq("qid"))
+      .join(idxHashes.select(col("idx_id").as("did"), col("h")),
+        Seq("did", "h"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
+    m.join(ix, Seq("qid", "did"))
+      .join(nQ.select(col(idCol).as("qid"), col("n_q")), Seq("qid"))
+      .join(nD.select(col("idx_id").as("did"), col("n_d")), Seq("did"))
+      .select(col("qid"), col("did"),
+        col("m").cast("long").as("m"),
+        col("shared").cast("long").as("shared"),
+        col("n_q").cast("long").as("n_q"), col("n_d").cast("long").as("n_d"),
+        (col("shared").cast("double") / col("n_q")).as("containment"),
+        (col("shared").cast("double") /
+          (col("n_q") + col("n_d") - col("shared"))).as("jaccard"))
+  }
+
   /** The GATE over [[containmentScores]]: near-subset pairs — the
     * query doc's shingles are ≥ minContainment inside the other doc
     * while resemblance stays < maxJaccard (pairs above maxJaccard are

@@ -24,11 +24,16 @@ import graft.operators.{Dedup, KnLm, SubstringDedup, Winnowing}
   *      est-Jaccard verify against idx_id < doc_id. On the same
   *      corpus this reproduces the batch loser set EXACTLY (same
   *      signatures, same capped buckets, same scoring).
-  *   2b/2c. substring + containment gates → broadcast static heavy-id /
-  *      contained-id sets distilled from the batch stages. These are
-  *      ID sets: exact for corpus replay, blind to never-seen docs —
-  *      the winnow gate below is the content-based backstop that
-  *      catches an unseen patchwork/subset doc at ingestion.
+  *   2b. substring gate → broadcast static heavy-id set (an ID set:
+  *      exact for corpus replay; an unseen patchwork doc is instead
+  *      caught by the winnow content gate below).
+  *   2c. containment gate → CONTENT-BASED: the incoming doc's own
+  *      bottom-k cold shingle hashes probe the corpus shingle-hash
+  *      index ([[graft.operators.Dedup.containmentScoresAgainst]], the
+  *      minhashGate new-vs-index shape), so a never-seen REORDERED
+  *      quote — too low-Jaccard for near-dup, no long runs for the
+  *      winnow gate — is priced at ingestion. On corpus replay this
+  *      reproduces the batch stage's qid-side rows exactly.
   *   2d. winnow gate → the corpus' winnowing FINGERPRINT state
   *      (fp, n_docs, min_id) — a ~2/(w+1)-density content sketch, the
   *      one gate distillate that sees INSIDE a never-seen document: an
@@ -133,6 +138,13 @@ object StreamingCuration {
         .localCheckpoint()
       val containSet = substrSet.join(containedIds,
         substrSet("doc_id") === containedIds("contained_id"), "left_anti")
+      // the containment gate's CONTENT index: the substring survivors'
+      // distinct (idx_id, h) shingle hashes — at 100 TB a table
+      // partitioned by h, probed by each batch's bottom-k sample
+      val idxHashes = Dedup
+        .shingleHashes(substrSet, "doc_id", "text", 5, xxhash64(_))
+        .withColumnRenamed("doc_id", "idx_id")
+        .localCheckpoint()
       // winnow fingerprint state over the containment survivors — the
       // content sketch the ingestion gate probes: per fp, how many
       // docs hold it and the smallest holder id (so a sole holder can
@@ -222,8 +234,15 @@ object StreamingCuration {
         val s2 = s1.join(flagged, Seq("doc_id"), "left_anti")
         val s2b = s2.join(broadcast(heavy),
           s2("doc_id") === heavy("heavy_id"), "left_anti")
-        val s2c = s2b.join(broadcast(containedIds),
-          s2b("doc_id") === containedIds("contained_id"), "left_anti")
+        val s2c = {
+          val bad = Dedup
+            .containmentScoresAgainst(s2b, "doc_id", "text", idxHashes,
+              hotCap = 200)
+            .filter(col("containment") >= minContainment &&
+              col("jaccard") < 0.5)
+            .select(col("qid").as("doc_id")).distinct()
+          s2b.join(bad, Seq("doc_id"), "left_anti")
+        }
         // winnow gate, content-based: the incoming doc's own
         // fingerprints (row-local array math) probe the corpus state;
         // a fingerprint is FOREIGN when other docs hold it — n_docs

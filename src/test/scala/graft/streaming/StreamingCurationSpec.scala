@@ -104,6 +104,51 @@ class StreamingCurationSpec extends GraftTestBase {
     assert(admitted.count(_ < 300000L).toLong == f("domain_cap"))
   }
 
+  test("reordered quote rejected at ingestion by the content containment gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = freshTable("curated_contain")
+    // container doc B in the INDEX corpus (130 long pseudo-random
+    // words — under the 4096-char quality ceiling); never-seen doc S =
+    // 60 of B's words REVERSED: too low-Jaccard for the near-dup gate
+    // (~0.38), zero long runs for the winnow gate (word order broken),
+    // unique fingerprint — only the content-based bottom-k containment
+    // probe can see that ~87% of S's shingles live inside B
+    def word(i: Int) = {
+      val r = new scala.util.Random(i)
+      (0 until 30).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val big = (0 until 130).map(word).mkString(" ")
+    val small = (50 until 110).map(word).reverse.mkString(" ")
+    val corpusPlus = Tables(spark, sf001)("documents").unionByName(
+      Seq((800001L, big, "en", "srcB", big.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def writeDir(df: org.apache.spark.sql.DataFrame): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("contain_src").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stage")
+      val part = new java.io.File(s"$tmp/_stage").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+      tmp
+    }
+    val idxDir = writeDir(corpusPlus)
+    val streamDir = writeDir(corpusPlus.unionByName(
+      Seq((800002L, small, "en", "srcB", small.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")))
+    StreamingCuration.curateToTable(spark, idxDir, table,
+      streamDir = Some(streamDir))
+    val admitted = spark.table(table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(800002L), "reordered quote was admitted")
+    assert(admitted.contains(800001L), "container doc was rejected")
+    // index-corpus slice still equals the batch funnel
+    val (_, funnel) = CurationPipeline.run(spark, corpusPlus)
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    assert((admitted - 800002L).size.toLong == f("domain_cap"))
+  }
+
   test("perplexity gate prices never-seen docs at ingestion") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
