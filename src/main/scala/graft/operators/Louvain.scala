@@ -87,7 +87,8 @@ object Louvain {
       .select(col("i"), col("w").as("wself")).localCheckpoint()
     val m2 = deg.agg(sum("k").as("m2"))
     var comm = cutStats(deg.select(col("i"), col("i").as("c")))
-    for (_ <- 0 until rounds) {
+    var converged = false
+    for (_ <- 0 until rounds if !converged) {
       val dc = comm.join(deg, "i").groupBy("c").agg(sum("k").as("d"))
       // w(i, community-of-j): one aggregate over the edge list
       val wic = e.join(comm.select(col("i").as("__j"), col("c").as("b")),
@@ -124,17 +125,26 @@ object Louvain {
       val ranked = best
         .withColumn("pri", struct((-col("g")).as("ng"), col("i"), col("b")))
         .localCheckpoint() // feeds the touched-community min AND the filter
-      val tmin = ranked
+      // EARLY EXIT, identity-preserving: no positive-gain candidate
+      // means no move this round — and since the state is unchanged,
+      // none in any later round either; the remaining fixed rounds
+      // are identities (the unrolled oracle replays them as such, so
+      // results are byte-identical with or without the exit). One
+      // cheap isEmpty on the already-materialized candidate frame.
+      if (ranked.isEmpty) converged = true
+      else {
+        val tmin = ranked
         .select(col("pri"), explode(array(col("a"), col("b"))).as("tc"))
         .groupBy("tc").agg(min("pri").as("mn"))
-      val movers = ranked
-        .join(tmin.select(col("tc").as("a"), col("mn").as("mna")), Seq("a"))
-        .join(tmin.select(col("tc").as("b"), col("mn").as("mnb")), Seq("b"))
-        .filter(col("pri") === col("mna") && col("pri") === col("mnb"))
-        .select(col("i"), col("b"))
-      comm = cutStats(
-        comm.join(movers.select(col("i"), col("b")), Seq("i"), "left")
-          .select(col("i"), coalesce(col("b"), col("c")).as("c")))
+        val movers = ranked
+          .join(tmin.select(col("tc").as("a"), col("mn").as("mna")), Seq("a"))
+          .join(tmin.select(col("tc").as("b"), col("mn").as("mnb")), Seq("b"))
+          .filter(col("pri") === col("mna") && col("pri") === col("mnb"))
+          .select(col("i"), col("b"))
+        comm = cutStats(
+          comm.join(movers.select(col("i"), col("b")), Seq("i"), "left")
+            .select(col("i"), coalesce(col("b"), col("c")).as("c")))
+      }
     }
     comm.select(col("i").as("id"), col("c").as("community"))
   }
