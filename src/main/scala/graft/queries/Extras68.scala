@@ -530,13 +530,113 @@ object Extras68 extends QueryPack {
          AND r.rk > q3.cum - q3.quota AND r.rk <= q3.cum
        ORDER BY r.doc_id"""
 
+  // --------------------------------------------------------------- q442
+  /** DUPLICATE-FAMILY HIERARCHY over the TEXT near-dup graph — q438's
+    * dendrogram-cut idea applied to minhash similarity instead of the
+    * 2-D plane: single-link families at est-Jaccard cuts 0.2 / 0.5 /
+    * 0.8 over the md5-family LSH candidate pairs (one banded pipeline
+    * run; finer cuts FILTER the same materialized pair relation).
+    * Estimated Jaccard is agree/16 — an exact multiple of 1/16 on
+    * both engines — so the cut comparisons have no float-boundary
+    * hazard. The fine→coarse family labels answer "which docs are
+    * variants of the same template, and at what strength do the
+    * families merge" (boilerplate audits read the 0.2 families,
+    * retention policies the 0.8 ones). q26's doc_id % 5 slice keeps
+    * the oracle's quadratic closure honest. */
+  private def q442(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, Dedup}
+    val base = Tables(s, dir)("documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pairs = Dedup.minhashDedupMd5(base, "doc_id", "text",
+        threshold = 0.2)
+      .localCheckpoint() // all three cuts filter this one relation
+    val ids = base.select(col("doc_id"))
+    Seq(("fam_loose", 0.2), ("fam_mid", 0.5), ("fam_tight", 0.8))
+      .foldLeft(ids) { case (acc, (nm, cut)) =>
+        val comp = ConnectedComponents.components(
+          pairs.filter(col("est_jaccard") >= cut)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        acc.join(comp.select(col("id").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .withColumn(nm, coalesce(col("component"), col("doc_id")))
+          .drop("component")
+      }
+      .select(col("doc_id"), col("fam_loose").cast("long").as("fam_loose"),
+        col("fam_mid").cast("long").as("fam_mid"),
+        col("fam_tight").cast("long").as("fam_tight"))
+      .orderBy("doc_id")
+  }
+
+  private val q442Sql: String = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val agree = (1 to 16)
+      .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    def cutSql(k: Int, cut: Double): String =
+      s"""ed$k AS MATERIALIZED (SELECT id_a, id_b FROM est WHERE e >= $cut),
+         und$k AS (SELECT id_a AS a, id_b AS b FROM ed$k
+                   UNION SELECT id_b, id_a FROM ed$k),
+         cc$k AS (
+           SELECT a, b FROM und$k
+           UNION
+           SELECT cc$k.a, u.b FROM cc$k JOIN und$k u ON cc$k.b = u.a),
+         comp$k AS MATERIALIZED (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM cc$k GROUP BY a)"""
+    val cuts = Seq(0.2, 0.5, 0.8).zipWithIndex
+      .map { case (c, k) => cutSql(k, c) }.mkString(",\n       ")
+    s"""WITH RECURSIVE
+       base AS MATERIALIZED (
+         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       d AS (
+         SELECT doc_id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+               i -> substring(text, i, 5))),
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM base WHERE length(text) >= 5),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM d),
+       bands AS MATERIALIZED (
+         SELECT doc_id, sig, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       prs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+       est AS MATERIALIZED (
+         SELECT id_a, id_b, ($agree) / 16.0 AS e FROM prs),
+       $cuts
+       SELECT base.doc_id,
+              CAST(coalesce(c0.component, base.doc_id) AS BIGINT) AS fam_loose,
+              CAST(coalesce(c1.component, base.doc_id) AS BIGINT) AS fam_mid,
+              CAST(coalesce(c2.component, base.doc_id) AS BIGINT) AS fam_tight
+       FROM base
+       LEFT JOIN comp0 c0 ON c0.doc_id = base.doc_id
+       LEFT JOIN comp1 c1 ON c1.doc_id = base.doc_id
+       LEFT JOIN comp2 c2 ON c2.doc_id = base.doc_id
+       ORDER BY base.doc_id"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q436_louvain" -> q436 _,
     "q437_kn_perplexity" -> q437 _,
     "q438_dendrogram_cuts" -> q438 _,
     "q439_louvain_levels" -> q439 _,
     "q440_lsh_tuner" -> q440 _,
-    "q441_stratified_split" -> q441 _)
+    "q441_stratified_split" -> q441 _,
+    "q442_dup_families" -> q442 _)
 
   override def oracles: Map[String, String] = Map(
     "q436_louvain" -> q436Sql,
@@ -544,5 +644,6 @@ object Extras68 extends QueryPack {
     "q438_dendrogram_cuts" -> q438Sql,
     "q439_louvain_levels" -> q439Sql,
     "q440_lsh_tuner" -> q440Sql,
-    "q441_stratified_split" -> q441Sql)
+    "q441_stratified_split" -> q441Sql,
+    "q442_dup_families" -> q442Sql)
 }

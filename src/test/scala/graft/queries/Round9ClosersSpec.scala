@@ -79,6 +79,19 @@ class Round9ClosersSpec extends GraftTestBase {
       rows((8, 8))._2 < rows((16, 4))._2)
   }
 
+  test("q442 duplicate families nest and coarsen across the cut ladder") {
+    val rows = SparkEntry.queries("q442_dup_families")(spark, sf001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tighter cuts refine looser ones: same fam_tight => same fam_mid,
+    // same fam_mid => same fam_loose (edge sets shrink with the cut)
+    assert(rows.groupBy(_._3).values.forall(_.map(_._2).distinct.size == 1))
+    assert(rows.groupBy(_._2).values.forall(_.map(_._1).distinct.size == 1))
+    val n = Seq(rows.map(_._1).distinct.size, rows.map(_._2).distinct.size,
+      rows.map(_._3).distinct.size)
+    assert(n(0) <= n(1) && n(1) <= n(2), s"family counts $n")
+    assert(n(0) < rows.length, "no near-dup families found at the loose cut")
+  }
+
   test("q436 louvain output: every nation labeled, labels are member nationkeys") {
     val rows = SparkEntry.queries("q436_louvain")(spark, sf001).collect()
     assert(rows.length == 25)
