@@ -132,7 +132,15 @@ object Bench {
         if (m % 2 == 1) ratios(m / 2)
         else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0
       }
-    val accepted = ambientRatio <= 1.1
+    // `accepted` gates a sweep's fitness as the next committed reference,
+    // so it must fail CLOSED on the two conditions the median is
+    // deliberately robust to: stall retries (a third-run entry carries an
+    // inflated time the median ignores but the committed map would then
+    // propagate as a too-loose stall threshold) and failed queries (a -1
+    // simply drops out of the ratio set). A sweep is only reference-grade
+    // when the window was comparable AND every entry is a clean two-run
+    // minimum AND nothing failed.
+    val accepted = ambientRatio <= 1.1 && stalls.isEmpty && failed.isEmpty
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

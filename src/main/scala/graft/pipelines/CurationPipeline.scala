@@ -190,24 +190,18 @@ object CurationPipeline {
     })
 
     // 2d. winnow gate: duplicated-fingerprint fraction over the
-    // surviving corpus (one window shuffle on the fingerprint key;
-    // Winnowing.fingerprints emits per-doc DISTINCT fps, so the
-    // per-key count IS the holding-doc count). The batch twin of the
-    // streaming content gate — see the stage-2d scaladoc above.
-    val winnowed = count("winnow_gate", {
-      val wf = Winnowing.fingerprints(contained, "doc_id", "text",
-        k = 8, w = 4)
-      // sum(lit(1)) == count(*) here (no nulls); the local `count`
-      // stage helper shadows functions.count in this scope
-      val heavy = wf
-        .withColumn("__nd", sum(lit(1L)).over(Window.partitionBy("fp")))
-        .groupBy("doc_id")
-        .agg((sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double") /
-          sum(lit(1L))).as("__wfrac"))
-        .filter(col("__wfrac") > maxWinnowDupFrac)
-        .select("doc_id")
-      contained.join(heavy, Seq("doc_id"), "left_anti")
-    })
+    // surviving corpus (Winnowing.fingerprints emits per-doc DISTINCT
+    // fps, so the per-fp row count IS the holding-doc count). The
+    // per-fp count is a partial-aggregating groupBy joined back on fp
+    // — NOT a window over fp: a window materializes every (doc, fp)
+    // row of a fingerprint in one task, so one boilerplate fp shared
+    // by millions of docs becomes single-task skew at 100 TB, while
+    // the groupBy map-side-combines the hot key down to one row per
+    // partition before the shuffle. The batch twin of the streaming
+    // content gate — see the stage-2d scaladoc above.
+    val winnowed = count("winnow_gate",
+      contained.join(winnowHeavy(contained, maxWinnowDupFrac),
+        Seq("doc_id"), "left_anti"))
 
     // 3. decontamination vs the benchmark slice
     val decon = count("decontaminate", {
@@ -289,6 +283,28 @@ object CurationPipeline {
         floor((sum(col("tok")).over(w) - col("tok")) / lit(tokenBudget)))
 
     (packed, funnel.result(), stageFrames.result())
+  }
+
+  /** Stage-2d heavy set: doc_ids whose duplicated-fingerprint fraction
+    * exceeds `maxWinnowDupFrac`. Winnowing.fingerprints emits per-doc
+    * DISTINCT fps, so the per-fp row count IS the holding-doc count.
+    * The per-fp count is a partial-aggregating groupBy joined back on
+    * fp — NOT a window over fp: a window materializes every (doc, fp)
+    * row of a fingerprint in one task, so one boilerplate fp shared by
+    * millions of docs becomes single-task skew at 100 TB, while the
+    * groupBy map-side-combines the hot key down to one row per
+    * partition before the shuffle. Package-visible so PlanShapeSpec
+    * can pin the no-window-over-fp invariant. */
+  private[graft] def winnowHeavy(docs: DataFrame,
+                                 maxWinnowDupFrac: Double): DataFrame = {
+    val wf = Winnowing.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val fpCounts = wf.groupBy("fp").agg(count(lit(1)).as("__nd"))
+    wf.join(fpCounts, Seq("fp"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("__wfrac"))
+      .filter(col("__wfrac") > maxWinnowDupFrac)
+      .select("doc_id")
   }
 }
 

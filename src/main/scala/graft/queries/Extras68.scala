@@ -56,6 +56,13 @@ object Extras68 extends QueryPack {
     // per-node best positive exact-integer gain, locally-dominant
     // selection via the (−g, i, b) struct minimum per touched
     // community, survivors applied
+    //
+    // PRECONDITION: this simpler gain template omits the self-loop
+    // subtraction from the own-community term (q439's generalized
+    // template carries `coalesce(sw.wself, 0)`); it matches
+    // Louvain.cluster ONLY because the `c_nationkey <> s_nationkey`
+    // filter guarantees a self-loop-free level-0 graph. Do not reuse
+    // this template on a graph that can carry self-loops — use q439's.
     def round(tIn: String, n: Int): String = {
       val pri = (rel: String) =>
         s"{'ng': -$rel.g, 'i': $rel.i, 'b': $rel.b}"

@@ -95,6 +95,7 @@ object StreamingCuration {
                     maxDupGramFrac: Double = 0.6,
                     maxSubstringDupFrac: Double = 0.5,
                     minContainment: Double = 0.8,
+                    maxJaccard: Double = 0.5,
                     maxWinnowDupFrac: Double = 0.5,
                     maxAvgNll: Double = Double.PositiveInfinity,
                     streamDir: Option[String] = None): Unit =
@@ -133,7 +134,7 @@ object StreamingCuration {
       val substrSet = near.join(heavy,
         near("doc_id") === heavy("heavy_id"), "left_anti")
       val containedIds = Dedup.containmentGate(substrSet, "doc_id", "text",
-          minContainment = minContainment)
+          minContainment = minContainment, maxJaccard = maxJaccard)
         .select(col("contained_id")).distinct()
         .localCheckpoint()
       val containSet = substrSet.join(containedIds,
@@ -239,7 +240,7 @@ object StreamingCuration {
             .containmentScoresAgainst(s2b, "doc_id", "text", idxHashes,
               hotCap = 200)
             .filter(col("containment") >= minContainment &&
-              col("jaccard") < 0.5)
+              col("jaccard") < maxJaccard)
             .select(col("qid").as("doc_id")).distinct()
           s2b.join(bad, Seq("doc_id"), "left_anti")
         }

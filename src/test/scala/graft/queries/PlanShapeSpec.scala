@@ -304,6 +304,22 @@ class PlanShapeSpec extends GraftTestBase {
     }.size <= 1, "q437 planned more than the 1-row discount cross")
   }
 
+  test("winnow gate counts fingerprints via groupBy+join, not a window over fp") {
+    // the one previously-unbounded key in the funnel: a window over fp
+    // materializes every (doc, fp) row of a hot boilerplate fingerprint
+    // in one task; the groupBy form map-side-combines it away
+    val docs = graft.Tables(spark, sf001)("documents")
+    val heavyPlan = graft.pipelines.CurationPipeline
+      .winnowHeavy(docs, 0.5)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+    assert(heavyPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "winnow gate planned a window (per-fp single-task skew risk)")
+  }
+
   test("skyline runs its global sort AFTER the local prune (two windows)") {
     val p = plan("q143_skyline")
     val winds = p.collect {
