@@ -75,8 +75,17 @@ object Louvain {
     * move-gain's own-community term — it moves with the node and
     * cancels in ΔQ). Initial communities are the node ids.
     * Output: (id, community). */
+  /** @param gammaNum,gammaDen Reichardt–Bornholdt resolution γ as an
+    *   EXACT RATIONAL (default 1/1 = classic modularity): the gain
+    *   generalizes to G = den·(w_ib − w_ia)·m2 − num·k_i·(D_b − D_a +
+    *   k_i) — multiplying through by den keeps every term a Long, so
+    *   the argmax stays float-free at any γ. Larger γ penalizes
+    *   degree mass harder → finer communities (γ→∞ leaves every node
+    *   a singleton: no positive move exists); smaller γ → coarser. */
   def cluster(edges: DataFrame, srcCol: String, dstCol: String,
-              wCol: String, rounds: Int): DataFrame = {
+              wCol: String, rounds: Int,
+              gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
+    require(gammaNum > 0 && gammaDen > 0, "γ must be a positive rational")
     val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
       col(wCol).cast("long").as("w"))
     // static per-node degree mass and total weight (moves never
@@ -113,8 +122,9 @@ object Louvain {
           col("c") === col("__c2"))
         .crossJoin(broadcast(m2))
         .select(col("i"), col("c").as("a"), col("b"),
-          ((col("wib") - col("wia")) * col("m2") -
-            col("k") * (col("db") - col("da") + col("k"))).as("g"))
+          (lit(gammaDen) * (col("wib") - col("wia")) * col("m2") -
+            lit(gammaNum) * col("k") *
+              (col("db") - col("da") + col("k"))).as("g"))
         .filter(col("g") > 0)
       val wBest = Window.partitionBy("i").orderBy(col("g").desc, col("b"))
       val best = cand.withColumn("__rb", row_number().over(wBest))
@@ -196,6 +206,48 @@ object Louvain {
         e = cutStats(contract(e, "i", "j", "w", comm))
     }
     mapping
+  }
+
+  /** LEIDEN-STYLE connectivity refinement (the fix for Traag et al.
+    * 2019's defect report on Louvain: a bridge node can move away and
+    * strand its old community in pieces that keep one label — the
+    * stranded members' only neighbor community is then their OWN, so
+    * no local move can ever heal it). Per final community, relabel
+    * each connected FRAGMENT of the community-induced subgraph with
+    * its min member id. One global [[ConnectedComponents]] pass over
+    * the within-community edge set does all communities at once
+    * (cross-community edges are filtered, so fragments of different
+    * communities cannot link), and the min-id labels are globally
+    * unique because fragments are disjoint node sets.
+    *
+    * Q never decreases: a split removes NO within-community edge mass
+    * (fragments have zero edges between them by definition) while
+    * Σ D_c² strictly drops whenever a community actually splits
+    * ((d₁+d₂)² > d₁² + d₂² for positive degree masses) — so refined
+    * Q is ≥ the input partition's Q, strictly greater iff some
+    * community was internally disconnected. A connected community
+    * comes back as one fragment (pure relabel to min member id).
+    *
+    * Input comm: (id, community); output: (id, community) with
+    * fragment labels — a drop-in replacement for [[cluster]]'s
+    * output. Members with no within-community edge (isolated in
+    * their community) become their own singleton. */
+  def refine(edges: DataFrame, srcCol: String, dstCol: String,
+             comm: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"))
+      .filter(col("i") =!= col("j"))
+    val within = e
+      .join(comm.select(col("id").as("i"), col("community").as("__ci")),
+        Seq("i"))
+      .join(comm.select(col("id").as("j"), col("community").as("__cj")),
+        Seq("j"))
+      .filter(col("__ci") === col("__cj"))
+      .select("i", "j")
+    val cc = ConnectedComponents.components(within, "i", "j")
+    comm.select(col("id"))
+      .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("community"))
   }
 
   /** q429's exact scorer for an arbitrary partition of the same

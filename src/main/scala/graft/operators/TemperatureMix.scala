@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temperature-sampled source mixing (the T5/mT5 n^α family — Raffel
+  * et al. 2020 §3.4.3, Xue et al. 2021): allocate a global budget B
+  * across sources with per-source shares ∝ n_i^α. α=1 is proportional
+  * (pure empirical mix), α=0 is uniform, and intermediate α up-weights
+  * small sources without the hard cap UniMax (q423) applies — the two
+  * operators are the standard alternatives a data card compares.
+  *
+  * Counts are EXACT largest-remainder apportionment of the weights
+  * (every source gets floor(B·w_i/W); the leftover units go to the
+  * largest fractional remainders, ties to the lexicographically
+  * smaller source), so allocations are integers summing to exactly B.
+  *
+  * Cross-engine determinism: α is restricted to QUARTERS (α = q/4).
+  * n^(q/4) is computed as a fixed tree of IEEE-exact operations —
+  * n^(q div 4) by repeated multiplication (the q440 pow discipline)
+  * times (sqrt(sqrt(n)))^(q mod 4), also repeated multiplication.
+  * Every operation in the tree (*, /, sqrt) is correctly rounded
+  * under IEEE 754, unlike libm pow/exp whose last-ulp behavior
+  * differs between engines — so DuckDB writing the same tree
+  * reproduces every weight bit-for-bit. α=1 and α=0 degenerate to
+  * exact integer weights. The weight total W folds in ascending key
+  * order (the q406 sorted-fold discipline) so float summation order
+  * cannot diverge either.
+  *
+  * Scale shape: the per-source count table is S rows (S = number of
+  * sources, tiny by definition); everything here is arithmetic over
+  * that table plus one rank window — the corpus itself is touched
+  * only by the upstream groupBy().count(). Reference scope: the
+  * reference has no sampling operators at all (SURVEY.md §2.9);
+  * extension surface next to UniMax/StratifiedSplit.
+  */
+object TemperatureMix {
+
+  /** n^(alphaQuarters/4) as the fixed IEEE-exact expression tree
+    * described above. alphaQuarters = 0 → 1.0, 4 → n exactly. */
+  def weightExpr(n: Column, alphaQuarters: Int): Column = {
+    require(alphaQuarters >= 0, s"negative α not supported: $alphaQuarters")
+    val whole = alphaQuarters / 4
+    val frac  = alphaQuarters % 4
+    val nd    = n.cast("double")
+    val root  = sqrt(sqrt(nd)) // n^(1/4), two correctly-rounded sqrts
+    val wholePart = (1 to whole).foldLeft(lit(1.0): Column)((a, _) => a * nd)
+    (1 to frac).foldLeft(wholePart)((a, _) => a * root)
+  }
+
+  /** Exact-count temperature allocation over a per-key count table.
+    *
+    * @param counts (keyCol, nCol) — one row per source, n > 0
+    * @return (keyCol, n, alloc) with sum(alloc) = budget exactly. */
+  def allocate(counts: DataFrame, keyCol: String, nCol: String,
+               budget: Long, alphaQuarters: Int): DataFrame = {
+    val base = counts.select(col(keyCol), col(nCol).cast("long").as("n"))
+    // W = Σ w_i folded in ascending key order: collect the S-row table
+    // into one sorted array and fold — deterministic summation order
+    // on an S-row frame, never corpus-sized
+    val w = weightExpr(col("n"), alphaQuarters)
+    val weighted = base.withColumn("__w", w)
+    val tot = weighted
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(keyCol).as("k"), col("__w").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("__tw"))
+    val quota = weighted.crossJoin(broadcast(tot))
+      .withColumn("__q", lit(budget.toDouble) * col("__w") / col("__tw"))
+      .withColumn("__fq", floor(col("__q")).cast("long"))
+      .withColumn("__rem", col("__q") - col("__fq"))
+    val wRem = Window.orderBy(col("__rem").desc, col(keyCol))
+    quota
+      .withColumn("__extras", lit(budget) - sum("__fq").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__bonus",
+        when(row_number().over(wRem) <= col("__extras"), 1L).otherwise(0L))
+      .select(col(keyCol), col("n"),
+        (col("__fq") + col("__bonus")).as("alloc"))
+  }
+}

@@ -1,0 +1,562 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 pack: Leiden-style refinement and resolution-γ over the
+  * Louvain optimizer (q443/q444), real character-trigram language ID
+  * (q445) composed into temperature-sampled source mixing (q446),
+  * containment-aware duplicate families (q447), and the
+  * dedup-then-split composition with its zero-leakage audit (q448).
+  */
+object Extras69 extends QueryPack {
+
+  private val Rounds = 12
+
+  /** The q436 nation trade graph: symmetrized ordered-pair weights. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e0 = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
+      .agg(count(lit(1)).as("c"))
+    e0.select(col("i"), col("j"), col("c"))
+      .union(e0.select(col("j"), col("i"), col("c")))
+      .groupBy("i", "j").agg(sum("c").as("w"))
+  }
+
+  // --------------------------------------------------------------- q443
+  /** LEIDEN-STYLE REFINEMENT over the trade-graph Louvain partition —
+    * Traag et al. 2019's defect report made executable: Louvain can
+    * strand a community in internally DISCONNECTED pieces (a bridge
+    * node gathers neighbors then moves away; the stranded members'
+    * only neighbor community is their own, so no local move ever
+    * heals it — LouvainSpec plants exactly that graph).
+    * [[graft.operators.Louvain.refine]] relabels each connected
+    * fragment of every community-induced subgraph with its min member
+    * id via ONE global ConnectedComponents pass (cross-community
+    * edges filtered, so fragments of different communities cannot
+    * link); Q never decreases — a split removes no within-community
+    * edge mass while Σ D_c² strictly drops. On this graph the q436
+    * communities happen to be connected at all three SFs, so refine
+    * is the identity up to min-member relabeling — the honest
+    * null-case twin of the spec's planted split; the oracle replays
+    * the same 12-round chain plus one recursive-CTE closure over the
+    * within-community edges. */
+  private def q443(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Louvain
+    val a = tradeEdges(s, dir).localCheckpoint()
+    val comm = Louvain.cluster(a, "i", "j", "w", Rounds).localCheckpoint()
+    val refined = Louvain.refine(a, "i", "j", comm)
+    Tables(s, dir)("nation")
+      .join(comm, col("n_nationkey") === comm("id"))
+      .join(refined.select(col("id").as("__rid"),
+        col("community").as("__rc")), col("n_nationkey") === col("__rid"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("community").cast("long").as("community"),
+        col("__rc").cast("long").as("refined"))
+      .orderBy("n_nationkey")
+  }
+
+  private val q443Sql: String =
+    s"""WITH RECURSIVE ${OracleLouvain.tradeGraphPrefix},
+       ${OracleLouvain.chainSql("r", Rounds, "a", "deg", "selfw0")},
+       within AS MATERIALIZED (
+         SELECT a.i AS x, a.j AS y
+         FROM a JOIN commr$Rounds ci ON ci.i = a.i
+                JOIN commr$Rounds cj ON cj.i = a.j
+         WHERE ci.c = cj.c AND a.i <> a.j),
+       reach AS (
+         SELECT x AS aa, y AS bb FROM within
+         UNION
+         SELECT reach.aa, w2.y FROM reach JOIN within w2 ON reach.bb = w2.x),
+       comp AS MATERIALIZED (
+         SELECT aa AS i, least(aa, min(bb)) AS component
+         FROM reach GROUP BY aa)
+       SELECT n_nationkey, n_name,
+              CAST(cm.c AS BIGINT) AS community,
+              CAST(coalesce(comp.component, n_nationkey) AS BIGINT) AS refined
+       FROM nation
+       JOIN commr$Rounds cm ON cm.i = n_nationkey
+       LEFT JOIN comp ON comp.i = n_nationkey
+       ORDER BY n_nationkey"""
+
+  // --------------------------------------------------------------- q444
+  /** RESOLUTION-γ LADDER (Reichardt–Bornholdt 2006) over the same
+    * trade graph: [[graft.operators.Louvain.cluster]]'s gain carries γ
+    * as an exact rational — G = den·(w_ib − w_ia)·m2 − num·k·(D_b −
+    * D_a + k), all Long, so the argmax stays float-free at every rung.
+    * γ=1 is exactly q436's chain; γ=2 and γ=4 penalize degree mass
+    * harder and shatter the near-random trade graph toward singletons
+    * (γ=4 has NO positive first move at any test SF — the chain
+    * early-exits and every nation stays its own community). Community
+    * counts are monotone non-decreasing up the ladder — the
+    * granularity knob a corpus-domain clustering run tunes. The
+    * oracle replays all three 12-round chains with the γ multipliers;
+    * identity rounds replay as identities. */
+  private def q444(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Louvain
+    val a = tradeEdges(s, dir).localCheckpoint()
+    val g1 = Louvain.cluster(a, "i", "j", "w", Rounds)
+    val g2 = Louvain.cluster(a, "i", "j", "w", Rounds, gammaNum = 2L)
+    val g4 = Louvain.cluster(a, "i", "j", "w", Rounds, gammaNum = 4L)
+    Tables(s, dir)("nation")
+      .join(g1.select(col("id").as("__i1"), col("community").as("__c1")),
+        col("n_nationkey") === col("__i1"))
+      .join(g2.select(col("id").as("__i2"), col("community").as("__c2")),
+        col("n_nationkey") === col("__i2"))
+      .join(g4.select(col("id").as("__i4"), col("community").as("__c4")),
+        col("n_nationkey") === col("__i4"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("__c1").cast("long").as("comm_g1"),
+        col("__c2").cast("long").as("comm_g2"),
+        col("__c4").cast("long").as("comm_g4"))
+      .orderBy("n_nationkey")
+  }
+
+  private val q444Sql: String =
+    s"""WITH ${OracleLouvain.tradeGraphPrefix},
+       ${OracleLouvain.chainSql("ga", Rounds, "a", "deg", "selfw0", 1L)},
+       ${OracleLouvain.chainSql("gb", Rounds, "a", "deg", "selfw0", 2L)},
+       ${OracleLouvain.chainSql("gc", Rounds, "a", "deg", "selfw0", 4L)}
+       SELECT n_nationkey, n_name,
+              CAST(ca.c AS BIGINT) AS comm_g1,
+              CAST(cb.c AS BIGINT) AS comm_g2,
+              CAST(cc.c AS BIGINT) AS comm_g4
+       FROM nation
+       JOIN commga$Rounds ca ON ca.i = n_nationkey
+       JOIN commgb$Rounds cb ON cb.i = n_nationkey
+       JOIN commgc$Rounds cc ON cc.i = n_nationkey
+       ORDER BY n_nationkey"""
+
+  // --------------------------------------------------------------- q445
+  /** CHARACTER-TRIGRAM LANGUAGE ID ([[graft.operators.LangId]]) — the
+    * real langid model TextFunctions.predictLang's scaladoc admits it
+    * is not: a literal-weight linear model over char-trigram counts
+    * (the fastText/langid.py shape), one codegen projection, zero
+    * shuffles. Scores are pure Long arithmetic (occurrence counts via
+    * the replace trick, left ×3 undivided — every pattern is exactly
+    * 3 chars so the common factor can't change an argmax), prediction
+    * is argmax with ties to the alphabetically earlier language and
+    * "und" when nothing fires — all engine-exact, no float anywhere. */
+  private def q445(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LangId
+    LangId.classify(Tables(s, dir)("documents"), "text")
+      .select(col("doc_id"), col("lang"), col("score_de"), col("score_en"),
+        col("score_es"), col("score_fr"), col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of one language score: Σ w·(len(s) − len(replace)). */
+  private def langScoreSql(terms: Seq[(String, Long)]): String =
+    terms.map { case (t, w) =>
+      val lit = t.replace("'", "''")
+      s"$w * (length(s) - length(replace(s, '$lit', '')))"
+    }.mkString(" + ")
+
+  private val q445Sql: String = {
+    import graft.operators.LangId
+    val m = LangId.defaultModel.toMap
+    s"""WITH s0 AS (
+         SELECT doc_id, lang,
+           ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS s
+         FROM documents),
+       sc AS MATERIALIZED (
+         SELECT doc_id, lang,
+           ${langScoreSql(m("de"))} AS score_de,
+           ${langScoreSql(m("en"))} AS score_en,
+           ${langScoreSql(m("es"))} AS score_es,
+           ${langScoreSql(m("fr"))} AS score_fr
+         FROM s0)
+       SELECT doc_id, lang,
+              CAST(score_de AS BIGINT) AS score_de,
+              CAST(score_en AS BIGINT) AS score_en,
+              CAST(score_es AS BIGINT) AS score_es,
+              CAST(score_fr AS BIGINT) AS score_fr,
+              CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0
+                     THEN 'und'
+                   WHEN score_de >= greatest(score_en, score_es, score_fr)
+                     THEN 'de'
+                   WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
+                   WHEN score_es >= score_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+       FROM sc ORDER BY doc_id"""
+  }
+
+  // --------------------------------------------------------------- q446
+  /** TEMPERATURE-SAMPLED SOURCE MIXING (the T5/mT5 n^α family,
+    * [[graft.operators.TemperatureMix]]) composed over q445's
+    * PREDICTED languages — the mT5 recipe verbatim: langid buckets the
+    * corpus, n^α sets each bucket's sampling budget. One row per
+    * predicted language with exact largest-remainder allocations of a
+    * 10000-unit budget at α = 0 (uniform), 1/2, 3/4, 1 (proportional);
+    * every column sums to exactly 10000. Weights n^(q/4) are fixed
+    * trees of IEEE-exact ops (repeated multiplication over
+    * sqrt(sqrt(n)) — never libm pow), the weight total folds in
+    * sorted key order, so the DuckDB oracle reproduces every quota
+    * bit-for-bit. α=0/α=1 degenerate to exact integer weights. */
+  private def q446(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LangId, TemperatureMix}
+    val counts = LangId.classify(Tables(s, dir)("documents"), "text")
+      .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // feeds all four allocation rungs
+    val rungs = Seq(0 -> "alloc_a0", 2 -> "alloc_a2",
+      3 -> "alloc_a3", 4 -> "alloc_a4")
+    rungs.foldLeft(counts) { case (acc, (q, nm)) =>
+      acc.join(
+        TemperatureMix.allocate(counts, "pred_lang", "n_docs", 10000L, q)
+          .select(col("pred_lang"), col("alloc").as(nm)),
+        Seq("pred_lang"))
+    }
+      .select(col("pred_lang"), col("n_docs"),
+        col("alloc_a0"), col("alloc_a2"), col("alloc_a3"), col("alloc_a4"))
+      .orderBy("pred_lang")
+  }
+
+  private val q446Sql: String = {
+    import graft.operators.LangId
+    val m = LangId.defaultModel.toMap
+    // one rung: weight expression over n (IEEE-exact tree), quotas,
+    // largest-remainder bonus — mirrors TemperatureMix.allocate
+    def rung(p: String, wExpr: String): String =
+      s"""tw$p AS (
+           SELECT list_sum(list_transform(
+             list({'k': pred_lang, 'w': $wExpr} ORDER BY pred_lang),
+             e -> e.w)) AS tw
+           FROM cnt),
+         q$p AS (
+           SELECT pred_lang, n_docs,
+             CAST(floor(10000.0 * ($wExpr) / tw) AS BIGINT) AS fq,
+             10000.0 * ($wExpr) / tw
+               - floor(10000.0 * ($wExpr) / tw) AS rem
+           FROM cnt CROSS JOIN tw$p),
+         a$p AS MATERIALIZED (
+           SELECT pred_lang,
+             fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, pred_lang)
+                         <= 10000 - sum(fq) OVER () THEN 1 ELSE 0 END AS alloc
+           FROM q$p)"""
+    val root = "sqrt(sqrt(CAST(n_docs AS DOUBLE)))"
+    s"""WITH s0 AS (
+         SELECT doc_id,
+           ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS s
+         FROM documents),
+       sc AS (
+         SELECT doc_id,
+           ${langScoreSql(m("de"))} AS score_de,
+           ${langScoreSql(m("en"))} AS score_en,
+           ${langScoreSql(m("es"))} AS score_es,
+           ${langScoreSql(m("fr"))} AS score_fr
+         FROM s0),
+       preds AS (
+         SELECT CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0
+                       THEN 'und'
+                     WHEN score_de >= greatest(score_en, score_es, score_fr)
+                       THEN 'de'
+                     WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
+                     WHEN score_es >= score_fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM sc),
+       cnt AS MATERIALIZED (
+         SELECT pred_lang, count(*) AS n_docs FROM preds GROUP BY 1),
+       ${rung("0", "1.0")},
+       ${rung("2", s"1.0 * $root * $root")},
+       ${rung("3", s"1.0 * $root * $root * $root")},
+       ${rung("4", "1.0 * CAST(n_docs AS DOUBLE)")}
+       SELECT cnt.pred_lang, CAST(cnt.n_docs AS BIGINT) AS n_docs,
+              CAST(a0.alloc AS BIGINT) AS alloc_a0,
+              CAST(a2.alloc AS BIGINT) AS alloc_a2,
+              CAST(a3.alloc AS BIGINT) AS alloc_a3,
+              CAST(a4.alloc AS BIGINT) AS alloc_a4
+       FROM cnt
+       JOIN a0 ON a0.pred_lang = cnt.pred_lang
+       JOIN a2 ON a2.pred_lang = cnt.pred_lang
+       JOIN a3 ON a3.pred_lang = cnt.pred_lang
+       JOIN a4 ON a4.pred_lang = cnt.pred_lang
+       ORDER BY cnt.pred_lang"""
+  }
+
+  // ------------------------------------------------- md5 LSH fragments
+  /** q442's md5 minhash SQL fragments (sigs → bands → candidate pairs
+    * with est-Jaccard), shared by the q447/q448 oracles. */
+  private def md5PairsSql(threshold: Double): String = {
+    val P = graft.functions.expressions.MinHashSignature.P
+    val sigList = (0 until 16)
+      .map { i =>
+        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
+        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
+      }
+      .mkString("[", ", ", "]")
+    val agree = (1 to 16)
+      .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKey = (1 to 4)
+      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""sh AS MATERIALIZED (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, length(text) - 4),
+             i -> substring(text, i, 5))) AS shs
+         FROM documents WHERE length(text) >= 5),
+       dh AS (
+         SELECT doc_id,
+           list_transform(shs,
+             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
+         FROM sh),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM dh),
+       bands AS MATERIALIZED (
+         SELECT doc_id, sig, t.b AS band_idx, $bandKey AS band_key
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       prs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+       nd AS MATERIALIZED (
+         SELECT id_a, id_b FROM prs WHERE ($agree) / 16.0 >= $threshold)"""
+  }
+
+  /** The q410 bottom-k containment gate as SQL: (qid, did) pairs with
+    * containment >= 0.8 and jaccard < 0.5 (k=16, hotCap=200, md5). */
+  private val containGateSql: String =
+    s"""g AS MATERIALIZED (
+         SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(u.sg), 1, 8))::BIGINT AS h
+         FROM sh, unnest(shs) AS u(sg)),
+       hot AS (SELECT h FROM g GROUP BY h HAVING count(*) > 200),
+       gcold AS MATERIALIZED (SELECT doc_id, h FROM g ANTI JOIN hot USING (h)),
+       bottoms AS MATERIALIZED (
+         SELECT doc_id AS qid, h FROM (
+           SELECT doc_id, h,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+           FROM gcold)
+         WHERE rk <= 16),
+       cm AS MATERIALIZED (
+         SELECT b.qid, gc.doc_id AS did, count(*) AS m
+         FROM bottoms b JOIN gcold gc ON gc.h = b.h AND gc.doc_id <> b.qid
+         GROUP BY 1, 2 HAVING count(*) >= 8),
+       gcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       gix AS (
+         SELECT cm.qid, cm.did, count(*) AS shared
+         FROM cm JOIN g ga ON ga.doc_id = cm.qid
+                 JOIN g gb ON gb.doc_id = cm.did AND gb.h = ga.h
+         GROUP BY 1, 2),
+       gate AS MATERIALIZED (
+         SELECT cm.qid, cm.did
+         FROM cm JOIN gix ON gix.qid = cm.qid AND gix.did = cm.did
+                 JOIN gcnt cq ON cq.doc_id = cm.qid
+                 JOIN gcnt cd ON cd.doc_id = cm.did
+         WHERE gix.shared * 1.0 / cq.n >= 0.8
+           AND gix.shared * 1.0 / (cq.n + cd.n - gix.shared) < 0.5)"""
+
+  // --------------------------------------------------------------- q447
+  /** CONTAINMENT-AWARE DUPLICATE FAMILIES — q442's resemblance-only
+    * families miss the syndication-hub shape (one long container, many
+    * short quotes: each quote's Jaccard to the hub is low, so no
+    * resemblance edge forms and every quote founds its own family).
+    * Here the family graph is the UNION of the resemblance edges
+    * (md5 minhash, est ≥ 0.5) and the DIRECTED containment relation
+    * (q410's bottom-k gate: containment ≥ 0.8, jaccard < 0.5,
+    * contained→container), so a hub and all its quotes collapse into
+    * ONE family; the direction survives as the family ROOT — the min
+    * member that is not contained in any other doc (the container
+    * itself in the hub shape; min member as the cycle fallback) — and
+    * per-doc is_contained flags the quotes. 100 TB shape: both edge
+    * relations are banded/bucketed AND hot-capped upstream
+    * ([[graft.operators.Dedup]]); the CC contraction is the
+    * spanning-forest operator, never all-pairs. */
+  private def q447(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, Dedup}
+    val d = Tables(s, dir)("documents")
+    val res = Dedup.minhashDedupMd5(d, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val gate = Dedup.containmentScores(d, "doc_id", "text",
+        shingleLen = 5, k = 16, hotCap = 200, baseHash = Dedup.mdBaseHash)
+      .filter(col("containment") >= 0.8 && col("jaccard") < 0.5)
+      .select(col("qid").as("contained"), col("did").as("container"))
+      .localCheckpoint() // feeds the edge union AND the root/flag sides
+    val fam = ConnectedComponents.components(
+      res.union(gate.select(col("contained").as("id_a"),
+        col("container").as("id_b"))),
+      "id_a", "id_b")
+    val contained = gate.select(col("contained").as("doc_id")).distinct()
+    val members = d.select(col("doc_id"))
+      .join(fam.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("family", coalesce(col("component"), col("doc_id")))
+      .join(contained.withColumn("__isc", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("is_contained", coalesce(col("__isc"), lit(0L)))
+      .select("doc_id", "family", "is_contained")
+      .localCheckpoint() // feeds both root aggregates AND the output
+    val rootNc = members.filter(col("is_contained") === 0L)
+      .groupBy("family").agg(min("doc_id").as("__rnc"))
+    val rootMin = members.groupBy("family").agg(min("doc_id").as("__rmin"))
+    members
+      .join(rootMin, Seq("family"))
+      .join(rootNc, Seq("family"), "left")
+      .select(col("doc_id"), col("family").cast("long").as("family"),
+        coalesce(col("__rnc"), col("__rmin")).cast("long").as("root"),
+        col("is_contained"))
+      .orderBy("doc_id")
+  }
+
+  private val q447Sql: String =
+    s"""WITH RECURSIVE ${md5PairsSql(0.5)},
+       $containGateSql,
+       edges AS MATERIALIZED (
+         SELECT id_a, id_b FROM nd
+         UNION SELECT qid, did FROM gate),
+       und AS (SELECT id_a AS x, id_b AS y FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+       reach AS (
+         SELECT x AS aa, y AS bb FROM und
+         UNION
+         SELECT reach.aa, u.y FROM reach JOIN und u ON reach.bb = u.x),
+       comp AS MATERIALIZED (
+         SELECT aa AS doc_id, least(aa, min(bb)) AS component
+         FROM reach GROUP BY aa),
+       members AS MATERIALIZED (
+         SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS family,
+                CASE WHEN d.doc_id IN (SELECT qid FROM gate)
+                     THEN 1 ELSE 0 END AS is_contained
+         FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+       rnc AS (SELECT family, min(doc_id) AS root_nc FROM members
+               WHERE is_contained = 0 GROUP BY 1),
+       rmin AS (SELECT family, min(doc_id) AS root_min FROM members GROUP BY 1)
+       SELECT m.doc_id, CAST(m.family AS BIGINT) AS family,
+              CAST(coalesce(rnc.root_nc, rmin.root_min) AS BIGINT) AS root,
+              CAST(m.is_contained AS BIGINT) AS is_contained
+       FROM members m
+       JOIN rmin ON rmin.family = m.family
+       LEFT JOIN rnc ON rnc.family = m.family
+       ORDER BY m.doc_id"""
+
+  // --------------------------------------------------------------- q448
+  /** DEDUP-THEN-SPLIT — StratifiedSplit's scaladoc warning ("dedup
+    * before you split, or feed cluster representatives as the id")
+    * made executable: near-dup clusters (md5 minhash est ≥ 0.7 →
+    * connected components) collapse to their min-id REPRESENTATIVE,
+    * the representatives alone ride
+    * [[graft.operators.StratifiedSplit]] (80/10/10 by the rep's
+    * source), and every member inherits its rep's split — so a
+    * near-dup pair can never straddle train/test. The leak_pairs
+    * audit column counts near-dup pairs whose endpoints landed in
+    * different splits: ZERO BY CONSTRUCTION (both endpoints share a
+    * rep), the q402/q417 leakage audit closed at the assignment
+    * level instead of detected after the fact. */
+  private def q448(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, Dedup, StratifiedSplit}
+    val d = Tables(s, dir)("documents")
+    val pairs = Dedup.minhashDedupMd5(d, "doc_id", "text", threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds the CC AND the leakage audit
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    val clustered = d.select(col("doc_id"), col("source"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .localCheckpoint() // feeds reps, the inherit join, both audits
+    // representatives ARE the cluster labels (min member id); their
+    // source stratifies the split
+    val reps = clustered.filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id"), col("source"))
+    val split = StratifiedSplit.assign(reps, "doc_id", "source",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    val docSplit = clustered.join(
+      split.select(col("doc_id").as("cluster"), col("split")), Seq("cluster"))
+    val leak = pairs
+      .join(docSplit.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+        Seq("id_a"))
+      .join(docSplit.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+        Seq("id_b"))
+      .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+        .as("leak_pairs"))
+      .select(coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"))
+    docSplit.groupBy("split")
+      .agg(countDistinct("cluster").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_clusters"), col("n_docs"),
+        col("leak_pairs"))
+      .orderBy("split")
+  }
+
+  private val q448Sql: String =
+    s"""WITH RECURSIVE ${md5PairsSql(0.7)},
+       und AS (SELECT id_a AS x, id_b AS y FROM nd
+               UNION SELECT id_b, id_a FROM nd),
+       reach AS (
+         SELECT x AS aa, y AS bb FROM und
+         UNION
+         SELECT reach.aa, u.y FROM reach JOIN und u ON reach.bb = u.x),
+       comp AS MATERIALIZED (
+         SELECT aa AS doc_id, least(aa, min(bb)) AS component
+         FROM reach GROUP BY aa),
+       clustered AS MATERIALIZED (
+         SELECT d.doc_id, d.source,
+                coalesce(comp.component, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+       reps AS MATERIALIZED (
+         SELECT doc_id, source FROM clustered WHERE doc_id = cluster),
+       rcnt AS (SELECT source, count(*) AS n FROM reps GROUP BY 1),
+       sp AS (SELECT * FROM (VALUES (0, 'train', 80), (1, 'val', 10),
+                                    (2, 'test', 10)) AS t(k, split, pct)),
+       q0 AS (SELECT source, n, k, split,
+                (n * pct) // 100 AS floorq, (n * pct) % 100 AS rem
+              FROM rcnt CROSS JOIN sp),
+       q1 AS (SELECT *,
+                n - sum(floorq) OVER (PARTITION BY source) AS extras,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY rem DESC, k) AS rr
+              FROM q0),
+       q2 AS (SELECT source, k, split,
+                floorq + CASE WHEN rr <= extras THEN 1 ELSE 0 END AS quota
+              FROM q1),
+       q3 AS (SELECT *,
+                sum(quota) OVER (PARTITION BY source ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM q2),
+       ranked AS (
+         SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5('spl:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM reps),
+       repsplit AS MATERIALIZED (
+         SELECT r.doc_id AS cluster, q3.split
+         FROM ranked r JOIN q3 ON q3.source = r.source
+           AND r.rk > q3.cum - q3.quota AND r.rk <= q3.cum),
+       docsplit AS MATERIALIZED (
+         SELECT c.doc_id, c.cluster, rs.split
+         FROM clustered c JOIN repsplit rs ON rs.cluster = c.cluster),
+       leak AS (
+         SELECT coalesce(sum(CASE WHEN sa.split <> sb.split
+                                  THEN 1 ELSE 0 END), 0) AS leak_pairs
+         FROM nd JOIN docsplit sa ON sa.doc_id = nd.id_a
+                 JOIN docsplit sb ON sb.doc_id = nd.id_b)
+       SELECT split, CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST((SELECT leak_pairs FROM leak) AS BIGINT) AS leak_pairs
+       FROM docsplit
+       GROUP BY split ORDER BY split"""
+
+  override def queries: Map[String, QueryFn] = Map(
+    "q443_leiden_refine" -> q443 _,
+    "q444_gamma_ladder" -> q444 _,
+    "q445_langid" -> q445 _,
+    "q446_temperature_mix" -> q446 _,
+    "q447_containment_families" -> q447 _,
+    "q448_dedup_split" -> q448 _)
+
+  override def oracles: Map[String, String] = Map(
+    "q443_leiden_refine" -> q443Sql,
+    "q444_gamma_ladder" -> q444Sql,
+    "q445_langid" -> q445Sql,
+    "q446_temperature_mix" -> q446Sql,
+    "q447_containment_families" -> q447Sql,
+    "q448_dedup_split" -> q448Sql)
+}

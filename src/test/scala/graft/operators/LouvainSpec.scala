@@ -45,6 +45,83 @@ class LouvainSpec extends GraftTestBase {
     assert(q2 >= q1 - 1e-12, s"levels=2 $q2 < levels=1 $q1")
   }
 
+  /** The Traag et al. 2019 defect, planted: bridge node 0 sits between
+    * two 2-cliques {1,2} and {3,4} (clique weight 2, bridge links 5)
+    * and a magnet pair {5,6} (pair edge 7, bridge links 7). The fixed
+    * schedule gathers 1 then 3 into node 0's community, the cliques
+    * complete it, then the now-heavy community's degree penalty pushes
+    * the bridge out to the magnet — stranding {1,2,3,4} under one
+    * label with NO edge between {1,2} and {3,4}. The strand is STABLE:
+    * every stranded member's only neighbor community is its own, so no
+    * local move can ever heal it (verified: more rounds change
+    * nothing). */
+  private def strandedGraph = {
+    import spark.implicits._
+    val und = Seq((1L, 2L, 2L), (3L, 4L, 2L), (0L, 1L, 5L), (0L, 3L, 5L),
+      (0L, 5L, 7L), (0L, 6L, 7L), (5L, 6L, 7L))
+    (und ++ und.map { case (i, j, w) => (j, i, w) }).toDF("i", "j", "w")
+  }
+
+  test("refine splits a stranded disconnected community and lifts Q") {
+    val edges = strandedGraph.localCheckpoint()
+    val comm = Louvain.cluster(edges, "i", "j", "w", rounds = 12)
+      .localCheckpoint()
+    val raw = comm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw Louvain strands {1,2,3,4} as ONE community, {0,5,6} as the other
+    assert(Seq(1L, 2L, 3L, 4L).map(raw).toSet.size == 1,
+      s"plant did not strand: $raw")
+    assert(Seq(0L, 5L, 6L).map(raw).toSet.size == 1, s"magnet split: $raw")
+    assert(raw(0L) != raw(1L), s"everything merged: $raw")
+    val refined = Louvain.refine(edges, "i", "j", comm)
+    val ref = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the stranded community splits into its two connected fragments
+    assert(ref(1L) == ref(2L) && ref(3L) == ref(4L) && ref(1L) != ref(3L),
+      s"refine did not split the strand: $ref")
+    assert(Seq(0L, 5L, 6L).map(ref).toSet.size == 1,
+      s"refine broke a connected community: $ref")
+    val qRaw = Louvain.modularity(edges, "i", "j", "w", comm)
+    val qRef = Louvain.modularity(edges, "i", "j", "w", refined)
+    info(f"Q raw=$qRaw%.4f refined=$qRef%.4f")
+    assert(qRef > qRaw, s"split did not lift Q: $qRef <= $qRaw")
+  }
+
+  test("refine is the identity (up to min-member relabel) on connected communities") {
+    val edges = tradeEdges.localCheckpoint()
+    val comm = Louvain.cluster(edges, "i", "j", "w", rounds = 12)
+      .localCheckpoint()
+    val refined = Louvain.refine(edges, "i", "j", comm)
+    // same partition: the (community, refined) pairing is one-to-one
+    val pairing = comm.join(refined.withColumnRenamed("community", "ref"), "id")
+      .select(col("community").cast("long"), col("ref").cast("long"))
+      .distinct().collect()
+    assert(pairing.map(_.getLong(0)).distinct.length == pairing.length &&
+      pairing.map(_.getLong(1)).distinct.length == pairing.length,
+      s"refine changed a connected partition: ${pairing.mkString(",")}")
+    val qRaw = Louvain.modularity(edges, "i", "j", "w", comm)
+    val qRef = Louvain.modularity(edges, "i", "j", "w", refined)
+    assert(math.abs(qRef - qRaw) < 1e-12, s"relabel moved Q: $qRaw -> $qRef")
+  }
+
+  test("resolution γ: γ=1 is the default chain, γ large yields singletons, γ<1 coarsens") {
+    val edges = strandedGraph.localCheckpoint()
+    val default = Louvain.cluster(edges, "i", "j", "w", rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g11 = Louvain.cluster(edges, "i", "j", "w", rounds = 12,
+        gammaNum = 1L, gammaDen = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g11 == default, "γ=1/1 diverged from the default gain")
+    // γ=16: no first move has positive gain — everyone stays a singleton
+    val g16 = Louvain.cluster(edges, "i", "j", "w", rounds = 12,
+        gammaNum = 16L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g16.forall { case (i, c) => i == c }, s"γ=16 moved: $g16")
+    // γ=1/2: the degree penalty halves and the whole graph coalesces
+    val gHalf = Louvain.cluster(edges, "i", "j", "w", rounds = 12,
+        gammaDen = 2L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gHalf.size == 1, s"γ=1/2 left ${gHalf.size} communities")
+  }
+
   test("Q is non-decreasing per round and beats the region partition") {
     val edges = tradeEdges.localCheckpoint()
     val qs = Seq(0, 1, 2, 3, 4, 6, 8, 12).map { r =>

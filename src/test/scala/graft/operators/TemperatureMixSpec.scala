@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class TemperatureMixSpec extends GraftTestBase {
+  import spark.implicits._
+
+  private def counts = Seq(
+    ("big", 8000L), ("mid", 1500L), ("small", 400L), ("tiny", 100L))
+    .toDF("src", "n")
+
+  private def allocMap(alphaQuarters: Int, budget: Long = 10000L) =
+    TemperatureMix.allocate(counts, "src", "n", budget, alphaQuarters)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+
+  test("α=1 is exact proportional largest-remainder apportionment") {
+    // total 10000 and budget 10000: quotas are exact, no remainders
+    assert(allocMap(4) ==
+      Map("big" -> 8000L, "mid" -> 1500L, "small" -> 400L, "tiny" -> 100L))
+  }
+
+  test("α=0 is uniform (remainders to the lexicographically smaller key)") {
+    // 10000/4 = 2500 each, exact
+    assert(allocMap(0).values.toSet == Set(2500L))
+    // 10 units over 4 sources: 2 each + 1 extra to the 2 smaller keys
+    // (all remainders tie at 0.5, key order breaks them)
+    assert(allocMap(0, budget = 10L) ==
+      Map("big" -> 3L, "mid" -> 3L, "small" -> 2L, "tiny" -> 2L))
+  }
+
+  test("allocations always sum to exactly the budget") {
+    for (q <- Seq(0, 1, 2, 3, 4, 5); b <- Seq(1L, 7L, 997L, 10000L)) {
+      val m = allocMap(q, b)
+      assert(m.values.sum == b, s"α=$q/4 budget=$b: $m")
+    }
+  }
+
+  test("intermediate α up-weights small sources monotonically") {
+    // as α drops from 1 toward 0, the smallest source's share never
+    // shrinks and the biggest source's never grows
+    val byAlpha = Seq(4, 3, 2, 0).map(q => allocMap(q))
+    byAlpha.sliding(2).foreach {
+      case Seq(hi, lo) =>
+        assert(lo("tiny") >= hi("tiny"), s"tiny shrank: $hi -> $lo")
+        assert(lo("big") <= hi("big"), s"big grew: $hi -> $lo")
+      case _ =>
+    }
+    // and the α=1/2 point matches the hand-computed sqrt weights
+    val a2 = allocMap(2)
+    val w = Map("big" -> math.sqrt(8000.0), "mid" -> math.sqrt(1500.0),
+      "small" -> math.sqrt(400.0), "tiny" -> math.sqrt(100.0))
+    val tw = Seq("big", "mid", "small", "tiny").map(w).sum
+    w.foreach { case (k, wk) =>
+      val quota = 10000.0 * wk / tw
+      assert(math.abs(a2(k) - quota) <= 1.0,
+        s"$k alloc ${a2(k)} vs quota $quota")
+    }
+  }
+
+  test("weightExpr α=1 returns n exactly and α=0 returns 1") {
+    val r = counts
+      .select(TemperatureMix.weightExpr(col("n"), 4).as("w4"),
+        TemperatureMix.weightExpr(col("n"), 0).as("w0"),
+        col("n").cast("double").as("nd"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(2), "α=1 weight not exact n")
+      assert(row.getDouble(1) == 1.0)
+    }
+  }
+}
