@@ -50,10 +50,10 @@ object LangId {
   def surface(text: Column): Column =
     concat(lit(" "), lower(trim(regexp_replace(text, "\\s+", " "))), lit(" "))
 
-  /** Occurrences of a literal 3-char pattern, times 3 (undivided). */
+  /** Occurrences of a literal 3-char pattern, times 3 (undivided).
+    * Literal `replace` built-in — no regex engine in the per-row loop. */
   private def occ3(s: Column, pattern: String): Column =
-    (length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(pattern),
-      ""))).cast("long")
+    (length(s) - length(replace(s, lit(pattern), lit("")))).cast("long")
 
   /** Integer score for one language over a pre-normalized surface. */
   def scoreExpr(s: Column, terms: Seq[(String, Long)]): Column =
@@ -79,11 +79,15 @@ object LangId {
   def classify(docs: DataFrame, textCol: String,
                model: Seq[(String, Seq[(String, Long)])] = defaultModel)
       : DataFrame = {
+    require(model.forall(_._2.forall(_._1.length == 3)),
+      "every LangId pattern must be exactly 3 characters (undivided x3 " +
+        "counts cancel in the argmax only at a single shared length)")
+    val sorted = model.sortBy(_._1)
     val s = surface(col(textCol))
-    val scored = model.foldLeft(docs) { case (df, (lang, terms)) =>
+    val scored = sorted.foldLeft(docs) { case (df, (lang, terms)) =>
       df.withColumn(s"score_$lang", scoreExpr(s, terms))
     }
     scored.withColumn("pred_lang",
-      predictExpr(model.map { case (lang, _) => lang -> col(s"score_$lang") }))
+      predictExpr(sorted.map { case (lang, _) => lang -> col(s"score_$lang") }))
   }
 }

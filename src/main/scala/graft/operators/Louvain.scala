@@ -74,8 +74,9 @@ object Louvain {
     * w(i,i), counts toward its degree, and is EXCLUDED from the
     * move-gain's own-community term — it moves with the node and
     * cancels in ΔQ). Initial communities are the node ids.
-    * Output: (id, community). */
-  /** @param gammaNum,gammaDen Reichardt–Bornholdt resolution γ as an
+    * Output: (id, community).
+    *
+    * @param gammaNum,gammaDen Reichardt–Bornholdt resolution γ as an
     *   EXACT RATIONAL (default 1/1 = classic modularity): the gain
     *   generalizes to G = den·(w_ib − w_ia)·m2 − num·k_i·(D_b − D_a +
     *   k_i) — multiplying through by den keeps every term a Long, so

@@ -77,11 +77,12 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
+          maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity): (DataFrame, Seq[Report]) = {
     val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxWinnowDupFrac, maxAvgNll)
+      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll)
     (packed, funnel)
   }
 
@@ -99,12 +100,13 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
+          maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity)
       : (DataFrame, Seq[Report], DataFrame) = {
     val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxWinnowDupFrac, maxAvgNll)
+      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll)
     val dropped = frames.sliding(2).collect {
       case Seq((_, prev), (stage, cur)) =>
         prev.select(col("doc_id"))
@@ -124,6 +126,7 @@ object CurationPipeline {
           maxSubstringDupFrac: Double = 0.5,
           domainCap: Long = Long.MaxValue,
           minContainment: Double = 0.8,
+          maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity)
       : (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
@@ -184,7 +187,7 @@ object CurationPipeline {
     // MinHash banding structurally misses
     val contained = count("containment_gate", {
       val losers = Dedup.containmentGate(substr, "doc_id", "text",
-          minContainment = minContainment)
+          minContainment = minContainment, maxJaccard = maxJaccard)
         .select(col("contained_id").as("doc_id")).distinct()
       substr.join(losers, Seq("doc_id"), "left_anti")
     })
