@@ -90,4 +90,42 @@ object LangId {
     scored.withColumn("pred_lang",
       predictExpr(sorted.map { case (lang, _) => lang -> col(s"score_$lang") }))
   }
+
+  /** MIXED-LANGUAGE SEGMENTATION: per-chunk language with run-length
+    * merge — the mC4 page-level-vs-span-level langid question made an
+    * operator. [[Chunker]] cuts each document into non-overlapping
+    * `chunkTokens`-token windows, every chunk classifies independently
+    * (the same one-projection model as [[classify]]), and maximal runs
+    * of consecutive same-language chunks merge into spans (lag →
+    * boundary flag → running sum, one per-document window pass — a
+    * document is bounded, so the window partition is too).
+    *
+    * Output: (id, span_idx, span_lang, start_chunk, start_tok,
+    * n_chunks, n_tokens) — one row per span, span_idx 0-based in
+    * chunk order. A monolingual document comes back as one span; the
+    * integer scores keep the whole thing engine-exact. */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int,
+            model: Seq[(String, Seq[(String, Long)])] = defaultModel)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = classify(
+      Chunker.chunk(docs, idCol, textCol, chunkTokens, overlap = 0),
+      "chunk_text", model)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    chunks
+      .withColumn("__prev", lag(col("pred_lang"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__prev") =!= col("pred_lang"), 1L)
+          .otherwise(0L))
+      .withColumn("span_idx",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col(idCol), col("span_idx"))
+      .agg(min(col("pred_lang")).as("span_lang"),
+        min(col("chunk_idx")).cast("long").as("start_chunk"),
+        min(col("start_tok")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
 }

@@ -209,6 +209,44 @@ object Louvain {
     mapping
   }
 
+  /** The TRUE LEIDEN schedule (Traag et al. 2019, Alg. 1): per level,
+    * local moves → [[refine]] → contract the REFINED partition —
+    * refinement sits BETWEEN the move and contraction phases, so the
+    * aggregated graph's supernodes are guaranteed-connected fragments
+    * ([[clusterLevels]] contracts the unrefined partition instead,
+    * which can bake a disconnected community into one supernode that
+    * no later level can split). Q is non-decreasing across the whole
+    * schedule: moves by the locally-dominant rule, refinement by the
+    * Σ D_c² argument on [[refine]], contraction by the projection
+    * invariant on [[contract]]. Fragments of a refined community start
+    * the next level as singleton supernodes; positive-gain moves
+    * re-merge the ones that belong together (on a connected community
+    * the schedule degenerates to [[clusterLevels]] exactly). Output:
+    * (id, community) on the ORIGINAL ids, labels = refined fragment
+    * mins of the last level projected down. */
+  def clusterLevelsRefined(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, rounds: Int, levels: Int)
+      : DataFrame = {
+    require(levels >= 1)
+    var e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"),
+      col(wCol).cast("long").as("w"))
+    var mapping: DataFrame = null
+    for (l <- 0 until levels) {
+      val moved = cluster(e, "i", "j", "w", rounds)
+      val comm = refine(e, "i", "j", moved)
+      mapping =
+        if (mapping == null) cutStats(comm)
+        else cutStats(mapping
+          .select(col("id"), col("community").as("__mid"))
+          .join(comm.select(col("id").as("__mid"),
+            col("community")), Seq("__mid"))
+          .select(col("id"), col("community")))
+      if (l < levels - 1)
+        e = cutStats(contract(e, "i", "j", "w", comm))
+    }
+    mapping
+  }
+
   /** LEIDEN-STYLE connectivity refinement (the fix for Traag et al.
     * 2019's defect report on Louvain: a bridge node can move away and
     * strand its old community in pieces that keep one label — the

@@ -78,4 +78,38 @@ object TemperatureMix {
       .select(col(keyCol), col("n"),
         (col("__fq") + col("__bonus")).as("alloc"))
   }
+
+  /** EXECUTE an allocation: the budget-exact temperature-mixed sample
+    * itself. Each source bucket's rows rank in the deterministic
+    * md5-hash order (q76's sampling hash used as a RANK rather than a
+    * rate, so per-bucket counts hit the [[allocate]] quota EXACTLY
+    * instead of in expectation) and the first `alloc` rows survive;
+    * re-runs, retries, and engines all select the same rows. An
+    * undersupplied bucket (alloc > n — possible for tiny sources at
+    * α < 1, where n^α up-weights them past their size) yields all its
+    * rows; a production run resolves the shortfall by epoching that
+    * source, which is a training-loader concern, not a sampling one.
+    *
+    * Scale shape: one S-row broadcast of the allocation table plus one
+    * rank window per source partition — the same per-key window
+    * discipline as StratifiedSplit and the funnel's domain cap. The
+    * md5 order is uniform, so at extreme per-source cardinality the
+    * window input can first be cut map-side to a hash-prefix cushion
+    * (> alloc/n by construction) before ranking; the rank itself is
+    * what makes the count exact.
+    *
+    * Output: the sampled rows, original columns. */
+  def sample(docs: DataFrame, keyCol: String, idCol: String,
+             budget: Long, alphaQuarters: Int): DataFrame = {
+    val counts = docs.groupBy(keyCol)
+      .agg(count(lit(1)).as("__n"))
+    val alloc = allocate(counts, keyCol, "__n", budget, alphaQuarters)
+      .select(col(keyCol), col("alloc").as("__alloc"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(lit("tmx:"), col(idCol).cast("string"))), col(idCol))
+    docs.join(broadcast(alloc), Seq(keyCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__rk", "__alloc")
+  }
 }

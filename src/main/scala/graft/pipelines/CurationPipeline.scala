@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SubstringDedup, Winnowing}
+import graft.operators.{Dedup, LangId, SubstringDedup, Winnowing}
 
 /** End-to-end corpus curation — the composed production job the
   * individual operators exist for: raw documents in, training-ready
@@ -14,6 +14,14 @@ import graft.operators.{Dedup, SubstringDedup, Winnowing}
   * Stages (each one a bounded number of scans/shuffles; no stage holds
   * corpus-sized driver state):
   *
+  *   0. LANGUAGE ID + optional GATE — [[graft.operators.LangId]]
+  *      classifies every document (one codegen projection, zero
+  *      shuffles); pred_lang is THE funnel's language signal from here
+  *      on (raw crawl data has no labels — the table's lang column is
+  *      ground truth for tests, not something a production run has).
+  *      When `allowedLangs` is set, documents predicted outside the
+  *      set drop; by default the stage is an identity that still
+  *      slices the report per language.
   *   1. EXACT DEDUP — md5 fingerprint, min doc_id survives
   *      (one hash-aggregate).
   *   2. NEAR DEDUP — MinHash+LSH banding; only banded candidate pairs
@@ -63,11 +71,17 @@ import graft.operators.{Dedup, SubstringDedup, Winnowing}
   *
   * Returns the packed corpus plus a per-stage funnel report (how many
   * documents each stage dropped — the first thing anyone debugging a
-  * curation run asks for).
+  * curation run asks for), sliced per predicted language: every stage
+  * count carries its per-pred_lang breakdown (`byLang`, sorted by
+  * language), so a run can answer "which language is the near-dup
+  * stage eating" without a rescan — the per-language columns cost one
+  * hash-aggregate per stage over the already-materialized frame, the
+  * same price as the count they replace.
   */
 object CurationPipeline {
 
-  final case class Report(stage: String, docs: Long)
+  final case class Report(stage: String, docs: Long,
+                          byLang: Seq[(String, Long)] = Seq.empty)
 
   def run(spark: SparkSession, docs: DataFrame,
           benchmarkIds: Column => Column = _ % 97 === 0,
@@ -79,10 +93,12 @@ object CurationPipeline {
           minContainment: Double = 0.8,
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
-          maxAvgNll: Double = Double.PositiveInfinity): (DataFrame, Seq[Report]) = {
+          maxAvgNll: Double = Double.PositiveInfinity,
+          allowedLangs: Option[Set[String]] = None): (DataFrame, Seq[Report]) = {
     val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll)
+      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll,
+      allowedLangs)
     (packed, funnel)
   }
 
@@ -102,11 +118,13 @@ object CurationPipeline {
           minContainment: Double = 0.8,
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
-          maxAvgNll: Double = Double.PositiveInfinity)
+          maxAvgNll: Double = Double.PositiveInfinity,
+          allowedLangs: Option[Set[String]] = None)
       : (DataFrame, Seq[Report], DataFrame) = {
     val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
-      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll)
+      domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll,
+      allowedLangs)
     val dropped = frames.sliding(2).collect {
       case Seq((_, prev), (stage, cur)) =>
         prev.select(col("doc_id"))
@@ -128,7 +146,8 @@ object CurationPipeline {
           minContainment: Double = 0.8,
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
-          maxAvgNll: Double = Double.PositiveInfinity)
+          maxAvgNll: Double = Double.PositiveInfinity,
+          allowedLangs: Option[Set[String]] = None)
       : (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
     val funnel = Seq.newBuilder[Report]
     // Each stage is MATERIALIZED once (localCheckpoint) before its
@@ -145,52 +164,73 @@ object CurationPipeline {
     val stageFrames = Seq.newBuilder[(String, DataFrame)]
     def count(stage: String, df: DataFrame): DataFrame = {
       val mat = df.localCheckpoint()
-      funnel += Report(stage, mat.count())
+      // one hash-aggregate instead of a bare count: the per-language
+      // slice rides the same single job over the materialized frame
+      val slice = mat.groupBy("pred_lang")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      funnel += Report(stage, slice.map(_._2).sum, slice)
       stageFrames += stage -> mat
       mat
     }
 
-    val input = count("input", docs)
+    // 0. language ID (one codegen projection; pred_lang is the
+    // funnel's language signal from here on) + optional gate
+    val classified = LangId.classify(docs, "text")
+      .drop(LangId.defaultModel.map { case (l, _) => s"score_$l" }: _*)
+    val input = count("input", classified)
+    val langGated = count("language_gate",
+      allowedLangs.fold(input)(ls =>
+        input.filter(col("pred_lang").isin(ls.toSeq.sorted: _*))))
 
     // 1. exact dedup
     val exact = count("exact_dedup", {
-      val survivors = input
+      val survivors = langGated
         .withColumn("fp", TextFunctions.fingerprint(col("text")))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      input.join(survivors, Seq("doc_id"), "left_semi")
+      langGated.join(survivors, Seq("doc_id"), "left_semi")
     })
 
-    // 2. near dedup (MinHash+LSH candidates; drop the lower id per pair)
-    val near = count("near_dedup", {
-      val losers = Dedup.minhashDedup(exact, "doc_id", "text",
-          threshold = nearDupThreshold)
-        .select(col("id_b").as("doc_id")).distinct()
-      exact.join(losers, Seq("doc_id"), "left_anti")
-    })
+    // 2. near dedup (MinHash+LSH candidates; drop the lower id per
+    // pair). A threshold above 1.0 turns the gate OFF and skips the
+    // banding work entirely (est-Jaccard never exceeds 1) — the same
+    // off-switch idiom as the perplexity gate and domain cap.
+    val near = count("near_dedup",
+      if (nearDupThreshold > 1.0) exact
+      else {
+        val losers = Dedup.minhashDedup(exact, "doc_id", "text",
+            threshold = nearDupThreshold)
+          .select(col("id_b").as("doc_id")).distinct()
+        exact.join(losers, Seq("doc_id"), "left_anti")
+      })
 
     // 2b. exact-substring gate (suffix-array criterion, production
     // xxhash64 gram keys): drop documents whose corpus-duplicated span
     // mass exceeds the threshold — catches template/boilerplate-heavy
     // docs whose MinHash similarity to any single other doc stays low
     // (their duplication is spread across MANY partners).
-    val substr = count("substring_gate", {
-      val heavy = SubstringDedup
-        .profile(near, "doc_id", "text", k = 8, SubstringDedup.xxGram)
-        .filter(col("dup_frac") > maxSubstringDupFrac)
-        .select("doc_id")
-      near.join(heavy, Seq("doc_id"), "left_anti")
-    })
+    val substr = count("substring_gate",
+      if (maxSubstringDupFrac >= 1.0) near // dup_frac <= 1: gate off
+      else {
+        val heavy = SubstringDedup
+          .profile(near, "doc_id", "text", k = 8, SubstringDedup.xxGram)
+          .filter(col("dup_frac") > maxSubstringDupFrac)
+          .select("doc_id")
+        near.join(heavy, Seq("doc_id"), "left_anti")
+      })
 
     // 2c. containment gate: drop near-subset docs (mostly a quote of a
     // longer survivor — high containment, low Jaccard) that symmetric
     // MinHash banding structurally misses
-    val contained = count("containment_gate", {
-      val losers = Dedup.containmentGate(substr, "doc_id", "text",
-          minContainment = minContainment, maxJaccard = maxJaccard)
-        .select(col("contained_id").as("doc_id")).distinct()
-      substr.join(losers, Seq("doc_id"), "left_anti")
-    })
+    val contained = count("containment_gate",
+      if (minContainment > 1.0) substr // containment <= 1: gate off
+      else {
+        val losers = Dedup.containmentGate(substr, "doc_id", "text",
+            minContainment = minContainment, maxJaccard = maxJaccard)
+          .select(col("contained_id").as("doc_id")).distinct()
+        substr.join(losers, Seq("doc_id"), "left_anti")
+      })
 
     // 2d. winnow gate: duplicated-fingerprint fraction over the
     // surviving corpus (Winnowing.fingerprints emits per-doc DISTINCT
@@ -203,7 +243,8 @@ object CurationPipeline {
     // partition before the shuffle. The batch twin of the streaming
     // content gate — see the stage-2d scaladoc above.
     val winnowed = count("winnow_gate",
-      contained.join(winnowHeavy(contained, maxWinnowDupFrac),
+      if (maxWinnowDupFrac >= 1.0) contained // frac <= 1: gate off
+      else contained.join(winnowHeavy(contained, maxWinnowDupFrac),
         Seq("doc_id"), "left_anti"))
 
     // 3. decontamination vs the benchmark slice
@@ -273,12 +314,13 @@ object CurationPipeline {
         conv(substring(md5(encode(concat(lit("smp:"),
           col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10)
           .cast("long"), lit(1000))
-      val rate = when(col("lang") === "en", 800).otherwise(900)
+      val rate = when(col("pred_lang") === "en", 800).otherwise(900)
       capped.filter(bucket < rate)
     })
 
-    // 8. sequence packing
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    // 8. sequence packing (per PREDICTED language — the bin key a
+    // label-free production corpus actually has)
+    val w = Window.partitionBy(col("pred_lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = sampled
       .withColumn("tok", TextFunctions.tokenCount(col("text")))
@@ -320,8 +362,8 @@ object RunCuration {
     val spark = graft.GraftSession.local()
     val (packed, funnel) = CurationPipeline.run(
       spark, spark.read.parquet(docsPath))
-    packed.repartition(col("lang"))
-      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    packed.repartition(col("pred_lang"))
+      .write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
     println(funnel.map(r => s""""${r.stage}":${r.docs}""")
       .mkString("{\"funnel\":{", ",", "}}"))
     spark.stop()

@@ -15,8 +15,9 @@ object Extras69 extends QueryPack {
 
   private val Rounds = 12
 
-  /** The q436 nation trade graph: symmetrized ordered-pair weights. */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The q436 nation trade graph: symmetrized ordered-pair weights
+    * (shared with the q451 Leiden schedule). */
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val e0 = t("lineitem")
       .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
@@ -152,12 +153,9 @@ object Extras69 extends QueryPack {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin of one language score: Σ w·(len(s) − len(replace)). */
+  /** DuckDB twin of one language score (shared fragment). */
   private def langScoreSql(terms: Seq[(String, Long)]): String =
-    terms.map { case (t, w) =>
-      val lit = t.replace("'", "''")
-      s"$w * (length(s) - length(replace(s, '$lit', '')))"
-    }.mkString(" + ")
+    OracleLangId.scoreSql(terms)
 
   private val q445Sql: String = {
     import graft.operators.LangId

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, KnLm, SubstringDedup, Winnowing}
+import graft.operators.{Dedup, KnLm, LangId, SubstringDedup, Winnowing}
 
 /** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
   * curation funnel applied at INGESTION time, with the historical
@@ -16,6 +16,12 @@ import graft.operators.{Dedup, KnLm, SubstringDedup, Winnowing}
   * converge by doc_id key instead of duplicating).
   *
   * Stage mapping (batch → stream):
+  *   0. language ID + gate   → identical map-side LangId projection on
+  *      the incoming batch (content-based by construction — a
+  *      never-seen document classifies the same way the corpus did);
+  *      the distillates below are built from the language-GATED corpus
+  *      so stage-1..2d index membership matches the batch funnel's
+  *      post-gate survivor sets exactly.
   *   1. exact dedup        → broadcast (fingerprint, min_id) lookup;
   *      a doc survives iff it IS its fingerprint group's minimum.
   *   2. near dedup         → the [[StreamNearDup]] gate on the
@@ -81,8 +87,9 @@ object StreamingCuration {
   private val WinnowW = 4
 
   /** Drains the documents stream through the curation gates into
-    * `resultTable` (a catalog table with columns
-    * (doc_id BIGINT, source STRING, lang STRING, sampled BOOLEAN)).
+    * `resultTable` (a catalog table with columns (doc_id BIGINT,
+    * source STRING, lang STRING, pred_lang STRING, sampled BOOLEAN) —
+    * pred_lang is the LangId prediction, the per-language slice key).
     * Gate state distills from `dir`'s documents table; the stream
     * reads `streamDir` (defaults to `dir` — the replay/convergence
     * case; point it elsewhere to ingest never-seen documents through
@@ -98,10 +105,20 @@ object StreamingCuration {
                     maxJaccard: Double = 0.5,
                     maxWinnowDupFrac: Double = 0.5,
                     maxAvgNll: Double = Double.PositiveInfinity,
+                    allowedLangs: Option[Set[String]] = None,
                     streamDir: Option[String] = None): Unit =
     EventsStream.withDrainPartitions(spark) {
       import graft.functions.expressions.ShingleMinHash.shingleMinhash
-      val input = Tables(spark, dir)("documents")
+      // stage 0 twins: the identical LangId projection + optional gate
+      // the batch funnel runs (map-side, so it applies unchanged to
+      // both the corpus distillation and every incoming micro-batch)
+      val scoreCols = LangId.defaultModel.map { case (l, _) => s"score_$l" }
+      def withLang(df: DataFrame): DataFrame =
+        LangId.classify(df, "text").drop(scoreCols: _*)
+      def langGate(df: DataFrame): DataFrame =
+        allowedLangs.fold(df)(ls =>
+          df.filter(col("pred_lang").isin(ls.toSeq.sorted: _*)))
+      val input = langGate(withLang(Tables(spark, dir)("documents")))
       val benchmark = (id: org.apache.spark.sql.Column) => pmod(id, lit(97)) === 0
 
       // ---- static distillates (one-time index build; all tiny) ----
@@ -208,11 +225,14 @@ object StreamingCuration {
 
       // ---- per-batch gate: batch semantics inside foreachBatch ----
       def curateBatch(batch: DataFrame): DataFrame = {
+        // stage 0: language ID + gate, the same map-side projection
+        // the distillates above were built behind
+        val s0 = langGate(withLang(batch))
         // left join: a fingerprint ABSENT from the corpus index is a
         // genuinely new document, not a duplicate — admit it (the
         // never-seen ingestion path); a matched fingerprint survives
         // iff this doc IS its group's minimum (the replay path)
-        val s1 = batch
+        val s1 = s0
           .withColumn("fp", TextFunctions.fingerprint(col("text")))
           .join(broadcast(fpMin), Seq("fp"), "left")
           .filter(col("min_id").isNull || col("doc_id") === col("min_id"))
@@ -321,17 +341,17 @@ object StreamingCuration {
             conv(substring(md5(encode(concat(lit("smp:"),
               col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10)
               .cast("long"), lit(1000))
-          val rate = when(col("lang") === "en", 800).otherwise(900)
+          val rate = when(col("pred_lang") === "en", 800).otherwise(900)
           admitted
             .select(col("doc_id"), col("source"), col("lang"),
-              (bucket < rate).as("sampled"))
+              col("pred_lang"), (bucket < rate).as("sampled"))
             .createOrReplaceTempView("curation_updates")
           sess.sql(
             s"""MERGE INTO $resultTable t
                 USING curation_updates s ON t.doc_id = s.doc_id
                 WHEN NOT MATCHED THEN
-                  INSERT (doc_id, source, lang, sampled)
-                  VALUES (s.doc_id, s.source, s.lang, s.sampled)""")
+                  INSERT (doc_id, source, lang, pred_lang, sampled)
+                  VALUES (s.doc_id, s.source, s.lang, s.pred_lang, s.sampled)""")
           ()
         }
         .option("checkpointLocation",

@@ -51,4 +51,35 @@ class LangIdSpec extends GraftTestBase {
     assert(out.keySet.subsetOf(Set("de", "en", "es", "fr", "und")), s"$out")
     assert(out.values.sum == 500L, s"rows lost: $out")
   }
+
+  test("spans segments a planted bilingual document into language runs") {
+    import spark.implicits._
+    // 64 English tokens then 64 German tokens; 32-token chunks give
+    // exactly two chunks per language block
+    val en = Seq.fill(8)("the thing and the song of the king").mkString(" ")
+    val de = Seq.fill(8)("der schnelle und die schule ich zu einem").mkString(" ")
+    val out = LangId.spans(Seq((1L, s"$en $de")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32)
+      .orderBy("span_idx").collect()
+    assert(out.length == 2, s"expected 2 spans, got ${out.length}")
+    assert(out(0).getAs[String]("span_lang") == "en" &&
+      out(0).getAs[Long]("n_chunks") == 2L &&
+      out(0).getAs[Long]("start_chunk") == 0L &&
+      out(0).getAs[Long]("n_tokens") == 64L, s"en span: ${out(0)}")
+    assert(out(1).getAs[String]("span_lang") == "de" &&
+      out(1).getAs[Long]("n_chunks") == 2L &&
+      out(1).getAs[Long]("start_chunk") == 2L &&
+      out(1).getAs[Long]("start_tok") == 64L &&
+      out(1).getAs[Long]("n_tokens") == 64L, s"de span: ${out(1)}")
+  }
+
+  test("spans returns one span for a monolingual document") {
+    import spark.implicits._
+    val en = Seq.fill(10)("the thing and the song of the king").mkString(" ")
+    val out = LangId.spans(Seq((7L, en)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 16).collect()
+    assert(out.length == 1 && out(0).getAs[String]("span_lang") == "en",
+      s"monolingual doc split: ${out.mkString(",")}")
+    assert(out(0).getAs[Long]("n_tokens") == 80L, s"token total: ${out(0)}")
+  }
 }

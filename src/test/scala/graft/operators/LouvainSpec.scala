@@ -102,6 +102,43 @@ class LouvainSpec extends GraftTestBase {
     assert(math.abs(qRef - qRaw) < 1e-12, s"relabel moved Q: $qRaw -> $qRef")
   }
 
+  test("true Leiden schedule: refined two-level Q >= plain two-level Q on the strand") {
+    val edges = strandedGraph.localCheckpoint()
+    val plain = Louvain.clusterLevels(edges, "i", "j", "w",
+      rounds = 12, levels = 2)
+    val leiden = Louvain.clusterLevelsRefined(edges, "i", "j", "w",
+      rounds = 12, levels = 2)
+    val qPlain = Louvain.modularity(edges, "i", "j", "w", plain)
+    val qLeiden = Louvain.modularity(edges, "i", "j", "w", leiden)
+    info(f"two-level Q plain=$qPlain%.4f leiden=$qLeiden%.4f")
+    assert(qLeiden >= qPlain - 1e-12,
+      s"refined schedule lost Q: $qLeiden < $qPlain")
+    // on the planted strand the plain schedule bakes the disconnected
+    // {1,2,3,4} community into one unsplittable supernode, so the
+    // refined schedule is STRICTLY better here
+    assert(qLeiden > qPlain, s"strand not exploited: $qLeiden <= $qPlain")
+    // and the refined labels keep the fragments coherent
+    val ref = leiden.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref(1L) == ref(2L) && ref(3L) == ref(4L),
+      s"fragments split further: $ref")
+  }
+
+  test("clusterLevelsRefined equals the inlined phase composition (pins q451)") {
+    val a = tradeEdges.localCheckpoint()
+    val op = Louvain.clusterLevelsRefined(a, "i", "j", "w",
+      rounds = 6, levels = 2)
+    val ref1 = Louvain.refine(a, "i", "j",
+      Louvain.cluster(a, "i", "j", "w", 6)).localCheckpoint()
+    val e2 = Louvain.contract(a, "i", "j", "w", ref1).localCheckpoint()
+    val ref2 = Louvain.refine(e2, "i", "j",
+      Louvain.cluster(e2, "i", "j", "w", 6))
+    val composed = ref1.select(col("id"), col("community").as("__m"))
+      .join(ref2.select(col("id").as("__m"), col("community")), Seq("__m"))
+      .select(col("id"), col("community"))
+    assert(op.exceptAll(composed).isEmpty && composed.exceptAll(op).isEmpty,
+      "operator loop diverged from the inlined schedule")
+  }
+
   test("resolution γ: γ=1 is the default chain, γ large yields singletons, γ<1 coarsens") {
     val edges = strandedGraph.localCheckpoint()
     val default = Louvain.cluster(edges, "i", "j", "w", rounds = 12)

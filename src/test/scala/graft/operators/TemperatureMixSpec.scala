@@ -70,4 +70,25 @@ class TemperatureMixSpec extends GraftTestBase {
       assert(row.getDouble(1) == 1.0)
     }
   }
+
+  test("sample draws exactly the allocated per-bucket counts, deterministically") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "mid"))).toDF("id", "src")
+    val alloc = TemperatureMix.allocate(
+        df.groupBy("src").count().withColumnRenamed("count", "n"),
+        "src", "n", budget = 200L, alphaQuarters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sampled = TemperatureMix.sample(df, "src", "id",
+      budget = 200L, alphaQuarters = 2).localCheckpoint()
+    val got = sampled.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == alloc, s"draw $got != allocation $alloc")
+    assert(got.values.sum == 200L, s"budget missed: $got")
+    // α=1/2 up-weights the small bucket past its 10% proportional share
+    assert(got("mid") > 20L, s"temperature did not up-weight: $got")
+    // deterministic membership, not just counts
+    val again = TemperatureMix.sample(df, "src", "id", 200L, 2)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
 }

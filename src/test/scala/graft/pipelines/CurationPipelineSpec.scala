@@ -11,10 +11,12 @@ class CurationPipelineSpec extends GraftTestBase {
     CurationPipeline.run(spark, Tables(spark, sf001)("documents"))
 
   test("funnel is monotone and reports every stage") {
-    assert(funnel.map(_.stage) == Seq("input", "exact_dedup", "near_dedup",
-      "substring_gate", "containment_gate", "winnow_gate", "decontaminate",
-      "quality_gate", "repetition_gate", "perplexity_gate", "domain_cap",
-      "hash_sample"))
+    assert(funnel.map(_.stage) == Seq("input", "language_gate",
+      "exact_dedup", "near_dedup", "substring_gate", "containment_gate",
+      "winnow_gate", "decontaminate", "quality_gate", "repetition_gate",
+      "perplexity_gate", "domain_cap", "hash_sample"))
+    // every stage's per-language slice sums to its count
+    assert(funnel.forall(r => r.byLang.map(_._2).sum == r.docs))
     assert(funnel.sliding(2).forall { case Seq(a, b) => b.docs <= a.docs })
     assert(funnel.head.docs == 500) // sf0.001 documents
     assert(funnel.last.docs > 0, "pipeline filtered everything out")
@@ -159,6 +161,30 @@ class CurationPipelineSpec extends GraftTestBase {
     assert(at(600001L) != "perplexity_gate", s"fluent: ${at(600001L)}")
   }
 
+  test("language gate drops a predicted-German doc and slices the report") {
+    import spark.implicits._
+    // strongly German-scoring plant (der/sch/und/die/ich/zu/ein
+    // trigrams), long enough to survive the quality gate otherwise
+    val german = Seq.fill(6)(
+      "der schnelle fuchs und die schule ich gehe zu einem schoenen haus")
+      .mkString(" ")
+    val docs = Tables(spark, sf001)("documents")
+      .unionByName(Seq((900001L, german, "de", "srcL", german.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (_, funnel, disp) = CurationPipeline.runWithDisposition(
+      spark, docs, allowedLangs = Some(Set("en")))
+    val at = disp.filter(col("doc_id") === 900001L)
+      .collect().map(_.getAs[String]("dropped_at"))
+    assert(at.toSeq == Seq("language_gate"),
+      s"german plant disposition: ${at.mkString(",")}")
+    // the gated stage's slice carries ONLY the allowed language
+    val gateSlice = funnel.find(_.stage == "language_gate").get.byLang
+    assert(gateSlice.map(_._1).toSet == Set("en"), s"slice: $gateSlice")
+    // and the input slice saw the plant's language
+    val inSlice = funnel.find(_.stage == "input").get.byLang.toMap
+    assert(inSlice.getOrElse("de", 0L) >= 1L, s"input slice: $inSlice")
+  }
+
   test("output carries no exact duplicates and no benchmark docs") {
     val out = packed.cache()
     val fps = out.select(TextFunctions.fingerprint(col("text")).as("fp"))
@@ -172,7 +198,7 @@ class CurationPipelineSpec extends GraftTestBase {
     // budget + the largest single doc (a doc bigger than the budget
     // gets its own bin). With sf0.001 docs well under 512 tokens, each
     // bin except a language's last must be CLOSE to full too.
-    val bins = packed.groupBy(col("lang"), col("bin"))
+    val bins = packed.groupBy(col("pred_lang"), col("bin"))
       .agg(sum(col("tok")).as("total"), max(col("tok")).as("biggest"))
     val over = bins.filter(col("total") > lit(512) + col("biggest"))
     assert(over.count() == 0, "a bin exceeds budget + one document")

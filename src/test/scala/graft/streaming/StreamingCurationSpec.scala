@@ -17,7 +17,8 @@ class StreamingCurationSpec extends GraftTestBase {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcur.db")
     spark.sql(s"DROP TABLE IF EXISTS gcur.db.$name")
     spark.sql(s"""CREATE TABLE gcur.db.$name
-                  (doc_id BIGINT, source STRING, lang STRING, sampled BOOLEAN)""")
+                  (doc_id BIGINT, source STRING, lang STRING,
+                   pred_lang STRING, sampled BOOLEAN)""")
     s"gcur.db.$name"
   }
 
@@ -187,6 +188,24 @@ class StreamingCurationSpec extends GraftTestBase {
     val (_, funnel) = CurationPipeline.run(spark, corpus, maxAvgNll = thr)
     val f = funnel.map(r => r.stage -> r.docs).toMap
     assert(admitted.count(_ < 700000L).toLong == f("domain_cap"))
+  }
+
+  test("language-gated drain equals the language-gated batch funnel") {
+    import org.apache.spark.sql.functions._
+    val table = freshTable("curated_lang")
+    val langs = Some(Set("en"))
+    StreamingCuration.curateToTable(spark, sf001, table, allowedLangs = langs)
+    val (packed, funnel) = CurationPipeline.run(
+      spark, Tables(spark, sf001)("documents"), allowedLangs = langs)
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    assert(spark.table(table).count() == f("domain_cap"))
+    val streamed = spark.table(table).filter("sampled")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // nothing outside the allowed set was admitted
+    assert(spark.table(table)
+      .filter(!col("pred_lang").isin("en")).count() == 0)
   }
 
   test("uncapped drain matches the uncapped batch membership") {
