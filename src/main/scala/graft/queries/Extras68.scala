@@ -31,20 +31,10 @@ object Extras68 extends QueryPack {
   private val LouvainRounds = 12
 
   private def q436(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Louvain
     val t = Tables(s, dir)
-    val e0 = t("lineitem")
-      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t("customer"), col("o_custkey") === col("c_custkey"))
-      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
-      .agg(count(lit(1)).as("c"))
-    val a = e0.select(col("i"), col("j"), col("c"))
-      .union(e0.select(col("j"), col("i"), col("c")))
-      .groupBy("i", "j").agg(sum("c").as("w"))
-      .localCheckpoint() // feeds every round of the optimizer
-    val comm = Louvain.cluster(a, "i", "j", "w", rounds = LouvainRounds)
+    // the edge list and 12-round chain are the family-shared golden
+    // intermediates (LouvainGolden) — materialized once per session
+    val comm = LouvainGolden.chain(s, dir, LouvainRounds)
     t("nation").join(comm, col("n_nationkey") === col("id"))
       .select(col("n_nationkey"), col("n_name"),
         col("community").cast("long").as("community"))
@@ -306,17 +296,7 @@ object Extras68 extends QueryPack {
   private def q439(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Louvain
     val t = Tables(s, dir)
-    val e0 = t("lineitem")
-      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t("customer"), col("o_custkey") === col("c_custkey"))
-      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(col("c_nationkey").as("i"), col("s_nationkey").as("j"))
-      .agg(count(lit(1)).as("c"))
-    val a = e0.select(col("i"), col("j"), col("c"))
-      .union(e0.select(col("j"), col("i"), col("c")))
-      .groupBy("i", "j").agg(sum("c").as("w"))
-      .localCheckpoint()
+    val a = LouvainGolden.edges(s, dir)
     val comm = Louvain.clusterLevels(a, "i", "j", "w",
       rounds = LouvainL2Rounds, levels = 2)
     t("nation").join(comm, col("n_nationkey") === col("id"))

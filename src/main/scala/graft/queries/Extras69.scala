@@ -13,7 +13,7 @@ import graft.Tables
   */
 object Extras69 extends QueryPack {
 
-  private val Rounds = 12
+  private[queries] val Rounds = 12
 
   /** The q436 nation trade graph: symmetrized ordered-pair weights
     * (shared with the q451 Leiden schedule). */
@@ -51,8 +51,8 @@ object Extras69 extends QueryPack {
     * within-community edges. */
   private def q443(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Louvain
-    val a = tradeEdges(s, dir).localCheckpoint()
-    val comm = Louvain.cluster(a, "i", "j", "w", Rounds).localCheckpoint()
+    val a = LouvainGolden.edges(s, dir)
+    val comm = LouvainGolden.chain(s, dir, Rounds)
     val refined = Louvain.refine(a, "i", "j", comm)
     Tables(s, dir)("nation")
       .join(comm, col("n_nationkey") === comm("id"))
@@ -101,11 +101,9 @@ object Extras69 extends QueryPack {
     * oracle replays all three 12-round chains with the γ multipliers;
     * identity rounds replay as identities. */
   private def q444(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Louvain
-    val a = tradeEdges(s, dir).localCheckpoint()
-    val g1 = Louvain.cluster(a, "i", "j", "w", Rounds)
-    val g2 = Louvain.cluster(a, "i", "j", "w", Rounds, gammaNum = 2L)
-    val g4 = Louvain.cluster(a, "i", "j", "w", Rounds, gammaNum = 4L)
+    val g1 = LouvainGolden.chain(s, dir, Rounds)
+    val g2 = LouvainGolden.chain(s, dir, Rounds, gammaNum = 2L)
+    val g4 = LouvainGolden.chain(s, dir, Rounds, gammaNum = 4L)
     Tables(s, dir)("nation")
       .join(g1.select(col("id").as("__i1"), col("community").as("__c1")),
         col("n_nationkey") === col("__i1"))

@@ -224,9 +224,9 @@ object Extras70 extends QueryPack {
     * mass. */
   private def q451(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Louvain
-    val a = Extras69.tradeEdges(s, dir).localCheckpoint()
+    val a = LouvainGolden.edges(s, dir)
     val ref1 = Louvain.refine(a, "i", "j",
-      Louvain.cluster(a, "i", "j", "w", LeidenRounds)).localCheckpoint()
+      LouvainGolden.chain(s, dir, LeidenRounds)).localCheckpoint()
     val e2 = Louvain.contract(a, "i", "j", "w",
       ref1.select(col("id"), col("community"))).localCheckpoint()
     val ref2 = Louvain.refine(e2, "i", "j",
