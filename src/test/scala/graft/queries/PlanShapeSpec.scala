@@ -332,4 +332,64 @@ class PlanShapeSpec extends GraftTestBase {
     assert(winds.exists(_.partitionSpec.isEmpty),
       "exact global pass missing")
   }
+
+  test("LangId.classify is one shuffle-free, window-free projection") {
+    val docs = graft.Tables(spark, sf001)("documents")
+    val p = graft.operators.LangId.classify(docs, "text")
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case q                        => q
+      }
+    assert(shuffles(p) == 0, "langid planned a shuffle")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "langid planned a window")
+  }
+
+  test("LangId.spans windows are all document-partitioned (no global window)") {
+    val docs = graft.Tables(spark, sf001)("documents")
+    val p = graft.operators.LangId.spans(docs, "doc_id", "text", 32)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case q                        => q
+      }
+    val winds = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winds.nonEmpty && winds.forall(_.partitionSpec.nonEmpty),
+      "spans planned an unpartitioned (single-task) window")
+  }
+
+  test("TemperatureMix.sample ranks inside source partitions (corpus window partitioned)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, sf001)("documents")
+      .select(col("doc_id"), col("lang"))
+    val p = graft.operators.TemperatureMix
+      .sample(docs, "lang", "doc_id", budget = 100L, alphaQuarters = 2)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case q                        => q
+      }
+    // the allocation side carries two S-row global windows (S = number
+    // of sources, bounded by definition); the CORPUS-sized rank window
+    // must be partitioned by the source key. S-row frames here are the
+    // ones whose plans sit under the broadcast exchange of the
+    // allocation join, so: at least one partitioned window exists, and
+    // every UNpartitioned window sits on the tiny allocation branch
+    // (under a BroadcastExchange).
+    val winds = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winds.exists(_.partitionSpec.nonEmpty),
+      "corpus rank window lost its source partitioning")
+    val bcastSub = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+    }.flatten
+    val globalWinds = winds.filter(_.partitionSpec.isEmpty)
+    assert(globalWinds.forall(w => bcastSub.exists(_ eq w)),
+      "a corpus-sized global window escaped the broadcast allocation branch")
+  }
 }
