@@ -341,15 +341,77 @@ object Extras70 extends QueryPack {
        ORDER BY doc_id, span_idx"""
   }
 
+  // --------------------------------------------------------------- q453
+  /** PER-LANGUAGE ADAPTIVE QUALITY GATE ([[graft.operators
+    * .AdaptiveGate]]) — the mC4/CCNet per-language threshold shape: a
+    * single global quality cutoff over-filters low-resource languages
+    * whose whole distribution sits below the English-tuned constant,
+    * so each predicted language drops its OWN bottom 10% by lexical
+    * diversity (type-token ratio). Exact rank semantics — drop count
+    * is the integer n·10/100, ranks order by (ttr, doc_id) — so the
+    * survivor set reproduces bit-for-bit in DuckDB; the output stays
+    * all-integer (counts + kept-id checksum), with the double TTR used
+    * only as a ranking key both engines compute identically. */
+  private def q453(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.{AdaptiveGate, LangId}
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = LangId.classify(Tables(s, dir)("documents"), "text")
+      .select(col("doc_id"), col("pred_lang"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+      .localCheckpoint() // feeds the gate AND the per-language totals
+    val kept = AdaptiveGate.dropBottom(scored, "pred_lang", "ttr",
+      "doc_id", pct = 10)
+    scored.groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum")),
+        Seq("pred_lang"))
+      .select(col("pred_lang"), col("n_docs"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("n_kept"), col("id_checksum"))
+      .orderBy("pred_lang")
+  }
+
+  private val q453Sql: String = {
+    import graft.operators.LangId
+    val langs = LangId.defaultModel.map(_._1)
+    s"""WITH cls AS MATERIALIZED (
+         SELECT doc_id,
+           ${OracleLangId.predCaseSql(langs)} AS pred_lang,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         FROM (SELECT doc_id, toks,
+                 ${OracleLangId.scoreListSql()}
+               FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       ${OracleLangId.surfaceSql("text")} AS s
+                     FROM documents))),
+       rk AS MATERIALIZED (
+         SELECT *, row_number() OVER (PARTITION BY pred_lang
+                     ORDER BY ttr, doc_id) AS rk,
+                count(*) OVER (PARTITION BY pred_lang) AS n
+         FROM cls),
+       kept AS (SELECT * FROM rk WHERE rk > n * 10 // 100)
+       SELECT rk.pred_lang,
+              CAST(max(rk.n) AS BIGINT) AS n_docs,
+              CAST(max(rk.n) - count(kept.doc_id) AS BIGINT) AS n_dropped,
+              CAST(count(kept.doc_id) AS BIGINT) AS n_kept,
+              CAST(sum(kept.doc_id) AS BIGINT) AS id_checksum
+       FROM rk LEFT JOIN kept ON kept.doc_id = rk.doc_id
+       GROUP BY rk.pred_lang
+       ORDER BY rk.pred_lang"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q449_funnel_lang_slices" -> q449 _,
     "q450_temperature_sample" -> q450 _,
     "q451_leiden_levels" -> q451 _,
-    "q452_lang_spans" -> q452 _)
+    "q452_lang_spans" -> q452 _,
+    "q453_adaptive_quality" -> q453 _)
 
   override def oracles: Map[String, String] = Map(
     "q449_funnel_lang_slices" -> q449Sql,
     "q450_temperature_sample" -> q450Sql,
     "q451_leiden_levels" -> q451Sql,
-    "q452_lang_spans" -> q452Sql)
+    "q452_lang_spans" -> q452Sql,
+    "q453_adaptive_quality" -> q453Sql)
 }
