@@ -112,4 +112,41 @@ object TemperatureMix {
       .filter(col("__rk") <= col("__alloc"))
       .drop("__rk", "__alloc")
   }
+
+  /** [[sample]] WITH EPOCHING — the full mT5 mechanism: a bucket whose
+    * quota exceeds its size repeats (small languages see multiple
+    * epochs rather than silently under-filling the budget). Every row
+    * of an undersupplied bucket emits floor(alloc/n) times (epochs
+    * 0..floor−1), and the remaining alloc mod n units draw by the same
+    * md5 rank as [[sample]] at epoch floor(alloc/n) — so per-bucket
+    * output counts equal the allocation EXACTLY in all cases and the
+    * total equals the budget. A bucket with alloc <= n degenerates to
+    * [[sample]] with a constant 0 epoch column. Same plan shape as
+    * [[sample]] plus one posexplode of a per-row epoch sequence
+    * (map-side; the sequence length is the bucket's epoch count, a
+    * small integer by construction).
+    *
+    * Output: sampled rows with an `epoch` column (0-based). */
+  def sampleWithEpochs(docs: DataFrame, keyCol: String, idCol: String,
+                       budget: Long, alphaQuarters: Int): DataFrame = {
+    val counts = docs.groupBy(keyCol)
+      .agg(count(lit(1)).as("__n"))
+    val alloc = allocate(counts, keyCol, "__n", budget, alphaQuarters)
+      .select(col(keyCol), col("n").as("__n"), col("alloc").as("__alloc"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(lit("tmx:"), col(idCol).cast("string"))), col(idCol))
+    // integral DIV, not double division-then-floor — exact at any size
+    val full = expr("__alloc DIV __n")
+    val rem = col("__alloc") % col("__n")
+    docs.join(broadcast(alloc), Seq(keyCol))
+      .withColumn("__rk", row_number().over(w))
+      // epochs 0..full-1 unconditionally, plus epoch `full` for the
+      // first `rem` rows in md5 rank order; sequence(0, full) always
+      // has at least one element, and the filter trims the tail epoch
+      .withColumn("epoch",
+        explode(sequence(lit(0L), full)))
+      .filter(col("epoch") < full ||
+        (col("epoch") === full && col("__rk") <= rem))
+      .drop("__rk", "__n", "__alloc")
+  }
 }

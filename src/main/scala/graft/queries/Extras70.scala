@@ -401,17 +401,91 @@ object Extras70 extends QueryPack {
        ORDER BY rk.pred_lang"""
   }
 
+  // --------------------------------------------------------------- q454
+  /** EPOCHED TEMPERATURE SAMPLE ([[graft.operators.TemperatureMix
+    * .sampleWithEpochs]]) — the full mT5 mechanism q450's scaladoc
+    * called a training-loader concern, made an operator: at α=0
+    * (uniform) with budget 2N, every language's quota (2N/L) exceeds
+    * its size, so small languages REPEAT — each doc emits
+    * floor(alloc/n) full epochs plus an md5-rank partial epoch, and
+    * per-language output counts equal the allocation exactly in all
+    * cases (Σ = budget, no silent under-fill). Output: one row per
+    * (language, epoch) with row count and id checksum — the epoch
+    * schedule a data card publishes. */
+  private def q454(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LangId, TemperatureMix}
+    val cls = LangId.classify(Tables(s, dir)("documents"), "text")
+      .select(col("doc_id"), col("pred_lang"))
+      .localCheckpoint() // feeds the budget count and the draw
+    val budget = cls.count() * 2
+    TemperatureMix.sampleWithEpochs(cls, "pred_lang", "doc_id", budget, 0)
+      .groupBy("pred_lang", "epoch")
+      .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_checksum"))
+      .orderBy("pred_lang", "epoch")
+  }
+
+  private val q454Sql: String = {
+    import graft.operators.LangId
+    val langs = LangId.defaultModel.map(_._1)
+    s"""WITH cls AS MATERIALIZED (
+         SELECT doc_id,
+           ${OracleLangId.predCaseSql(langs)} AS pred_lang
+         FROM (SELECT doc_id,
+                 ${OracleLangId.scoreListSql()}
+               FROM (SELECT doc_id,
+                       ${OracleLangId.surfaceSql("text")} AS s
+                     FROM documents))),
+       bdg AS (SELECT count(*) * 2 AS b FROM cls),
+       cnt AS MATERIALIZED (
+         SELECT pred_lang, count(*) AS n FROM cls GROUP BY 1),
+       tw AS (
+         SELECT list_sum(list_transform(
+           list({'k': pred_lang, 'w': 1.0} ORDER BY pred_lang),
+           e -> e.w)) AS tw
+         FROM cnt),
+       q0 AS (
+         SELECT pred_lang, n,
+           CAST(floor(CAST(b AS DOUBLE) * (1.0) / tw) AS BIGINT) AS fq,
+           CAST(b AS DOUBLE) * (1.0) / tw
+             - floor(CAST(b AS DOUBLE) * (1.0) / tw) AS rem,
+           b
+         FROM cnt CROSS JOIN tw CROSS JOIN bdg),
+       al AS MATERIALIZED (
+         SELECT pred_lang, n,
+           fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, pred_lang)
+                       <= b - sum(fq) OVER () THEN 1 ELSE 0 END AS alloc
+         FROM q0),
+       rk AS MATERIALIZED (
+         SELECT doc_id, pred_lang,
+           row_number() OVER (PARTITION BY pred_lang
+             ORDER BY md5('tmx:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM cls),
+       drawn AS (
+         SELECT r.pred_lang, r.doc_id, u.e AS epoch
+         FROM rk r JOIN al ON al.pred_lang = r.pred_lang,
+           unnest(generate_series(0, al.alloc // al.n)) AS u(e)
+         WHERE u.e < al.alloc // al.n
+            OR (u.e = al.alloc // al.n AND r.rk <= al.alloc % al.n))
+       SELECT pred_lang, CAST(epoch AS BIGINT) AS epoch,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       FROM drawn GROUP BY 1, 2
+       ORDER BY pred_lang, epoch"""
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "q449_funnel_lang_slices" -> q449 _,
     "q450_temperature_sample" -> q450 _,
     "q451_leiden_levels" -> q451 _,
     "q452_lang_spans" -> q452 _,
-    "q453_adaptive_quality" -> q453 _)
+    "q453_adaptive_quality" -> q453 _,
+    "q454_epoch_sample" -> q454 _)
 
   override def oracles: Map[String, String] = Map(
     "q449_funnel_lang_slices" -> q449Sql,
     "q450_temperature_sample" -> q450Sql,
     "q451_leiden_levels" -> q451Sql,
     "q452_lang_spans" -> q452Sql,
-    "q453_adaptive_quality" -> q453Sql)
+    "q453_adaptive_quality" -> q453Sql,
+    "q454_epoch_sample" -> q454Sql)
 }

@@ -91,4 +91,30 @@ class TemperatureMixSpec extends GraftTestBase {
     val again = TemperatureMix.sample(df, "src", "id", 200L, 2)
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
   }
+
+  test("sampleWithEpochs fills undersupplied quotas exactly via repetition") {
+    import spark.implicits._
+    // big: 90 rows, tiny: 10 rows; α=0 budget 100 → 50 each: big draws
+    // 50 of 90 (epoch 0 only), tiny repeats — 5 full epochs of 10
+    val df = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    val out = TemperatureMix.sampleWithEpochs(df, "src", "id",
+      budget = 100L, alphaQuarters = 0).localCheckpoint()
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 50L, "tiny" -> 50L), s"counts: $counts")
+    // tiny's 50 units = epochs 0..4, each the complete 10-row bucket
+    val tinyEpochs = out.filter($"src" === "tiny").groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tinyEpochs == (0L to 4L).map(_ -> 10L).toMap, s"$tinyEpochs")
+    // big never repeats: one epoch, and it matches the plain sample
+    val bigIds = out.filter($"src" === "big")
+    assert(bigIds.select("epoch").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    val plain = TemperatureMix.sample(df, "src", "id", 100L, 0)
+      .filter($"src" === "big").select("id")
+    assert(bigIds.select("id").exceptAll(plain).isEmpty &&
+      plain.exceptAll(bigIds.select("id")).isEmpty,
+      "epoch-0 draw diverged from the plain sample")
+  }
 }
