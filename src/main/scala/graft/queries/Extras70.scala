@@ -473,13 +473,61 @@ object Extras70 extends QueryPack {
        ORDER BY pred_lang, epoch"""
   }
 
+  // --------------------------------------------------------------- q455
+  /** TRAINING-SHARD SHUFFLE MANIFEST — the step every pretraining data
+    * pipeline ends with: a deterministic global shuffle (md5 hash
+    * order destroys source/time locality, so every shard is an
+    * unbiased sample of the corpus) followed by fixed-size shard
+    * assignment and a per-shard manifest (doc count, id checksum,
+    * token mass, key range) that the training loader validates against
+    * at read time. The global index comes from
+    * [[graft.operators.RowIndexer.stableIndex]] — range shuffle +
+    * local sort + zipWithIndex, NOT a single-partition row_number
+    * window, so the total order scales; shard = idx DIV 64 is
+    * map-side after that. The oracle replays the same total order
+    * relationally (rank over (key, id) is the semantic contract the
+    * distributed index implements). */
+  private def q455(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.RowIndexer
+    val keyed = Tables(s, dir)("documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shd:"), col("doc_id").cast("string"))).as("skey"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+    RowIndexer.stableIndex(keyed, Seq(col("skey"), col("doc_id")))
+      .withColumn("shard", expr("idx DIV 64"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("tok").cast("long")).as("shard_tokens"),
+        min(col("skey")).as("first_key"),
+        max(col("skey")).as("last_key"))
+      .orderBy("shard")
+  }
+
+  private val q455Sql: String =
+    s"""WITH keyed AS (
+         SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS skey,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         FROM documents),
+       idx AS MATERIALIZED (
+         SELECT *, row_number() OVER (ORDER BY skey, doc_id) - 1 AS idx
+         FROM keyed)
+       SELECT CAST(idx // 64 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+              CAST(sum(tok) AS BIGINT) AS shard_tokens,
+              min(skey) AS first_key, max(skey) AS last_key
+       FROM idx GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, QueryFn] = Map(
     "q449_funnel_lang_slices" -> q449 _,
     "q450_temperature_sample" -> q450 _,
     "q451_leiden_levels" -> q451 _,
     "q452_lang_spans" -> q452 _,
     "q453_adaptive_quality" -> q453 _,
-    "q454_epoch_sample" -> q454 _)
+    "q454_epoch_sample" -> q454 _,
+    "q455_shard_shuffle" -> q455 _)
 
   override def oracles: Map[String, String] = Map(
     "q449_funnel_lang_slices" -> q449Sql,
@@ -487,5 +535,6 @@ object Extras70 extends QueryPack {
     "q451_leiden_levels" -> q451Sql,
     "q452_lang_spans" -> q452Sql,
     "q453_adaptive_quality" -> q453Sql,
-    "q454_epoch_sample" -> q454Sql)
+    "q454_epoch_sample" -> q454Sql,
+    "q455_shard_shuffle" -> q455Sql)
 }
