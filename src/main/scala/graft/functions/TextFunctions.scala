@@ -20,6 +20,14 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Type-token ratio (lexical diversity): distinct / total whitespace
+    * tokens as a double — the adaptive quality gate's ranking signal.
+    * DuckDB twin: CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks). */
+  def typeTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
   /** BPE-ish lexer tokens: letter runs | digit runs | single symbols. */
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))

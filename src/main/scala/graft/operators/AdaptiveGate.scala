@@ -40,10 +40,37 @@ object AdaptiveGate {
     val w = Window.partitionBy(col(groupCol))
     val rk = row_number().over(w.orderBy(col(signalCol), col(idCol)))
     val n = count(lit(1)).over(w)
+    // integral DIV: Column `/` is double division, whose float boundary
+    // happens to floor correctly for `>` but breaks any `===` on it
     df.withColumn("__rk", rk)
       .withColumn("__n", n)
-      .filter(col("__rk") > col("__n") * pct / 100)
+      .filter(col("__rk") > expr(s"__n * $pct DIV 100"))
       .drop("__rk", "__n")
+  }
+
+  /** The per-group CUT-KEY distillate for a streaming twin: each
+    * group's FIRST KEPT row's (signal, id) pair. A row r of group g
+    * drops iff (r.signal, r.id) <lex (cut_sig, cut_id) — on the same
+    * data this reproduces [[dropBottom]]'s rank rule EXACTLY (the
+    * first kept row is rank n·pct/100 + 1, and the (signal, id) order
+    * is total), while staying CONTENT-BASED for never-seen rows: an
+    * incoming document is priced against the corpus distribution's
+    * cut without the corpus being rescanned. A group with a zero drop
+    * count distills its minimum row (nothing on the corpus sits below
+    * it, so replay is still exact; a never-seen row below it drops —
+    * the corpus-state semantics every streaming gate here has).
+    * Output: (groupCol, cut_sig, cut_id). */
+  def cutKeys(df: DataFrame, groupCol: String, signalCol: String,
+              idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct < 100, s"pct must be in [0, 100): $pct")
+    val w = Window.partitionBy(col(groupCol))
+    val rk = row_number().over(w.orderBy(col(signalCol), col(idCol)))
+    val n = count(lit(1)).over(w)
+    df.withColumn("__rk", rk)
+      .withColumn("__n", n)
+      .filter(col("__rk") === expr(s"__n * $pct DIV 100") + 1)
+      .select(col(groupCol), col(signalCol).as("cut_sig"),
+        col(idCol).as("cut_id"))
   }
 
   /** The gate's audit view: per group, how many rows dropped and the
@@ -54,9 +81,8 @@ object AdaptiveGate {
     require(pct >= 0 && pct < 100, s"pct must be in [0, 100): $pct")
     val w = Window.partitionBy(col(groupCol))
     val rk = row_number().over(w.orderBy(col(signalCol), col(idCol)))
-    val n = count(lit(1)).over(w)
     df.withColumn("__rk", rk)
-      .withColumn("__cut", n * pct / 100)
+      .withColumn("__cut", expr(s"count(1) OVER (PARTITION BY $groupCol) * $pct DIV 100"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__rk") <= col("__cut"), 1L).otherwise(0L))

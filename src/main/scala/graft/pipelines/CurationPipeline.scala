@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, LangId, SubstringDedup, Winnowing}
+import graft.operators.{AdaptiveGate, Dedup, LangId, SubstringDedup, Winnowing}
 
 /** End-to-end corpus curation — the composed production job the
   * individual operators exist for: raw documents in, training-ready
@@ -50,6 +50,11 @@ import graft.operators.{Dedup, LangId, SubstringDedup, Winnowing}
   *      the benchmark set (tiny by construction → broadcast join).
   *   4. QUALITY GATE — length window + stopword-ratio floor per
   *      language (pure map-side).
+  *   4b. ADAPTIVE QUALITY GATE (off unless adaptiveQualityPct > 0) —
+  *      each predicted language drops its OWN bottom pct% by
+  *      type-token ratio ([[graft.operators.AdaptiveGate]], the
+  *      mC4/CCNet per-language threshold shape): a global cutoff
+  *      over-filters low-resource languages, a per-group rank cannot.
   *   5. REPETITION GATE — drop documents whose duplicate word-2-gram
   *      fraction exceeds the threshold (the Gopher/MassiveText rule).
   *      Computed per-row with array_distinct — map-side, NO shuffle;
@@ -94,11 +99,12 @@ object CurationPipeline {
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity,
-          allowedLangs: Option[Set[String]] = None): (DataFrame, Seq[Report]) = {
+          allowedLangs: Option[Set[String]] = None,
+          adaptiveQualityPct: Int = 0): (DataFrame, Seq[Report]) = {
     val (packed, funnel, _) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
       domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll,
-      allowedLangs)
+      allowedLangs, adaptiveQualityPct)
     (packed, funnel)
   }
 
@@ -119,12 +125,13 @@ object CurationPipeline {
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity,
-          allowedLangs: Option[Set[String]] = None)
+          allowedLangs: Option[Set[String]] = None,
+          adaptiveQualityPct: Int = 0)
       : (DataFrame, Seq[Report], DataFrame) = {
     val (packed, funnel, frames) = runStages(spark, docs, benchmarkIds,
       tokenBudget, nearDupThreshold, maxDupGramFrac, maxSubstringDupFrac,
       domainCap, minContainment, maxJaccard, maxWinnowDupFrac, maxAvgNll,
-      allowedLangs)
+      allowedLangs, adaptiveQualityPct)
     val dropped = frames.sliding(2).collect {
       case Seq((_, prev), (stage, cur)) =>
         prev.select(col("doc_id"))
@@ -147,7 +154,8 @@ object CurationPipeline {
           maxJaccard: Double = 0.5,
           maxWinnowDupFrac: Double = 0.5,
           maxAvgNll: Double = Double.PositiveInfinity,
-          allowedLangs: Option[Set[String]] = None)
+          allowedLangs: Option[Set[String]] = None,
+          adaptiveQualityPct: Int = 0)
       : (DataFrame, Seq[Report], Seq[(String, DataFrame)]) = {
     val funnel = Seq.newBuilder[Report]
     // Each stage is MATERIALIZED once (localCheckpoint) before its
@@ -269,12 +277,21 @@ object CurationPipeline {
         .filter(size(toks) >= 8)
     })
 
+    // 4b. per-language adaptive quality gate (off unless pct > 0):
+    // drop each predicted language's bottom pct% by type-token ratio
+    val adapted = count("adaptive_quality",
+      if (adaptiveQualityPct == 0) quality
+      else AdaptiveGate.dropBottom(
+        quality.withColumn("__ttr", TextFunctions.typeTokenRatio(col("text"))),
+        "pred_lang", "__ttr", "doc_id", adaptiveQualityPct)
+        .drop("__ttr"))
+
     // 5. repetition gate: duplicate-2-gram fraction, computed per-row
     val repGated = count("repetition_gate", {
       val ws = split(col("text"), " ")
       val grams = expr(
         "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
-      quality
+      adapted
         .withColumn("ws", ws)
         .withColumn("__dup_frac",
           lit(1.0) - size(array_distinct(grams)).cast("double") /

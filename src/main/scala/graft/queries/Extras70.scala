@@ -116,6 +116,8 @@ object Extras70 extends QueryPack {
          FROM dc GROUP BY 2
          UNION ALL SELECT 'quality_gate', pred_lang, count(*)
          FROM ql GROUP BY 2
+         UNION ALL SELECT 'adaptive_quality', pred_lang, count(*)
+         FROM ql GROUP BY 2
          UNION ALL SELECT 'repetition_gate', pred_lang, count(*)
          FROM rep GROUP BY 2
          UNION ALL SELECT 'perplexity_gate', pred_lang, count(*)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, KnLm, LangId, SubstringDedup, Winnowing}
+import graft.operators.{AdaptiveGate, Dedup, KnLm, LangId, SubstringDedup, Winnowing}
 
 /** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
   * curation funnel applied at INGESTION time, with the historical
@@ -52,6 +52,13 @@ import graft.operators.{Dedup, KnLm, LangId, SubstringDedup, Winnowing}
   *   3. decontamination → broadcast static benchmark-shingle set
   *      (already content-based: an unseen contaminated doc is caught).
   *   4/5. quality + repetition gates → identical map-side expressions.
+  *   4b. adaptive quality gate → the per-language CUT KEY distillate
+  *      ([[graft.operators.AdaptiveGate.cutKeys]]: each language's
+  *      first kept (ttr, doc_id) pair under the batch rank rule) —
+  *      broadcast, content-based: an incoming doc drops iff its own
+  *      (ttr, id) sits lexicographically below its language's cut, so
+  *      corpus replay reproduces the batch stage exactly and a
+  *      never-seen doc is priced against the corpus distribution.
   *   6. domain cap         → foreachBatch: per-source admission ranked
   *      by the SAME deterministic hash order as the batch window,
   *      offset by the admitted counts already in the catalog table —
@@ -106,6 +113,7 @@ object StreamingCuration {
                     maxWinnowDupFrac: Double = 0.5,
                     maxAvgNll: Double = Double.PositiveInfinity,
                     allowedLangs: Option[Set[String]] = None,
+                    adaptiveQualityPct: Int = 0,
                     streamDir: Option[String] = None): Unit =
     EventsStream.withDrainPartitions(spark) {
       import graft.functions.expressions.ShingleMinHash.shingleMinhash
@@ -190,30 +198,59 @@ object StreamingCuration {
         .select(explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
         .distinct()
         .localCheckpoint()
+      // static replay chain to the quality stage — both downstream
+      // distillates (the adaptive cut keys and the KN model fit
+      // corpus) sit past quality in the batch funnel, so the chain is
+      // shared and evaluated at most once (lazy: neither gate on →
+      // never built)
+      lazy val qualSt: DataFrame = {
+        val contaminatedSt = winnowSet.filter(!benchmark(col("doc_id")))
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
+          .join(broadcast(benchSh), "sh").select("doc_id").distinct()
+        val deconSt = winnowSet.filter(!benchmark(col("doc_id")))
+          .join(contaminatedSt, Seq("doc_id"), "left_anti")
+        deconSt
+          .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
+          .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+      }
+      // adaptive-quality distillate: each language's first kept
+      // (ttr, doc_id) pair under the batch rank rule (see scaladoc)
+      val adaptiveCut: Option[DataFrame] =
+        if (adaptiveQualityPct == 0) None
+        else Some(AdaptiveGate.cutKeys(
+            qualSt.withColumn("__ttr",
+              TextFunctions.typeTokenRatio(col("text"))),
+            "pred_lang", "__ttr", "doc_id", adaptiveQualityPct)
+          .localCheckpoint())
+      def applyAdaptiveCut(df: DataFrame): DataFrame = adaptiveCut match {
+        case None => df
+        case Some(cut) =>
+          df.withColumn("__ttr", TextFunctions.typeTokenRatio(col("text")))
+            .join(broadcast(cut), Seq("pred_lang"), "left")
+            .filter(col("cut_sig").isNull ||
+              col("__ttr") > col("cut_sig") ||
+              (col("__ttr") === col("cut_sig") &&
+                col("doc_id") >= col("cut_id")))
+            .drop("__ttr", "cut_sig", "cut_id")
+      }
       // KN model distillate (only when the perplexity gate is on):
       // the batch pipeline fits on its repetition-gate survivors, so
-      // the static chain replays decon -> quality -> repetition from
-      // the winnow survivors to reach the identical fit corpus; the
-      // model tables are vocab-bounded broadcast state, and the score
-      // probe is CONTENT-based — it prices a never-seen document too
+      // the static chain replays decon -> quality -> adaptive ->
+      // repetition from the winnow survivors to reach the identical
+      // fit corpus; the model tables are vocab-bounded broadcast
+      // state, and the score probe is CONTENT-based — it prices a
+      // never-seen document too
       val knModel: Option[KnLm.Model] =
         if (maxAvgNll == Double.PositiveInfinity) None
         else {
-          val contaminatedSt = winnowSet.filter(!benchmark(col("doc_id")))
-            .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-            .filter(size(col("toks")) >= 3)
-            .select(col("doc_id"),
-              explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
-            .join(broadcast(benchSh), "sh").select("doc_id").distinct()
-          val deconSt = winnowSet.filter(!benchmark(col("doc_id")))
-            .join(contaminatedSt, Seq("doc_id"), "left_anti")
-          val qualSt = deconSt
-            .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
-            .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+          val adaptSt = applyAdaptiveCut(qualSt)
           val ws0 = split(col("text"), " ")
           val grams0 = expr(
             "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
-          val repSt = qualSt
+          val repSt = adaptSt
             .withColumn("ws", ws0)
             .withColumn("__dup_frac",
               lit(1.0) - size(array_distinct(grams0)).cast("double") /
@@ -293,10 +330,11 @@ object StreamingCuration {
         val quality = s3
           .filter(col("n_chars") >= 64 && col("n_chars") <= 4096)
           .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+        val adapted = applyAdaptiveCut(quality)
         val ws = split(col("text"), " ")
         val grams = expr(
           "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(element_at(ws, i), ' ', element_at(ws, least(i + 1, size(ws)))))")
-        val repetitionOut = quality
+        val repetitionOut = adapted
           .withColumn("ws", ws)
           .withColumn("__dup_frac",
             lit(1.0) - size(array_distinct(grams)).cast("double") /

@@ -13,8 +13,8 @@ class CurationPipelineSpec extends GraftTestBase {
   test("funnel is monotone and reports every stage") {
     assert(funnel.map(_.stage) == Seq("input", "language_gate",
       "exact_dedup", "near_dedup", "substring_gate", "containment_gate",
-      "winnow_gate", "decontaminate", "quality_gate", "repetition_gate",
-      "perplexity_gate", "domain_cap", "hash_sample"))
+      "winnow_gate", "decontaminate", "quality_gate", "adaptive_quality",
+      "repetition_gate", "perplexity_gate", "domain_cap", "hash_sample"))
     // every stage's per-language slice sums to its count
     assert(funnel.forall(r => r.byLang.map(_._2).sum == r.docs))
     assert(funnel.sliding(2).forall { case Seq(a, b) => b.docs <= a.docs })
@@ -183,6 +183,18 @@ class CurationPipelineSpec extends GraftTestBase {
     // and the input slice saw the plant's language
     val inSlice = funnel.find(_.stage == "input").get.byLang.toMap
     assert(inSlice.getOrElse("de", 0L) >= 1L, s"input slice: $inSlice")
+  }
+
+  test("adaptive quality gate drops each language's exact bottom decile") {
+    val (_, f) = CurationPipeline.run(
+      spark, Tables(spark, sf001)("documents"), adaptiveQualityPct = 10)
+    val quality = f.find(_.stage == "quality_gate").get.byLang.toMap
+    val adapted = f.find(_.stage == "adaptive_quality").get.byLang.toMap
+    assert(quality.nonEmpty)
+    quality.foreach { case (lang, n) =>
+      assert(adapted.getOrElse(lang, 0L) == n - n * 10 / 100,
+        s"$lang: $n -> ${adapted.get(lang)}")
+    }
   }
 
   test("output carries no exact duplicates and no benchmark docs") {

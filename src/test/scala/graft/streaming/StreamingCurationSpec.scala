@@ -208,6 +208,22 @@ class StreamingCurationSpec extends GraftTestBase {
       .filter(!col("pred_lang").isin("en")).count() == 0)
   }
 
+  test("adaptive-quality-gated drain equals the gated batch funnel") {
+    val table = freshTable("curated_adaptive")
+    StreamingCuration.curateToTable(spark, sf001, table,
+      adaptiveQualityPct = 10)
+    val (packed, funnel) = CurationPipeline.run(
+      spark, Tables(spark, sf001)("documents"), adaptiveQualityPct = 10)
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    // the gate actually gated
+    assert(f("adaptive_quality") < f("quality_gate"))
+    assert(spark.table(table).count() == f("domain_cap"))
+    val streamed = spark.table(table).filter("sampled")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
   test("uncapped drain matches the uncapped batch membership") {
     val table = freshTable("curated_uncapped")
     StreamingCuration.curateToTable(spark, sf001, table)
