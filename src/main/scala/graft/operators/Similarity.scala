@@ -120,6 +120,68 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Semi-hard negative mining for contrastive training (the band of
+    * Schroff et al. 2015 "FaceNet", the SBERT / SimCSE hard-negative
+    * recipe): for each query vector, the `k` highest-cosine
+    * OTHER-label candidates whose cosine lies in [loCos, hiCos) —
+    * close enough to be informative, but below the near-duplicate
+    * band that would poison training with false negatives (a near-dup
+    * of the query is almost surely a missed positive, not a negative).
+    * Same-label candidates are excluded outright: they are presumed
+    * positives under the contrastive labeling.
+    *
+    * Candidates come from the SAME SRP-LSH band index as [[srpTopK]]
+    * (reference scope: the capstone has no vector ops at all; this is
+    * the training-data extension surface) — the corpus shuffles once
+    * by (band_idx, band_key), never all-pairs, and pays exact cosine
+    * re-rank only on banded candidates, so at 100 TB mining cost is
+    * one banded equi-join per epoch. Ranking happens AFTER the band
+    * filter, so `rank` is dense over the in-band negatives.
+    *
+    * Output: (query_id, neighbor_id, cos, rank), rank 1 = hardest
+    * in-band negative.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int, dim: Int,
+                    loCos: Double, hiCos: Double,
+                    bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bits must split evenly into bands")
+    require(loCos < hiCos, "semi-hard band must be non-empty")
+    val r = bits / bands
+    val mask = (1 << r) - 1
+
+    def withBands(df: DataFrame, id: String, lab: String, vecOut: String,
+                  normOut: String): DataFrame = {
+      val sig = srpSignature(col(vecCol), bits, dim)
+      df.select(col(idCol).as(id), col(labelCol).as(lab),
+                toDoubleVec(col(vecCol)).as(vecOut), sig.as("sig"))
+        .withColumn(normOut, norm(col(vecOut)))
+        .select(col(id), col(lab), col(vecOut), col(normOut),
+                posexplode(array((0 until bands).map(b =>
+                  shiftright(col("sig"), b * r).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    }
+
+    val qb = withBands(queries, "query_id", "q_lab", "qv", "qn")
+    val cb = withBands(corpus, "neighbor_id", "c_lab", "cv", "cn")
+    val cand = qb.join(cb, Seq("band_idx", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+              col("q_lab") =!= col("c_lab"))
+      .select(col("query_id"), col("neighbor_id"),
+              col("qv"), col("cv"), col("qn"), col("cn"))
+      .distinct()
+    val cos = when(col("qn") * col("cn") === 0.0, 0.0)
+      .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .filter(col("cos") >= loCos && col("cos") < hiCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-probe SRP-LSH top-k: same index as [[srpTopK]] (the corpus
     * side is byte-identical — `bands` band keys per vector), but each
     * QUERY band additionally probes the `r` keys at Hamming distance 1

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Curriculum, MarginScoring, Similarity}
+
+/** Round-11 pack, part 2: the contrastive-training data loop — semi-hard
+  * negative mining over the SRP band index (q456 —
+  * [[graft.operators.Similarity.hardNegatives]]), ratio-margin bitext
+  * mining (q457 — [[graft.operators.MarginScoring]], Artetxe & Schwenk
+  * 2019), and deterministic curriculum interleaving (q458 —
+  * [[graft.operators.Curriculum.interleave]], RowIndexer-backed, no
+  * global window).
+  *
+  * Oracle discipline: q456 bakes the shared SRP hyperplane doubles into
+  * the SQL exactly like q30; q457's kNN legs are brute-force (the
+  * operator's algebra is index-agnostic, see MarginScoring scaladoc);
+  * q458 is all-integer arithmetic.
+  */
+object Extras71 extends QueryPack {
+
+  import OracleVec.{dotSql, normSql, hpList}
+
+  private val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("embeddings")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("documents")
+
+  // --------------------------------------------------------------- q456
+  /** SEMI-HARD NEGATIVES — for every 25th vector as anchor, the top-5
+    * other-label candidates with cosine in [0.1, 0.8), mined from the
+    * shared SRP band index (16 bits × 4 bands). The band filter runs
+    * BEFORE the rank, so rank 1 = hardest usable negative; near-dups
+    * (cos ≥ 0.8) never enter the negative pool. */
+  private def q456(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val anchors = all.filter(pmod(col("vec_id"), lit(25)) === 0)
+    Similarity.hardNegatives(all, anchors, "vec_id", "embedding", "label",
+                             k = 5, dim = Dim, loCos = 0.1, hiCos = 0.8)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q456Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (
+         SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, label, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM bands q JOIN bands c
+           ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+           AND q.label <> c.label),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           ${dotSql("eq.embedding", "ec.embedding")} /
+             (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = query_id
+         JOIN embeddings ec ON ec.vec_id = neighbor_id),
+       banded AS (SELECT * FROM scored WHERE cos >= 0.1e0 AND cos < 0.8e0),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM banded)
+       SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  // --------------------------------------------------------------- q457
+  /** MARGIN-MINED BITEXT — label 0 as the "source language" side, label
+    * 1 as the "target"; k=8 neighborhoods both directions, each src's
+    * best candidate by ratio margin, kept at margin ≥ 1.0 (closer than
+    * both endpoints' ambient neighborhood density). kNN legs are exact
+    * here (oracle-priced); at scale the same operator takes
+    * srpTopK/ivfTopK legs unchanged. */
+  private def q457(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val src = all.filter(col("label") === 0)
+    val tgt = all.filter(col("label") === 1)
+    val fwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 8)
+    val bwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 8)
+    MarginScoring.bestPairs(fwd, bwd, minMargin = 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  private val q457Sql: String = {
+    // kNN leg: queries from `qTab`, corpus from `cTab` (both CTEs below)
+    def knn(qTab: String, cTab: String) =
+      s"""SELECT query_id, neighbor_id, cos, rank FROM (
+           SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${dotSql("a.embedding", "b.embedding")} /
+                 (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+             FROM $qTab a, $cTab b WHERE a.vec_id <> b.vec_id))
+         WHERE rank <= 8"""
+    s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+       s1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+       fwd AS (${knn("s0", "s1")}),
+       bwd AS (${knn("s1", "s0")}),
+       fa AS (SELECT query_id, avg(cos) AS fwd_avg FROM fwd GROUP BY query_id),
+       ba AS (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM bwd GROUP BY query_id),
+       scored AS (
+         SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
+           round(fwd.cos, 6) AS cos,
+           round(fwd.cos / ((fa.fwd_avg + ba.bwd_avg) / 2.0), 6) AS margin
+         FROM fwd JOIN fa ON fa.query_id = fwd.query_id
+                  JOIN ba ON ba.neighbor_id = fwd.neighbor_id),
+       best AS (
+         SELECT src_id, tgt_id, cos, margin,
+           ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+         FROM scored)
+       SELECT src_id, tgt_id, cos, margin FROM best
+       WHERE rk = 1 AND margin >= 1.0e0 ORDER BY src_id"""
+  }
+
+  // --------------------------------------------------------------- q458
+  /** CURRICULUM INTERLEAVE — documents scheduled easy→hard by n_chars
+    * into 4 equi-depth tiers, round-robined so every training window
+    * sees all difficulty tiers. All-integer; the global index is the
+    * RowIndexer range-sort, not a one-partition window. */
+  private def q458(s: SparkSession, dir: String): DataFrame =
+    Curriculum.interleave(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", tiers = 4)
+      .select(col("doc_id"), col("tier"), col("pos"), col("ord"))
+      .orderBy(col("ord"))
+
+  private val q458Sql: String =
+    s"""WITH idx AS (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS idx,
+           COUNT(*) OVER () AS n
+         FROM documents),
+       t AS (SELECT doc_id, idx, n, (idx * 4) // n AS tier FROM idx),
+       p AS (SELECT doc_id, tier, idx - (tier * n + 3) // 4 AS pos FROM t)
+       SELECT doc_id, CAST(tier AS BIGINT) AS tier, CAST(pos AS BIGINT) AS pos,
+         CAST(pos * 4 + tier AS BIGINT) AS ord
+       FROM p ORDER BY ord"""
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q456_hard_negatives"      -> q456 _,
+    "q457_margin_bitext"       -> q457 _,
+    "q458_curriculum_interleave" -> q458 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q456_hard_negatives"      -> q456Sql,
+    "q457_margin_bitext"       -> q457Sql,
+    "q458_curriculum_interleave" -> q458Sql)
+}
