@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curriculum, MarginScoring, Similarity}
+import graft.functions.VectorFunctions
+import graft.operators.{Curriculum, IctPairs, MarginScoring, Similarity}
 
 /** Round-11 pack, part 2: the contrastive-training data loop — semi-hard
   * negative mining over the SRP band index (q456 —
@@ -155,13 +156,154 @@ object Extras71 extends QueryPack {
          CAST(pos * 4 + tier AS BIGINT) AS ord
        FROM p ORDER BY ord"""
 
+  // --------------------------------------------------------------- q459
+  /** ICT POSITIVE PAIRS — each document's held-out 32-token chunk as
+    * pseudo-query, the remainder as its positive context; digests +
+    * token counts only (the trainer's pair manifest). Held-out index
+    * is doc_id mod n_chunks — deterministic in both engines. */
+  private def q459(s: SparkSession, dir: String): DataFrame =
+    IctPairs.pairs(docs(s, dir), "doc_id", "text", chunkTokens = 32)
+      .orderBy(col("doc_id"))
+
+  private val q459Sql: String =
+    s"""WITH base AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         FROM documents),
+       ch AS MATERIALIZED (
+         SELECT doc_id, u.st // 32 AS chunk_idx,
+           len(toks[u.st + 1 : u.st + 32]) AS n_tokens,
+           array_to_string(toks[u.st + 1 : u.st + 32], ' ') AS chunk_text
+         FROM base,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), 32))
+             AS u(st)),
+       agg AS (
+         SELECT doc_id, count(*) AS n_chunks, sum(n_tokens) AS total_tokens
+         FROM ch GROUP BY doc_id),
+       q AS (
+         SELECT ch.doc_id, n_chunks, total_tokens,
+           md5(chunk_text) AS query_md5, ch.n_tokens AS query_tokens
+         FROM ch JOIN agg USING (doc_id)
+         WHERE chunk_idx = doc_id % n_chunks),
+       ctx AS (
+         SELECT ch.doc_id,
+           md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS ctx_md5
+         FROM ch JOIN agg USING (doc_id)
+         WHERE chunk_idx <> doc_id % n_chunks
+         GROUP BY ch.doc_id)
+       SELECT q.doc_id, n_chunks, CAST(q.doc_id % n_chunks AS BIGINT) AS q_idx,
+         query_md5, CAST(query_tokens AS BIGINT) AS query_tokens,
+         COALESCE(ctx_md5, md5('')) AS ctx_md5,
+         CAST(total_tokens - query_tokens AS BIGINT) AS ctx_tokens
+       FROM q LEFT JOIN ctx ON ctx.doc_id = q.doc_id
+       ORDER BY q.doc_id"""
+
+  // --------------------------------------------------------------- q460
+  /** TRAINING TRIPLETS — the assembled contrastive batch manifest:
+    * anchor (every 25th vector), positive = its top same-label
+    * neighbor (label-blocked exact join, the q31 blocking story), and
+    * negative = [[Similarity.hardNegatives]] rank 1 from the SRP band
+    * index. gap = pos_cos − neg_cos (both 6-dp first) is the quantity
+    * a triplet loss margins against. */
+  private def q460(s: SparkSession, dir: String): DataFrame = {
+    import VectorFunctions.{dot, norm, toDoubleVec}
+    val all = emb(s, dir)
+    val withN = all.select(col("vec_id"), col("label"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val anch = withN.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+              col("v").as("av"), col("nv").as("an"))
+    val cand = withN.select(col("vec_id").as("pos_id"), col("label"),
+                            col("v").as("cv"), col("nv").as("cn"))
+    val cosPos = when(col("an") * col("cn") === 0.0, 0.0)
+      .otherwise(dot(col("av"), col("cv")) / (col("an") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("pos_cos").desc, col("pos_id"))
+    val pos = cand.join(broadcast(anch),
+        col("label") === col("a_label") &&
+        col("pos_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), cosPos.as("pos_cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val anchors = all.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val neg = Similarity.hardNegatives(all, anchors, "vec_id", "embedding",
+        "label", k = 1, dim = Dim, loCos = 0.1, hiCos = 0.8)
+      .select(col("query_id").as("anchor_id"),
+              col("neighbor_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"),
+              round(col("pos_cos"), 6).as("pos_cos"),
+              col("neg_id"), round(col("neg_cos"), 6).as("neg_cos"),
+              round(round(col("pos_cos"), 6) - round(col("neg_cos"), 6), 6)
+                .as("gap"))
+      .orderBy(col("anchor_id"))
+  }
+
+  private val q460Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH pos AS (
+         SELECT anchor_id, pos_id, pos_cos FROM (
+           SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+             ${dotSql("a.embedding", "b.embedding")} /
+               (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS pos_cos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY ${dotSql("a.embedding", "b.embedding")} /
+                 (${normSql("a.embedding")} * ${normSql("b.embedding")}) DESC,
+                 b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           WHERE a.vec_id % 25 = 0)
+         WHERE rk = 1),
+       sigs AS (
+         SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, label, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS anchor_id, c.vec_id AS neg_id
+         FROM bands q JOIN bands c
+           ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+           AND q.label <> c.label),
+       scored AS (
+         SELECT anchor_id, neg_id,
+           ${dotSql("eq.embedding", "ec.embedding")} /
+             (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS neg_cos
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = anchor_id
+         JOIN embeddings ec ON ec.vec_id = neg_id),
+       neg AS (
+         SELECT anchor_id, neg_id, neg_cos FROM (
+           SELECT anchor_id, neg_id, neg_cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+               ORDER BY neg_cos DESC, neg_id) AS rk
+           FROM scored WHERE neg_cos >= 0.1e0 AND neg_cos < 0.8e0)
+         WHERE rk = 1)
+       SELECT pos.anchor_id, pos_id, round(pos_cos, 6) AS pos_cos,
+         neg_id, round(neg_cos, 6) AS neg_cos,
+         round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS gap
+       FROM pos JOIN neg ON neg.anchor_id = pos.anchor_id
+       ORDER BY pos.anchor_id"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
-    "q458_curriculum_interleave" -> q458 _)
+    "q458_curriculum_interleave" -> q458 _,
+    "q459_ict_pairs"           -> q459 _,
+    "q460_training_triplets"   -> q460 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
     "q457_margin_bitext"       -> q457Sql,
-    "q458_curriculum_interleave" -> q458Sql)
+    "q458_curriculum_interleave" -> q458Sql,
+    "q459_ict_pairs"           -> q459Sql,
+    "q460_training_triplets"   -> q460Sql)
 }

@@ -105,6 +105,31 @@ class ContrastiveMiningSpec extends GraftTestBase {
       .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("ICT pairs: held-out chunk is doc_id mod n_chunks, context is the rest") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: 10 tokens, chunkTokens=4 -> chunks [t1..t4][t5..t8][t9 t10],
+    // q_idx = 1 mod 3 = 1; doc 2: single chunk -> empty context
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = IctPairs.pairs(docs, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_chunks") == 3L && d1.getAs[Long]("q_idx") == 1L)
+    assert(d1.getAs[String]("query_md5") == md5hex("t5 t6 t7 t8"))
+    assert(d1.getAs[Long]("query_tokens") == 4L)
+    assert(d1.getAs[String]("ctx_md5") == md5hex("t1 t2 t3 t4 t9 t10"))
+    assert(d1.getAs[Long]("ctx_tokens") == 6L)
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_chunks") == 1L && d2.getAs[Long]("q_idx") == 0L)
+    assert(d2.getAs[String]("query_md5") == md5hex("a b c"))
+    assert(d2.getAs[String]("ctx_md5") == md5hex(""))
+    assert(d2.getAs[Long]("ctx_tokens") == 0L)
+  }
+
   test("curriculum interleave plans no Window operator") {
     val df = (1L to 100L).map(i => (i, i % 7)).toDF("doc_id", "difficulty")
     val plan = Curriculum.interleave(df, "doc_id", "difficulty", tiers = 4)
