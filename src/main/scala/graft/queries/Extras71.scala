@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{Curriculum, IctPairs, MarginScoring, Similarity}
+import graft.operators.{Curriculum, Dedup, IctPairs, MarginScoring, Similarity}
 
 /** Round-11 pack, part 2: the contrastive-training data loop — semi-hard
   * negative mining over the SRP band index (q456 —
@@ -293,17 +293,71 @@ object Extras71 extends QueryPack {
        ORDER BY pos.anchor_id"""
   }
 
+  // --------------------------------------------------------------- q461
+  /** DEDUP-METHOD AGREEMENT — the QA audit a curation team runs before
+    * trusting one near-dup method at scale: the minhash-LSH pair set
+    * (est-Jaccard ≥ 0.2) vs the simhash pair set (hamming ≤ 6) on the
+    * SAME sample (q26/q27's parameters exactly), reduced to set
+    * cardinalities, exclusive counts, and the Jaccard of the two PAIR
+    * SETS. Both legs are the banded/chunked md5 twins (oracle-priced;
+    * production runs the xxhash64 pipelines, q343/q344). One
+    * full-outer equi-join of two bounded pair relations — never
+    * corpus-sized. */
+  private def q461(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    val mh = Dedup.minhashDedupMd5(d, "doc_id", "text")
+      .select(col("id_a"), col("id_b")).withColumn("in_mh", lit(1))
+    val sh = Dedup.simhashDedupMd5(d, "doc_id", "text")
+      .select(col("id_a"), col("id_b")).withColumn("in_sh", lit(1))
+    mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_mh"), lit(0))).as("n_minhash"),
+        sum(coalesce(col("in_sh"), lit(0))).as("n_simhash"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1)
+          .otherwise(0)).as("n_both"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        (col("n_minhash") - col("n_both")).as("only_minhash"),
+        (col("n_simhash") - col("n_both")).as("only_simhash"),
+        round(col("n_both").cast("double") /
+          (col("n_minhash") + col("n_simhash") - col("n_both")), 6)
+          .as("pair_jaccard"))
+  }
+
+  private val q461Sql: String =
+    s"""WITH ${OracleSketch.minhashCtes("doc_id % 5 = 0")},
+       ${OracleSketch.simhashCtes("doc_id % 5 = 0")},
+       mh AS (SELECT id_a, id_b FROM mh_est WHERE e >= 0.2),
+       sh AS (SELECT id_a, id_b FROM sh_ham WHERE hamming <= 6),
+       u AS (
+         SELECT CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+                CASE WHEN sh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+         FROM mh FULL OUTER JOIN sh
+           ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b),
+       agg AS (
+         SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+                CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+                CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both
+         FROM u)
+       SELECT n_minhash, n_simhash, n_both,
+         n_minhash - n_both AS only_minhash,
+         n_simhash - n_both AS only_simhash,
+         round(CAST(n_both AS DOUBLE) /
+           (n_minhash + n_simhash - n_both), 6) AS pair_jaccard
+       FROM agg"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
     "q458_curriculum_interleave" -> q458 _,
     "q459_ict_pairs"           -> q459 _,
-    "q460_training_triplets"   -> q460 _)
+    "q460_training_triplets"   -> q460 _,
+    "q461_dedup_agreement"     -> q461 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
     "q457_margin_bitext"       -> q457Sql,
     "q458_curriculum_interleave" -> q458Sql,
     "q459_ict_pairs"           -> q459Sql,
-    "q460_training_triplets"   -> q460Sql)
+    "q460_training_triplets"   -> q460Sql,
+    "q461_dedup_agreement"     -> q461Sql)
 }

@@ -203,43 +203,11 @@ object Text extends QueryPack {
       .withColumn("est_jaccard", round(col("est_jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
-  private val q26Sql = {
-    val P = graft.functions.expressions.MinHashSignature.P
-    val sigList = (0 until 16)
-      .map { i =>
-        val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
-        s"list_min(list_transform(hx, x -> ($a * x + $b) % $P))"
-      }
-      .mkString("[", ", ", "]")
-    val agree = (1 to 16)
-      .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    val bandKey = (1 to 4)
-      .map(j => s"sig[4 * t.b + $j]::VARCHAR")
-      .mkString(" || ',' || ")
-    s"""WITH d AS (
-         SELECT doc_id,
-           list_transform(
-             list_distinct(list_transform(generate_series(1, length(text) - 4),
-               i -> substring(text, i, 5))),
-             s -> (('0x' || substr(md5(s), 1, 8))::BIGINT) % $P) AS hx
-         FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 5),
-       sigs AS (SELECT doc_id, $sigList AS sig FROM d),
-       bands AS (
-         SELECT doc_id, sig, t.b AS band_idx, $bandKey AS band_key
-         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
-       pairs AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.sig AS sig_a, b.sig AS sig_b
-         FROM bands a JOIN bands b
-           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id),
-       est AS (
-         SELECT id_a, id_b, ($agree) / 16.0 AS e
-         FROM pairs)
+  // CTE bodies shared with the q461 agreement audit — see OracleSketch.
+  private val q26Sql =
+    s"""WITH ${OracleSketch.minhashCtes("doc_id % 5 = 0")}
        SELECT id_a, id_b, round(e, 6) AS est_jaccard
-       FROM est WHERE e >= 0.2 ORDER BY id_a, id_b"""
-  }
+       FROM mh_est WHERE e >= 0.2 ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------- q27
   /** SimHash near-dup pairs through the FULL production pipeline
@@ -254,36 +222,11 @@ object Text extends QueryPack {
         docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  private val q27Sql = {
-    val votes = (0 until 32)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-      .mkString(", ")
-    val packed = (0 until 32)
-      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH tok AS (
-         SELECT doc_id,
-           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         FROM documents WHERE doc_id % 5 = 0),
-       h AS (
-         SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
-         FROM tok),
-       v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-       s AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM v),
-       chunks AS (
-         SELECT doc_id, simhash, t.i AS chunk_idx,
-           (simhash >> (8 * t.i)) & 255 AS chunk_key
-         FROM s, unnest(generate_series(0, 3)) AS t(i)),
-       pairs AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.simhash AS sa, b.simhash AS sb
-         FROM chunks a JOIN chunks b
-           ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
-              AND a.doc_id < b.doc_id)
-       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-       FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+  private val q27Sql =
+    s"""WITH ${OracleSketch.simhashCtes("doc_id % 5 = 0")}
+       SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+       FROM sh_ham WHERE hamming <= 6
        ORDER BY id_a, id_b"""
-  }
 
   // --------------------------------------------------------- q343/q344
   /** The PRODUCTION xxhash64 sketch pipelines, driver-benched on the
