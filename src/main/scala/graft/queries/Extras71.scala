@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
-import graft.operators.{Curriculum, Dedup, IctPairs, MarginScoring, Similarity}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Curriculum, Dedup, IctPairs, KmvDistinct, MarginScoring, Similarity}
 
 /** Round-11 pack, part 2: the contrastive-training data loop — semi-hard
   * negative mining over the SRP band index (q456 —
@@ -345,13 +345,75 @@ object Extras71 extends QueryPack {
            (n_minhash + n_simhash - n_both), 6) AS pair_jaccard
        FROM agg"""
 
+  // --------------------------------------------------------------- q462
+  /** SOURCE-OVERLAP MATRIX via KMV set operations — est union /
+    * intersection / Jaccard of every source pair's token VOCABULARY
+    * from k=128 bottom-hash sketches: the cross-source duplication
+    * triage a 100 TB curation run does WITHOUT any pair join on the
+    * data (one corpus pass builds 128-row sketches; the 190-pair
+    * matrix runs on those). Deterministic md5-uniform hashes, so both
+    * engines replay the estimator bit-for-bit. */
+  private def q462(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    KmvDistinct.overlapEstimate(toks, "source", col("tok"),
+        k = 128, salt = "kmvset")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q462Sql: String =
+    s"""WITH d AS (
+         SELECT DISTINCT g,
+           ('0x' || substr(md5(tok || '-kmvset'), 1, 8))::BIGINT
+             / 4294967296.0 AS h
+         FROM (SELECT source AS g,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+               FROM documents)),
+       sk AS MATERIALIZED (
+         SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+           FROM d)
+         WHERE r <= 128),
+       gs AS (SELECT DISTINCT g FROM sk),
+       pr AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g),
+       ph AS (
+         SELECT ga, gb, h, max(a) AS in_a, max(b) AS in_b FROM (
+           SELECT pr.ga, pr.gb, sk.h, 1 AS a, 0 AS b
+           FROM pr JOIN sk ON sk.g = pr.ga
+           UNION ALL
+           SELECT pr.ga, pr.gb, sk.h, 0 AS a, 1 AS b
+           FROM pr JOIN sk ON sk.g = pr.gb)
+         GROUP BY ga, gb, h),
+       agg AS (
+         SELECT ga, gb, count(*) AS n_kept,
+           max(CASE WHEN r = 128 THEN h END) AS hk,
+           sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_common
+         FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+               FROM ph)
+         WHERE r <= 128 GROUP BY ga, gb),
+       est AS (
+         SELECT ga, gb, n_kept, n_common,
+           CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                ELSE 127.0 / hk END AS eu,
+           CAST(n_common AS DOUBLE) /
+             (CASE WHEN n_kept < 128 THEN n_kept ELSE 128 END) AS jac
+         FROM agg)
+       SELECT ga AS src_a, gb AS src_b,
+         CAST(n_kept AS BIGINT) AS n_union_kept,
+         CAST(n_common AS BIGINT) AS n_common,
+         round(eu, 4) AS est_union,
+         round(jac, 6) AS est_jaccard,
+         round(jac * eu, 4) AS est_intersection
+       FROM est ORDER BY src_a, src_b"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
     "q458_curriculum_interleave" -> q458 _,
     "q459_ict_pairs"           -> q459 _,
     "q460_training_triplets"   -> q460 _,
-    "q461_dedup_agreement"     -> q461 _)
+    "q461_dedup_agreement"     -> q461 _,
+    "q462_kmv_overlap"         -> q462 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -359,5 +421,6 @@ object Extras71 extends QueryPack {
     "q458_curriculum_interleave" -> q458Sql,
     "q459_ict_pairs"           -> q459Sql,
     "q460_training_triplets"   -> q460Sql,
-    "q461_dedup_agreement"     -> q461Sql)
+    "q461_dedup_agreement"     -> q461Sql,
+    "q462_kmv_overlap"         -> q462Sql)
 }

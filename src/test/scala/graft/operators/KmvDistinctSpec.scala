@@ -35,4 +35,43 @@ class KmvDistinctSpec extends GraftTestBase {
       .sortBy(_._1).toSeq
     assert(run(2) == run(13))
   }
+
+  test("overlapEstimate is exact below k and symmetric in the pair") {
+    // X = {1,2,3,4}, Y = {3,4,5,6}: union 6, intersection 2
+    val df = (Seq(1, 2, 3, 4).map(("x", _)) ++ Seq(3, 4, 5, 6).map(("y", _)))
+      .toDF("g", "v")
+    val out = KmvDistinct.overlapEstimate(df, "g", col("v"), k = 16, salt = "s")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getAs[Long]("n_union_kept") == 6L)
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Double]("est_union") == 6.0)
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 2.0 / 6) < 1e-6)
+    assert(r.getAs[Double]("est_intersection") == 2.0)
+  }
+
+  test("overlapEstimate above k: sane estimates for a planted 50% overlap") {
+    val k = 64
+    // A = 1..2000, B = 1001..3000: union 3000, inter 1000, J = 1/3
+    val df = ((1 to 2000).map(("a", _)) ++ (1001 to 3000).map(("b", _)))
+      .toDF("g", "v")
+    val r = KmvDistinct.overlapEstimate(df, "g", col("v"), k, salt = "s")
+      .collect().head
+    val eu = r.getAs[Double]("est_union")
+    val jac = r.getAs[Double]("est_jaccard")
+    assert(math.abs(eu - 3000) / 3000 <= 3.0 / math.sqrt(k), s"union est $eu")
+    assert(jac > 0.1 && jac < 0.6, s"jaccard est $jac for true 0.333")
+    // intersection estimate is exactly jac * union by construction
+    assert(math.abs(r.getAs[Double]("est_intersection") - jac * eu) <= 5e-4)
+  }
+
+  test("overlapEstimate covers every unordered pair once") {
+    val df = (1 to 300).map(i => (s"g${i % 4}", i)).toDF("g", "v")
+    val pairs = KmvDistinct.overlapEstimate(df, "g", col("v"), k = 8, salt = "s")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.length == 6 && pairs.distinct.length == 6)
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
 }
