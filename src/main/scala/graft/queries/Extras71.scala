@@ -406,6 +406,117 @@ object Extras71 extends QueryPack {
          round(jac * eu, 4) AS est_intersection
        FROM est ORDER BY src_a, src_b"""
 
+  // --------------------------------------------------------------- q463
+  /** MARGIN BITEXT, PRODUCTION PATH — q457's exact algebra with the
+    * kNN legs swapped for the SRP band index (the q343/q344 pattern:
+    * bench the 100 TB shape, oracle it fully — SRP is SQL-replayable
+    * via the baked hyperplanes, unlike xxhash64). Candidates come from
+    * banded equi-joins both directions; neighborhood averages are over
+    * whatever the index surfaced, exactly as a production miner's
+    * would be. */
+  private def q463(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val src = all.filter(col("label") === 0)
+    val tgt = all.filter(col("label") === 1)
+    val fwd = Similarity.srpTopK(tgt, src, "vec_id", "embedding",
+      k = 8, dim = Dim)
+    val bwd = Similarity.srpTopK(src, tgt, "vec_id", "embedding",
+      k = 8, dim = Dim)
+    MarginScoring.bestPairs(fwd, bwd, minMargin = 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  private val q463Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sigExpr = OracleVec.sigExprSql(bits)
+    // kNN leg over the band index: queries from `qTab`, corpus `cTab`
+    def knn(qTab: String, cTab: String) =
+      s"""SELECT query_id, neighbor_id, cos, rank FROM (
+           SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT cand.query_id, cand.neighbor_id,
+               ${dotSql("eq.embedding", "ec.embedding")} /
+                 (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+             FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM ${qTab}_bands q JOIN ${cTab}_bands c
+                     ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+                   WHERE q.vec_id <> c.vec_id) cand
+             JOIN embeddings eq ON eq.vec_id = cand.query_id
+             JOIN embeddings ec ON ec.vec_id = cand.neighbor_id))
+         WHERE rank <= 8"""
+    def bandsCte(tab: String, label: Int) =
+      s"""${tab}_sigs AS (
+           SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig
+           FROM embeddings WHERE label = $label),
+         ${tab}_bands AS (
+           SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+           FROM ${tab}_sigs, unnest(generate_series(0, ${bands - 1})) AS t(b))"""
+    s"""WITH ${bandsCte("s0", 0)},
+       ${bandsCte("s1", 1)},
+       fwd AS (${knn("s0", "s1")}),
+       bwd AS (${knn("s1", "s0")}),
+       fa AS (SELECT query_id, avg(cos) AS fwd_avg FROM fwd GROUP BY query_id),
+       ba AS (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM bwd GROUP BY query_id),
+       scored AS (
+         SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
+           round(fwd.cos, 6) AS cos,
+           round(fwd.cos / ((fa.fwd_avg + ba.bwd_avg) / 2.0), 6) AS margin
+         FROM fwd JOIN fa ON fa.query_id = fwd.query_id
+                  JOIN ba ON ba.neighbor_id = fwd.neighbor_id),
+       best AS (
+         SELECT src_id, tgt_id, cos, margin,
+           ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+         FROM scored)
+       SELECT src_id, tgt_id, cos, margin FROM best
+       WHERE rk = 1 AND margin >= 1.0e0 ORDER BY src_id"""
+  }
+
+  // --------------------------------------------------------------- q464
+  /** HUBNESS AUDIT — the reverse-kNN degree histogram that motivates
+    * margin normalization (Radovanović et al. 2010: in high dimension
+    * a few "hub" vectors appear in a disproportionate share of top-k
+    * lists, inflating raw-cosine mining). Every 10th vector queries
+    * exact top-5; each corpus vector's reverse degree = how many
+    * top-5 lists it lands in (0 included via the corpus join);
+    * output: degree → vector count. */
+  private def q464(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val queries = all.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val hits = Similarity.bruteForceTopK(all, queries, "vec_id", "embedding", k = 5)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("deg"))
+    all.select(col("vec_id").as("neighbor_id"))
+      .join(hits, Seq("neighbor_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("reverse_degree"))
+      .groupBy(col("reverse_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("reverse_degree"))
+  }
+
+  private val q464Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           ${dotSql("qv", "cv")} / (${normSql("qv")} * ${normSql("cv")}) AS cos
+         FROM c JOIN q ON query_id <> neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored),
+       hits AS (
+         SELECT neighbor_id, count(*) AS deg
+         FROM ranked WHERE rank <= 5 GROUP BY neighbor_id),
+       degs AS (
+         SELECT COALESCE(deg, 0) AS reverse_degree
+         FROM embeddings e LEFT JOIN hits ON hits.neighbor_id = e.vec_id)
+       SELECT CAST(reverse_degree AS BIGINT) AS reverse_degree,
+         count(*) AS n_vectors
+       FROM degs GROUP BY reverse_degree ORDER BY reverse_degree"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -413,7 +524,9 @@ object Extras71 extends QueryPack {
     "q459_ict_pairs"           -> q459 _,
     "q460_training_triplets"   -> q460 _,
     "q461_dedup_agreement"     -> q461 _,
-    "q462_kmv_overlap"         -> q462 _)
+    "q462_kmv_overlap"         -> q462 _,
+    "q463_margin_bitext_srp"   -> q463 _,
+    "q464_hubness_audit"       -> q464 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -422,5 +535,7 @@ object Extras71 extends QueryPack {
     "q459_ict_pairs"           -> q459Sql,
     "q460_training_triplets"   -> q460Sql,
     "q461_dedup_agreement"     -> q461Sql,
-    "q462_kmv_overlap"         -> q462Sql)
+    "q462_kmv_overlap"         -> q462Sql,
+    "q463_margin_bitext_srp"   -> q463Sql,
+    "q464_hubness_audit"       -> q464Sql)
 }

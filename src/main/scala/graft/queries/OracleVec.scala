@@ -39,4 +39,13 @@ private[queries] object OracleVec {
     graft.operators.Similarity.hyperplane(bit, dim)
       .map(doubleLit)
       .mkString("[", ", ", "]")
+
+  /** The packed SRP signature of `vecCol` as one SQL expression —
+    * DuckDB twin of [[graft.operators.Similarity.srpSignature]] (bit b
+    * set iff v·hyperplane_b > 0). Callers CAST the sum to BIGINT. */
+  def sigExprSql(bits: Int, vecCol: String = "embedding",
+                 dim: Int = 64): String =
+    (0 until bits)
+      .map(b => s"CASE WHEN ${dotSql(vecCol, s"(${hpList(b, dim)})")} > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
 }
