@@ -352,7 +352,9 @@ object Extras71 extends QueryPack {
     * triage a 100 TB curation run does WITHOUT any pair join on the
     * data (one corpus pass builds 128-row sketches; the 190-pair
     * matrix runs on those). Deterministic md5-uniform hashes, so both
-    * engines replay the estimator bit-for-bit. */
+    * engines replay the estimator bit-for-bit. Generalizes q361's
+    * one-pair inclusion-exclusion set algebra (Extras55) to the full
+    * G×G matrix with the union-sketch ρ estimator, as an operator. */
   private def q462(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir).select(col("source"),
       explode(TextFunctions.tokens(col("text"))).as("tok"))

@@ -392,4 +392,25 @@ class PlanShapeSpec extends GraftTestBase {
     assert(globalWinds.forall(w => bcastSub.exists(_ eq w)),
       "a corpus-sized global window escaped the broadcast allocation branch")
   }
+
+  test("round-11 contrastive/overlap queries hold their plan shapes") {
+    // q456: SRP-banded negative mining — candidates come from the band
+    // equi-join, never a nested-loop/cartesian pair enumeration.
+    val p456 = plan("q456_hard_negatives")
+    assert(p456.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty
+        && p456.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q456 planned an all-pairs join")
+    // q462: the pair matrix runs on k-row sketches; the only
+    // corpus-sized exchanges are the (g,h) distinct + sketch window.
+    // Ceiling: distinct + window + pair-side joins + groupBys + sort.
+    val p462 = plan("q462_kmv_overlap")
+    assert(shuffles(p462) <= 12, s"q462 saw ${shuffles(p462)}")
+    // q463: both kNN legs are banded equi-joins — same no-all-pairs
+    // contract as q456 (q457's brute legs are the DOCUMENTED exact
+    // baseline, like q29, and are excluded on purpose).
+    val p463 = plan("q463_margin_bitext_srp")
+    assert(p463.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty
+        && p463.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q463 planned an all-pairs join")
+  }
 }
