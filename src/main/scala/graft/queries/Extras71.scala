@@ -519,6 +519,56 @@ object Extras71 extends QueryPack {
          count(*) AS n_vectors
        FROM degs GROUP BY reverse_degree ORDER BY reverse_degree"""
 
+  // --------------------------------------------------------------- q465
+  /** PREFERENCE PAIRS FROM NEAR-DUP FAMILIES — the DPO/RLHF data-prep
+    * move hiding inside dedup: a near-duplicate pair is two drafts of
+    * the same content, so (higher-quality, lower-quality) is a free
+    * preference pair with a built-in "same topic" control. Pairs come
+    * from the q26 minhash relation; quality is the type-token ratio
+    * (the adaptive gate's signal); chosen = higher TTR, smaller id on
+    * exact ties. ttr_delta is the preference margin a trainer would
+    * weight by. */
+  private def q465(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.typeTokenRatio
+    val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pairs = Dedup.minhashDedupMd5(d, "doc_id", "text")
+    val ttr = d.select(col("doc_id"), typeTokenRatio(col("text")).as("ttr"))
+    pairs
+      .join(ttr.select(col("doc_id").as("id_a"), col("ttr").as("ttr_a")), "id_a")
+      .join(ttr.select(col("doc_id").as("id_b"), col("ttr").as("ttr_b")), "id_b")
+      .select(
+        when(col("ttr_a") >= col("ttr_b"), col("id_a")).otherwise(col("id_b"))
+          .as("chosen_id"),
+        when(col("ttr_a") >= col("ttr_b"), col("id_b")).otherwise(col("id_a"))
+          .as("rejected_id"),
+        round(greatest(col("ttr_a"), col("ttr_b")), 6).as("chosen_ttr"),
+        round(least(col("ttr_a"), col("ttr_b")), 6).as("rejected_ttr"),
+        round(abs(col("ttr_a") - col("ttr_b")), 6).as("ttr_delta"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy(col("chosen_id"), col("rejected_id"))
+  }
+
+  private val q465Sql: String =
+    s"""WITH ${OracleSketch.minhashCtes("doc_id % 5 = 0")},
+       pairs AS (SELECT id_a, id_b, e FROM mh_est WHERE e >= 0.2),
+       ttr AS (
+         SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents WHERE doc_id % 5 = 0))
+       SELECT
+         CASE WHEN a.ttr >= b.ttr THEN id_a ELSE id_b END AS chosen_id,
+         CASE WHEN a.ttr >= b.ttr THEN id_b ELSE id_a END AS rejected_id,
+         round(greatest(a.ttr, b.ttr), 6) AS chosen_ttr,
+         round(least(a.ttr, b.ttr), 6) AS rejected_ttr,
+         round(abs(a.ttr - b.ttr), 6) AS ttr_delta,
+         round(e, 6) AS est_jaccard
+       FROM pairs
+       JOIN ttr a ON a.doc_id = id_a
+       JOIN ttr b ON b.doc_id = id_b
+       ORDER BY chosen_id, rejected_id"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -528,7 +578,8 @@ object Extras71 extends QueryPack {
     "q461_dedup_agreement"     -> q461 _,
     "q462_kmv_overlap"         -> q462 _,
     "q463_margin_bitext_srp"   -> q463 _,
-    "q464_hubness_audit"       -> q464 _)
+    "q464_hubness_audit"       -> q464 _,
+    "q465_preference_pairs"    -> q465 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -539,5 +590,6 @@ object Extras71 extends QueryPack {
     "q461_dedup_agreement"     -> q461Sql,
     "q462_kmv_overlap"         -> q462Sql,
     "q463_margin_bitext_srp"   -> q463Sql,
-    "q464_hubness_audit"       -> q464Sql)
+    "q464_hubness_audit"       -> q464Sql,
+    "q465_preference_pairs"    -> q465Sql)
 }
