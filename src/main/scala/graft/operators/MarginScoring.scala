@@ -78,4 +78,23 @@ object MarginScoring {
       .filter(col("rk") === 1 && col("margin") >= minMargin)
       .drop("rk")
   }
+
+  /** The INTERSECTION mining strategy (Artetxe & Schwenk §3.2): keep a
+    * pair only when each side is the other's margin-best — src's best
+    * tgt AND tgt's best src. Strictest of the published strategies
+    * (highest precision, used when the downstream trainer can't absorb
+    * mis-alignments). Both directions use the same rounded-margin /
+    * id tie-break as [[bestPairs]], so mutuality is engine-exact.
+    *
+    * Each leg scores its own forward relation: src→tgt margins come
+    * from (fwd, bwd), tgt→src margins from (bwd, fwd) — the SAME two
+    * kNN inputs, no extra index work.
+    */
+  def mutualPairs(fwd: DataFrame, bwd: DataFrame,
+                  minMargin: Double): DataFrame = {
+    val srcBest = bestPairs(fwd, bwd, minMargin)
+    val tgtBest = bestPairs(bwd, fwd, minMargin)
+      .select(col("src_id").as("tgt_id"), col("tgt_id").as("src_id"))
+    srcBest.join(tgtBest, Seq("src_id", "tgt_id"))
+  }
 }

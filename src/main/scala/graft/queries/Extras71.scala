@@ -569,6 +569,60 @@ object Extras71 extends QueryPack {
        JOIN ttr b ON b.doc_id = id_b
        ORDER BY chosen_id, rejected_id"""
 
+  // --------------------------------------------------------------- q466
+  /** MUTUAL-BEST BITEXT (the "intersection" strategy, Artetxe &
+    * Schwenk §3.2) — a pair survives only when each endpoint is the
+    * other's margin-best; strictest published strategy, highest
+    * precision. Same exact kNN legs as q457; the tgt→src legs swap
+    * roles, no extra index work. */
+  private def q466(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val src = all.filter(col("label") === 0)
+    val tgt = all.filter(col("label") === 1)
+    val fwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 8)
+    val bwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 8)
+    MarginScoring.mutualPairs(fwd, bwd, minMargin = 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  private val q466Sql: String = {
+    def knn(qTab: String, cTab: String) =
+      s"""SELECT query_id, neighbor_id, cos, rank FROM (
+           SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${dotSql("a.embedding", "b.embedding")} /
+                 (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+             FROM $qTab a, $cTab b WHERE a.vec_id <> b.vec_id))
+         WHERE rank <= 8"""
+    // margin-best of `dir` (the forward relation) normalized by both
+    // neighborhoods; identical algebra to q457's best CTE
+    def best(fw: String, bw: String) =
+      s"""SELECT src_id, tgt_id, cos, margin FROM (
+           SELECT src_id, tgt_id, cos, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+           FROM (
+             SELECT $fw.query_id AS src_id, $fw.neighbor_id AS tgt_id,
+               round($fw.cos, 6) AS cos,
+               round($fw.cos / ((fa.fwd_avg + ba.bwd_avg) / 2.0), 6) AS margin
+             FROM $fw
+             JOIN (SELECT query_id, avg(cos) AS fwd_avg FROM $fw GROUP BY query_id) fa
+               ON fa.query_id = $fw.query_id
+             JOIN (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM $bw GROUP BY query_id) ba
+               ON ba.neighbor_id = $fw.neighbor_id))
+         WHERE rk = 1 AND margin >= 1.0e0"""
+    s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+       s1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+       fwd AS MATERIALIZED (${knn("s0", "s1")}),
+       bwd AS MATERIALIZED (${knn("s1", "s0")}),
+       sb AS (${best("fwd", "bwd")}),
+       tb AS (${best("bwd", "fwd")})
+       SELECT sb.src_id, sb.tgt_id, sb.cos, sb.margin
+       FROM sb JOIN tb ON tb.src_id = sb.tgt_id AND tb.tgt_id = sb.src_id
+       ORDER BY sb.src_id"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -579,7 +633,8 @@ object Extras71 extends QueryPack {
     "q462_kmv_overlap"         -> q462 _,
     "q463_margin_bitext_srp"   -> q463 _,
     "q464_hubness_audit"       -> q464 _,
-    "q465_preference_pairs"    -> q465 _)
+    "q465_preference_pairs"    -> q465 _,
+    "q466_mutual_bitext"       -> q466 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -591,5 +646,6 @@ object Extras71 extends QueryPack {
     "q462_kmv_overlap"         -> q462Sql,
     "q463_margin_bitext_srp"   -> q463Sql,
     "q464_hubness_audit"       -> q464Sql,
-    "q465_preference_pairs"    -> q465Sql)
+    "q465_preference_pairs"    -> q465Sql,
+    "q466_mutual_bitext"       -> q466Sql)
 }

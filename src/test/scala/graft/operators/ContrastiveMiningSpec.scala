@@ -79,6 +79,13 @@ class ContrastiveMiningSpec extends GraftTestBase {
     assert(best.length == 1 && best(0).getLong(1) == 200L)
     val none = MarginScoring.bestPairs(fwd, bwd, minMargin = 1.3).collect()
     assert(none.isEmpty)
+    // mutual (intersection) strategy: (100, 200) is both 100's best tgt
+    // and 200's best src -> survives; the threshold still gates it
+    val mutual = MarginScoring.mutualPairs(fwd, bwd, minMargin = 0.95)
+      .collect()
+    assert(mutual.length == 1 &&
+      mutual(0).getLong(0) == 100L && mutual(0).getLong(1) == 200L)
+    assert(MarginScoring.mutualPairs(fwd, bwd, minMargin = 1.3).collect().isEmpty)
   }
 
   test("curriculum interleave: equi-depth tiers, strict round-robin order") {
