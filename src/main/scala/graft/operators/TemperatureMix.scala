@@ -79,6 +79,45 @@ object TemperatureMix {
         (col("__fq") + col("__bonus")).as("alloc"))
   }
 
+  /** Per-group variant of [[allocate]]: one INDEPENDENT largest-
+    * remainder allocation per `groupCol` value — the shape of a
+    * source-holdout ablation manifest (S what-if mixes planned in one
+    * DataFrame instead of S driver loops) or per-snapshot re-mixes.
+    * Same IEEE-exact weight tree; the weight total folds in ascending
+    * key order WITHIN each group; remainder ranking and the extras
+    * count are per-group windows. Each group's allocations sum to
+    * exactly `budget`.
+    *
+    * Scale shape: the input is (groups × keys) rows — both bounded by
+    * definition (sources, snapshots); all windows partition by the
+    * group key. */
+  def allocateGrouped(counts: DataFrame, groupCol: String, keyCol: String,
+                      nCol: String, budget: Long,
+                      alphaQuarters: Int): DataFrame = {
+    val base = counts.select(col(groupCol), col(keyCol),
+      col(nCol).cast("long").as("n"))
+    val w = weightExpr(col("n"), alphaQuarters)
+    val weighted = base.withColumn("__w", w)
+    val tot = weighted.groupBy(col(groupCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(keyCol).as("k"), col("__w").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("__tw"))
+    val quota = weighted.join(tot, Seq(groupCol))
+      .withColumn("__q", lit(budget.toDouble) * col("__w") / col("__tw"))
+      .withColumn("__fq", floor(col("__q")).cast("long"))
+      .withColumn("__rem", col("__q") - col("__fq"))
+    val wRem = Window.partitionBy(col(groupCol))
+      .orderBy(col("__rem").desc, col(keyCol))
+    quota
+      .withColumn("__extras", lit(budget) - sum("__fq").over(
+        Window.partitionBy(col(groupCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__bonus",
+        when(row_number().over(wRem) <= col("__extras"), 1L).otherwise(0L))
+      .select(col(groupCol), col(keyCol), col("n"),
+        (col("__fq") + col("__bonus")).as("alloc"))
+  }
+
   /** EXECUTE an allocation: the budget-exact temperature-mixed sample
     * itself. Each source bucket's rows rank in the deterministic
     * md5-hash order (q76's sampling hash used as a RANK rather than a

@@ -623,6 +623,58 @@ object Extras71 extends QueryPack {
        ORDER BY sb.src_id"""
   }
 
+  // --------------------------------------------------------------- q467
+  /** SOURCE-HOLDOUT ABLATION MANIFESTS — the data-ablation prep a
+    * mixture study runs before committing a recipe: for EVERY source
+    * held out, re-apportion the same 10000-unit budget over the
+    * remaining sources at α = 1/2
+    * ([[graft.operators.TemperatureMix.allocateGrouped]] — S
+    * independent largest-remainder allocations in one plan). Each
+    * holdout's column sums to exactly 10000; weights are the
+    * IEEE-exact n^(1/2) tree, so the oracle replays every quota. */
+  private def q467(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemperatureMix
+    val cnt = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // read twice: holdout list × remaining sources
+    val hx = cnt.select(col("source").as("holdout"))
+      .join(cnt, col("source") =!= col("holdout"))
+    TemperatureMix.allocateGrouped(hx, "holdout", "source", "n_docs",
+        budget = 10000L, alphaQuarters = 2)
+      .select(col("holdout"), col("source"), col("n").as("n_docs"),
+              col("alloc"))
+      .orderBy(col("holdout"), col("source"))
+  }
+
+  private val q467Sql: String = {
+    val root = "sqrt(sqrt(CAST(n AS DOUBLE)))"
+    val wExpr = s"1.0 * $root * $root"
+    s"""WITH cnt AS MATERIALIZED (
+         SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       hx AS (
+         SELECT h.source AS holdout, c.source AS src, c.n
+         FROM cnt h JOIN cnt c ON c.source <> h.source),
+       tw AS (
+         SELECT holdout, list_sum(list_transform(
+           list({'k': src, 'w': $wExpr} ORDER BY src), e -> e.w)) AS tw
+         FROM hx GROUP BY holdout),
+       q AS (
+         SELECT hx.holdout, hx.src, hx.n,
+           CAST(floor(10000.0 * ($wExpr) / tw) AS BIGINT) AS fq,
+           10000.0 * ($wExpr) / tw
+             - floor(10000.0 * ($wExpr) / tw) AS rem
+         FROM hx JOIN tw USING (holdout)),
+       a AS (
+         SELECT holdout, src, n,
+           fq + CASE WHEN row_number() OVER (PARTITION BY holdout ORDER BY rem DESC, src)
+                       <= 10000 - sum(fq) OVER (PARTITION BY holdout)
+                     THEN 1 ELSE 0 END AS alloc
+         FROM q)
+       SELECT holdout, src AS source, CAST(n AS BIGINT) AS n_docs,
+         CAST(alloc AS BIGINT) AS alloc
+       FROM a ORDER BY holdout, source"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -634,7 +686,8 @@ object Extras71 extends QueryPack {
     "q463_margin_bitext_srp"   -> q463 _,
     "q464_hubness_audit"       -> q464 _,
     "q465_preference_pairs"    -> q465 _,
-    "q466_mutual_bitext"       -> q466 _)
+    "q466_mutual_bitext"       -> q466 _,
+    "q467_ablation_mixes"      -> q467 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -647,5 +700,6 @@ object Extras71 extends QueryPack {
     "q463_margin_bitext_srp"   -> q463Sql,
     "q464_hubness_audit"       -> q464Sql,
     "q465_preference_pairs"    -> q465Sql,
-    "q466_mutual_bitext"       -> q466Sql)
+    "q466_mutual_bitext"       -> q466Sql,
+    "q467_ablation_mixes"      -> q467Sql)
 }

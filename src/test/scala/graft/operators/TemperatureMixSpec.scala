@@ -30,6 +30,29 @@ class TemperatureMixSpec extends GraftTestBase {
       Map("big" -> 3L, "mid" -> 3L, "small" -> 2L, "tiny" -> 2L))
   }
 
+  test("allocateGrouped = one independent allocation per group, budget-exact") {
+    val grouped = Seq(
+      ("h1", "big", 8000L), ("h1", "mid", 1500L), ("h1", "small", 400L),
+      ("h2", "big", 8000L), ("h2", "tiny", 100L))
+      .toDF("holdout", "src", "n")
+    val got = TemperatureMix
+      .allocateGrouped(grouped, "holdout", "src", "n", 1000L, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    // each group sums to exactly the budget
+    assert(got.filter(_._1._1 == "h1").values.sum == 1000L)
+    assert(got.filter(_._1._1 == "h2").values.sum == 1000L)
+    // and each group matches the single-frame allocate() run bit-for-bit
+    for (h <- Seq("h1", "h2")) {
+      val solo = TemperatureMix.allocate(
+          grouped.filter($"holdout" === h).select($"src", $"n"),
+          "src", "n", 1000L, 2)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val slice = got.collect { case ((g, k), a) if g == h => k -> a }.toMap
+      assert(slice == solo, s"group $h diverged: $slice vs $solo")
+    }
+  }
+
   test("allocations always sum to exactly the budget") {
     for (q <- Seq(0, 1, 2, 3, 4, 5); b <- Seq(1L, 7L, 997L, 10000L)) {
       val m = allocMap(q, b)
