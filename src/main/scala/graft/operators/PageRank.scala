@@ -78,6 +78,54 @@ object PageRank {
     out
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002; the seed-propagation move
+    * behind link-graph quality scoring à la "trusted seeds" curation):
+    * the teleport mass lands only on the `seeds` set —
+    *
+    *   pr_0(n)     = tp(n)
+    *   pr_{k+1}(n) = (1−d)·tp(n) + d·Σ_{m→n} pr_k(m)/outdeg(m)
+    *
+    * with tp(n) = 1/|S| on seeds, 0 elsewhere — so rank measures
+    * proximity to the seed set, not global centrality. Same loop
+    * shape, cadence, and eager contract as [[run]]; the single driver
+    * scalar is |S| (the seed list is caller-curated and bounded by
+    * definition). Returns (node, rank).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val sd = seeds.select(col("node")).distinct().cache()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val tp = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+          .as("tp"))
+      .localCheckpoint()
+
+    var ranks = tp.select(col("node"), col("tp").as("rank"))
+    for (it <- 1 to iters) {
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum("c").as("in_mass"))
+      ranks = tp
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tp") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist(); sd.unpersist()
+    out
+  }
+
   /** WEIGHTED PageRank over (src, dst, weight): mass flows along each
     * edge in proportion to its weight share of the source's total
     * out-weight — pr_{k+1}(n) = (1−d) + d·Σ_{m→n} pr_k(m)·w(m,n)/W(m).

@@ -675,6 +675,64 @@ object Extras71 extends QueryPack {
        FROM a ORDER BY holdout, source"""
   }
 
+  // --------------------------------------------------------------- q468
+  /** PERSONALIZED PAGERANK from trusted seeds (Haveliwala 2002 — the
+    * link-graph quality-propagation move in crawl curation: score
+    * everything by proximity to a hand-trusted seed set, not global
+    * centrality). Seeds = every 5th nation on the q133 trade graph;
+    * five unrolled iterations so the oracle spells the same CTE chain
+    * with the teleport vector threaded through pr0 and every step. */
+  private def q468(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    val t = Tables(s, dir)
+    val edges = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    val seeds = t("nation")
+      .filter(pmod(col("n_nationkey"), lit(5)) === 0)
+      .select(col("n_nationkey").as("node"))
+    PageRank.personalized(edges, seeds, iters = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val q468Sql: String = {
+    val base =
+      """WITH e AS (
+           SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         sd AS (SELECT n_nationkey AS node FROM nation WHERE n_nationkey % 5 = 0),
+         ns AS (SELECT count(*)::DOUBLE AS n FROM sd),
+         tp AS MATERIALIZED (
+           SELECT nodes.node,
+             CASE WHEN sd.node IS NOT NULL THEN 1.0::DOUBLE / ns.n
+                  ELSE 0.0::DOUBLE END AS tp
+           FROM nodes LEFT JOIN sd ON sd.node = nodes.node CROSS JOIN ns),
+         pr0 AS (SELECT node, tp AS rank FROM tp)"""
+    val iters = (1 to 5).map { k =>
+      s""",
+         pr$k AS (
+           SELECT t.node,
+                  (1.0::DOUBLE - 0.85::DOUBLE) * t.tp
+                  + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
+           FROM tp t LEFT JOIN (
+             SELECT e.dst AS node, sum(p.rank / od.outdeg) AS mass
+             FROM pr${k - 1} p
+             JOIN e ON p.node = e.src
+             JOIN od ON e.src = od.src
+             GROUP BY 1) m ON t.node = m.node)"""
+    }.mkString
+    base + iters +
+      "\n       SELECT node, round(rank, 6) AS rank FROM pr5 ORDER BY node"
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -687,7 +745,8 @@ object Extras71 extends QueryPack {
     "q464_hubness_audit"       -> q464 _,
     "q465_preference_pairs"    -> q465 _,
     "q466_mutual_bitext"       -> q466 _,
-    "q467_ablation_mixes"      -> q467 _)
+    "q467_ablation_mixes"      -> q467 _,
+    "q468_personalized_pagerank" -> q468 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -701,5 +760,6 @@ object Extras71 extends QueryPack {
     "q464_hubness_audit"       -> q464Sql,
     "q465_preference_pairs"    -> q465Sql,
     "q466_mutual_bitext"       -> q466Sql,
-    "q467_ablation_mixes"      -> q467Sql)
+    "q467_ablation_mixes"      -> q467Sql,
+    "q468_personalized_pagerank" -> q468Sql)
 }
