@@ -733,6 +733,37 @@ object Extras71 extends QueryPack {
       "\n       SELECT node, round(rank, 6) AS rank FROM pr5 ORDER BY node"
   }
 
+  // --------------------------------------------------------------- q469
+  /** TIER-BALANCED SHARDS — the loader-side consumer of the q458
+    * curriculum: within each difficulty tier, documents deal
+    * round-robin (pos mod 8) across 8 shards, so every shard carries
+    * an equal difficulty profile (per-(shard, tier) counts differ by
+    * at most 1 BY CONSTRUCTION — the audit columns prove it). This is
+    * what makes distributed training see the curriculum: any shard
+    * subset preserves the difficulty mix. */
+  private def q469(s: SparkSession, dir: String): DataFrame = {
+    val Shards = 8
+    Curriculum.interleave(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", tiers = 4)
+      .select(pmod(col("pos"), lit(Shards)).as("shard"), col("tier"))
+      .groupBy(col("shard"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard"), col("tier"))
+  }
+
+  private val q469Sql: String =
+    s"""WITH idx AS (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS idx,
+           COUNT(*) OVER () AS n
+         FROM documents),
+       t AS (SELECT doc_id, idx, n, (idx * 4) // n AS tier FROM idx),
+       p AS (SELECT doc_id, tier, idx - (tier * n + 3) // 4 AS pos FROM t)
+       SELECT CAST(pos % 8 AS BIGINT) AS shard, CAST(tier AS BIGINT) AS tier,
+         count(*) AS n_docs
+       FROM p GROUP BY 1, 2 ORDER BY shard, tier"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -746,7 +777,8 @@ object Extras71 extends QueryPack {
     "q465_preference_pairs"    -> q465 _,
     "q466_mutual_bitext"       -> q466 _,
     "q467_ablation_mixes"      -> q467 _,
-    "q468_personalized_pagerank" -> q468 _)
+    "q468_personalized_pagerank" -> q468 _,
+    "q469_tier_balanced_shards" -> q469 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -761,5 +793,6 @@ object Extras71 extends QueryPack {
     "q465_preference_pairs"    -> q465Sql,
     "q466_mutual_bitext"       -> q466Sql,
     "q467_ablation_mixes"      -> q467Sql,
-    "q468_personalized_pagerank" -> q468Sql)
+    "q468_personalized_pagerank" -> q468Sql,
+    "q469_tier_balanced_shards" -> q469Sql)
 }
