@@ -764,6 +764,96 @@ object Extras71 extends QueryPack {
          count(*) AS n_docs
        FROM p GROUP BY 1, 2 ORDER BY shard, tier"""
 
+  // --------------------------------------------------------------- q470
+  /** CONTRASTIVE-PREP FUNNEL REPORT — the one-page manifest a training
+    * run signs off on before consuming this session's pair tables
+    * (the q64/q449 funnel-report pattern, for the contrastive loop):
+    * corpus volume, ICT pairs with non-empty context, anchor pool,
+    * anchors that actually mined an in-band negative, assembled
+    * triplets (negative ∧ same-label positive exists), and the
+    * preference-pair yield. Each stage is one bounded aggregate over a
+    * component this pack oracles individually. */
+  private def q470(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    val d = docs(s, dir)
+    val all = emb(s, dir)
+    val anchors = all.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val ictCtx = d.filter(size(TextFunctions.tokens(col("text"))) > 32)
+    val negs = Similarity.hardNegatives(all, anchors, "vec_id", "embedding",
+        "label", k = 5, dim = Dim, loCos = 0.1, hiCos = 0.8)
+      .select(col("query_id")).distinct()
+    val posable = anchors.select(col("vec_id"), col("label").as("a_label"))
+      .join(all.select(col("vec_id").as("o_id"), col("label").as("o_label")),
+        col("a_label") === col("o_label") && col("vec_id") =!= col("o_id"),
+        "left_semi")
+      .select(col("vec_id").as("query_id"))
+    val triplets = negs.join(posable, "query_id")
+    val prefs = Dedup.minhashDedupMd5(
+      d.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+    stage("1_docs_total", d)
+      .unionByName(stage("2_ict_with_context", ictCtx))
+      .unionByName(stage("3_anchors", anchors))
+      .unionByName(stage("4_anchors_with_negative", negs))
+      .unionByName(stage("5_triplets", triplets))
+      .unionByName(stage("6_preference_pairs", prefs))
+      .orderBy(col("stage"))
+  }
+
+  private val q470Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sigExpr = OracleVec.sigExprSql(bits)
+    s"""WITH ${OracleSketch.minhashCtes("doc_id % 5 = 0")},
+       sigs AS (
+         SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS (
+         SELECT vec_id, label, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM bands q JOIN bands c
+           ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+           AND q.label <> c.label),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           ${dotSql("eq.embedding", "ec.embedding")} /
+             (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = query_id
+         JOIN embeddings ec ON ec.vec_id = neighbor_id),
+       negs AS (
+         SELECT DISTINCT query_id FROM scored
+         WHERE cos >= 0.1e0 AND cos < 0.8e0),
+       posable AS (
+         SELECT DISTINCT a.vec_id AS query_id FROM embeddings a
+         WHERE a.vec_id % 25 = 0 AND EXISTS (
+           SELECT 1 FROM embeddings b
+           WHERE b.label = a.label AND b.vec_id <> a.vec_id))
+       SELECT stage, n FROM (
+         SELECT '1_docs_total' AS stage, count(*) AS n FROM documents
+         UNION ALL
+         SELECT '2_ict_with_context',
+           (SELECT count(*) FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 32)
+         UNION ALL
+         SELECT '3_anchors',
+           (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)
+         UNION ALL
+         SELECT '4_anchors_with_negative', (SELECT count(*) FROM negs)
+         UNION ALL
+         SELECT '5_triplets',
+           (SELECT count(*) FROM negs JOIN posable USING (query_id))
+         UNION ALL
+         SELECT '6_preference_pairs',
+           (SELECT count(*) FROM mh_est WHERE e >= 0.2))
+       ORDER BY stage"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -778,7 +868,8 @@ object Extras71 extends QueryPack {
     "q466_mutual_bitext"       -> q466 _,
     "q467_ablation_mixes"      -> q467 _,
     "q468_personalized_pagerank" -> q468 _,
-    "q469_tier_balanced_shards" -> q469 _)
+    "q469_tier_balanced_shards" -> q469 _,
+    "q470_contrastive_funnel"  -> q470 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -794,5 +885,6 @@ object Extras71 extends QueryPack {
     "q466_mutual_bitext"       -> q466Sql,
     "q467_ablation_mixes"      -> q467Sql,
     "q468_personalized_pagerank" -> q468Sql,
-    "q469_tier_balanced_shards" -> q469Sql)
+    "q469_tier_balanced_shards" -> q469Sql,
+    "q470_contrastive_funnel"  -> q470Sql)
 }
