@@ -854,6 +854,42 @@ object Extras71 extends QueryPack {
        ORDER BY stage"""
   }
 
+  // --------------------------------------------------------------- q471
+  /** PERPLEXITY CURRICULUM — q458's schedule with the REAL difficulty
+    * signal: per-doc Kneser-Ney avg-NLL ([[graft.operators.KnLm]],
+    * q437's model) ranks documents fluent→surprising, then the same
+    * equi-depth tier + round-robin interleave (the CCNet "order by LM
+    * perplexity" recipe made a deterministic schedule). The 6-dp
+    * rounding happens BEFORE the rank so the RowIndexer total order
+    * is engine-exact; docs with < 2 alpha tokens have no bigrams and
+    * are absent, exactly like q437. */
+  private def q471(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KnLm
+    val d = docs(s, dir)
+    val model = KnLm.fit(d, "doc_id", "text")
+    val diff = KnLm.score(d, "doc_id", "text", model)
+      .select(col("doc_id"), round(col("avg_nll"), 6).as("diff"))
+    Curriculum.interleave(diff, "doc_id", "diff", tiers = 4)
+      .select(col("doc_id"), col("diff"), col("tier"), col("pos"), col("ord"))
+      .orderBy(col("ord"))
+  }
+
+  private val q471Sql: String =
+    s"""WITH ${OracleKn.perDocCtes},
+       diff AS (
+         SELECT doc_id, round(nllsum / n_bigrams, 6) AS diff FROM per_doc),
+       idx AS (
+         SELECT doc_id, diff,
+           ROW_NUMBER() OVER (ORDER BY diff, doc_id) - 1 AS idx,
+           COUNT(*) OVER () AS n
+         FROM diff),
+       t AS (SELECT doc_id, diff, idx, n, (idx * 4) // n AS tier FROM idx),
+       p AS (SELECT doc_id, diff, tier,
+               idx - (tier * n + 3) // 4 AS pos FROM t)
+       SELECT doc_id, diff, CAST(tier AS BIGINT) AS tier,
+         CAST(pos AS BIGINT) AS pos, CAST(pos * 4 + tier AS BIGINT) AS ord
+       FROM p ORDER BY ord"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q456_hard_negatives"      -> q456 _,
     "q457_margin_bitext"       -> q457 _,
@@ -869,7 +905,8 @@ object Extras71 extends QueryPack {
     "q467_ablation_mixes"      -> q467 _,
     "q468_personalized_pagerank" -> q468 _,
     "q469_tier_balanced_shards" -> q469 _,
-    "q470_contrastive_funnel"  -> q470 _)
+    "q470_contrastive_funnel"  -> q470 _,
+    "q471_perplexity_curriculum" -> q471 _)
 
   override val oracles: Map[String, String] = Map(
     "q456_hard_negatives"      -> q456Sql,
@@ -886,5 +923,6 @@ object Extras71 extends QueryPack {
     "q467_ablation_mixes"      -> q467Sql,
     "q468_personalized_pagerank" -> q468Sql,
     "q469_tier_balanced_shards" -> q469Sql,
-    "q470_contrastive_funnel"  -> q470Sql)
+    "q470_contrastive_funnel"  -> q470Sql,
+    "q471_perplexity_curriculum" -> q471Sql)
 }
