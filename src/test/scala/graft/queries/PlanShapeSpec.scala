@@ -412,5 +412,15 @@ class PlanShapeSpec extends GraftTestBase {
     assert(p463.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty
         && p463.collect { case c: CartesianProductExec => c }.isEmpty,
       "q463 planned an all-pairs join")
+    // q467: every window in the grouped allocation partitions by the
+    // holdout key — the grouped variant must never regress to
+    // allocate()'s documented S-row global windows on the
+    // (holdouts × sources) frame.
+    val p467 = plan("q467_ablation_mixes")
+    val w467 = p467.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(w467.nonEmpty && w467.forall(_.partitionSpec.nonEmpty),
+      "q467 planned an unpartitioned window on the holdout matrix")
   }
 }
