@@ -20,6 +20,33 @@ class PageRankSpec extends GraftTestBase {
     assert(math.abs(r1("c") - 1.425) < 1e-12)
   }
 
+  test("personalized: hand-checkable teleport, seed-proximity ordering") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c, c -> a; seed = {a} so tp(a)=1, tp(b)=tp(c)=0
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r1 = PageRank.personalized(e, seeds, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // pr0 = tp; pr1(a) = .15*1 + .85*(pr0(c)/1) = 0.15
+    // pr1(b) = 0 + .85*(pr0(a)/2) = 0.425
+    // pr1(c) = 0 + .85*(pr0(a)/2 + pr0(b)/1) = 0.425
+    assert(math.abs(r1("a") - 0.15) < 1e-12)
+    assert(math.abs(r1("b") - 0.425) < 1e-12)
+    assert(math.abs(r1("c") - 0.425) < 1e-12)
+    // with every node having out-edges, teleport+damping conserve mass:
+    // sum(pr_k) = 1 at every k
+    val r5 = PageRank.personalized(e, seeds, iters = 5).collect()
+      .map(_.getDouble(1))
+    assert(math.abs(r5.sum - 1.0) < 1e-9, s"mass drifted: ${r5.sum}")
+    // a node unreachable from the seeds keeps rank exactly 0
+    val e2 = Seq(("a", "b"), ("x", "y")).toDF("src", "dst")
+    val r2 = PageRank.personalized(e2, seeds, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r2("x") == 0.0 && r2("y") == 0.0,
+      "rank leaked to a component disconnected from the seeds")
+    assert(r2("b") > 0.0)
+  }
+
   test("weighted run with uniform weights equals the unweighted run") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
