@@ -54,4 +54,23 @@ object RowIndexer {
       StructField(idxCol, LongType, nullable = false))
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Reproduce `ntile(k)`'s bucket rule from a stamped 0-based index
+    * and the total row count: the first `n mod k` buckets hold
+    * `⌈n/k⌉` rows, the rest `⌊n/k⌋` (SQL-standard ntile, identical in
+    * Spark and DuckDB). Pure (idx, n) integer arithmetic, so swapping
+    * a single-task `ntile() OVER (ORDER BY ...)` for
+    * `stableIndex + ntileBucket` keeps bucket boundaries bit-identical
+    * while the sort stays range-partitioned. Returns IntegerType
+    * 1..k, matching Spark's ntile output type. */
+  def ntileBucket(idxCol: String, n: Long, k: Int): Column = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(k >= 1, "need at least one bucket")
+    val q = n / k; val r = n % k
+    val head = r * (q + 1) // rows 0..head-1 fall in the ⌈n/k⌉ buckets
+    (when(col(idxCol) < head, expr(s"$idxCol DIV ${q + 1}"))
+      .otherwise(expr(
+        s"$r + ($idxCol - $head) DIV ${math.max(q, 1L)}"))
+      + 1).cast("int")
+  }
 }

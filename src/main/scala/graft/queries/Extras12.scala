@@ -15,19 +15,34 @@ object Extras12 extends QueryPack {
   // --------------------------------------------------------------- q148
   /** Equi-depth histogram: 10 buckets of (approximately) equal row
     * count over extended price, reporting each bucket's bounds and
-    * mass. ntile does the equi-depth split; the per-bucket reduce is a
-    * hash agg. The global ntile sort is THE cost — at 100 TB you'd swap
-    * in approx_percentile cutpoints; the exact form is the oracle-able
-    * contract. */
+    * mass. The equi-depth split reproduces ntile's remainder rule in
+    * integer arithmetic over a DISTRIBUTED global index
+    * ([[graft.operators.RowIndexer]]: range shuffle + local sort +
+    * partition-offset stamp) instead of `ntile() OVER (ORDER BY ...)`
+    * — the empty-partitionSpec window would sort the whole lineitem
+    * grain on ONE task. ntile's contract: with n rows and k buckets,
+    * the first n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋; that
+    * is pure (idx, n) arithmetic, so the boundaries are bit-identical
+    * to the oracle's ntile. The one driver-side value is the scalar
+    * row count (bounded by construction — the Curriculum precedent);
+    * the sketch twin q351 remains the declared approximate path. */
   private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val li = Tables(s, dir)("lineitem")
-    val w = Window.orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
-    li.select(col("l_extendedprice").as("p"), col("l_orderkey"),
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"),
         col("l_linenumber"))
-      .withColumn("bucket", ntile(10).over(w))
+    val n = li.count()
+    RowIndexer.stableIndex(li,
+        Seq(col("p"), col("l_orderkey"), col("l_linenumber")))
+      .withColumn("bucket", RowIndexer.ntileBucket("idx", n, 10))
       .groupBy("bucket")
+      // mean over exact integer cents (q316 precedent), not avg(p):
+      // a cross-partition double sum is fold-order-dependent and the
+      // distributed index no longer feeds the agg in one sorted stream
       .agg(round(min("p"), 2).as("lo"), round(max("p"), 2).as("hi"),
-           count(lit(1)).as("n"), round(avg("p"), 4).as("mean_p"))
+           count(lit(1)).as("n"),
+           round(sum(floor(col("p") * 100 + 0.5).cast("long"))
+             .cast("double") / (count(lit(1)) * 100), 4).as("mean_p"))
       .orderBy("bucket")
   }
 
@@ -38,7 +53,9 @@ object Extras12 extends QueryPack {
                                 l_linenumber) AS bucket
          FROM lineitem)
        SELECT bucket, round(min(p), 2) AS lo, round(max(p), 2) AS hi,
-              count(*) AS n, round(avg(p), 4) AS mean_p
+              count(*) AS n,
+              round(CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / (count(*) * 100), 4) AS mean_p
        FROM b GROUP BY 1 ORDER BY 1"""
 
   // --------------------------------------------------------------- q149

@@ -260,13 +260,22 @@ object Extras46 extends QueryPack {
   /** Heaps'-law vocabulary growth: docs stream in doc_id order in ten
     * ntile slices; each term's first-seen slice turns cumulative
     * distinct vocabulary into a plain running sum over the 10-row
-    * grid. All integers except the per-row β = lnV/lnN proxy. */
+    * grid. All integers except the per-row β = lnV/lnN proxy.
+    *
+    * The corpus-grain slicing rides [[graft.operators.RowIndexer]]
+    * (range shuffle + offset stamp + the exact ntile remainder rule),
+    * not a single-task global ntile window; the 10-row running sums
+    * stay windows because their input is the 10-row grid. */
   private def q299(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val d = Tables(s, dir)("documents")
-    val sliced = d.select(col("doc_id"),
-      ntile(10).over(Window.orderBy("doc_id")).as("slice"),
-      filter(split(lower(col("text")), "[^a-z]+"),
-        w => length(w) > 0).as("toks"))
+    val base = d.select(col("doc_id"), col("text"))
+    val n = base.count()
+    val sliced = RowIndexer.stableIndex(base, Seq(col("doc_id")))
+      .select(col("doc_id"),
+        RowIndexer.ntileBucket("idx", n, 10).as("slice"),
+        filter(split(lower(col("text")), "[^a-z]+"),
+          w => length(w) > 0).as("toks"))
     val tokCount = sliced.groupBy("slice")
       .agg(sum(size(col("toks"))).as("n_tok"))
     val firstSeen = sliced

@@ -27,15 +27,29 @@ object Extras49 extends QueryPack {
     * per-source distribution separates templated sources from organic
     * ones. Sort-adjacency is the O(n log n) stand-in for the O(n²)
     * all-pairs matrix — the same trick bulk dedup uses before a
-    * verifier pass. */
+    * verifier pass.
+    *
+    * The global order comes from [[graft.operators.RowIndexer]]
+    * (range shuffle + local sort + partition-offset stamp), NOT
+    * `lag() OVER (ORDER BY ...)` — an empty-partitionSpec window
+    * funnels the whole document grain through ONE task, the exact
+    * 100 TB killer Curriculum.scala pins against. Adjacency is then a
+    * distributed equi-join of row i against row i−1 on the stamped
+    * index; the oracle keeps the relational lag() form (same total
+    * order, same integers). */
   private def q313(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val d = Tables(s, dir)("documents")
     val pre = d.select(col("source"), col("doc_id"),
       substring(col("text"), 1, 80).as("p"))
-    val w = Window.orderBy(col("p"), col("doc_id"))
-    pre
-      .withColumn("prev", lag(col("p"), 1).over(w))
-      .filter(col("prev").isNotNull)
+    // both join legs read the index: materialize the slim
+    // (source, p, idx) frame once instead of re-running the range
+    // shuffle + zipWithIndex lineage per leg
+    val idxd = RowIndexer.stableIndex(pre, Seq(col("p"), col("doc_id")))
+      .select(col("source"), col("p"), col("idx"))
+      .localCheckpoint()
+    val prv = idxd.select(col("p").as("prev"), (col("idx") + 1).as("idx"))
+    idxd.join(prv, "idx") // inner join: idx 0 has no predecessor
       .select(col("source"), levenshtein(col("p"), col("prev")).as("d"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -284,14 +298,21 @@ object Extras49 extends QueryPack {
     * purchase value column: D = max over the sorted sample of
     * max(i/n − F(v), F(v) − (i−1)/n) with F(v) = v/v_max. Every term
     * derives from exact integers and the raw double v identically in
-    * both engines, and the supremum is order-free. */
+    * both engines, and the supremum is order-free.
+    *
+    * The empirical rank i comes from [[graft.operators.RowIndexer]]
+    * (range shuffle + partition-offset stamp = idx, so i = idx + 1),
+    * NOT `row_number() OVER (ORDER BY ...)` — the global window would
+    * sort the whole event grain on one task. The oracle keeps the
+    * relational row_number() form: same total order, same ranks. */
   private def q317(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val e = Tables(s, dir)("events")
     val v = e.filter(col("event_type") === "purchase")
       .select(col("value").cast("double").as("v"), col("event_id"))
-    val w = Window.orderBy(col("v"), col("event_id"))
     val tot = v.agg(count(lit(1)).as("n"), max("v").as("vmax"))
-    v.withColumn("i", row_number().over(w))
+    RowIndexer.stableIndex(v, Seq(col("v"), col("event_id")))
+      .withColumn("i", col("idx") + 1)
       .crossJoin(broadcast(tot))
       .select(
         greatest(

@@ -18,15 +18,26 @@ object Extras53 extends QueryPack {
   // --------------------------------------------------------------- q337
   /** Key-space utilization audit: density and largest hole of the
     * order-key sequence — the check that catches a broken id
-    * generator or a partial load. One window lag, all integers. */
+    * generator or a partial load. All integers.
+    *
+    * Adjacency comes from [[graft.operators.RowIndexer]] (range
+    * shuffle + offset stamp, then an equi-join of row i against row
+    * i−1 on the stamped index) — `lag() OVER (ORDER BY k)` would pull
+    * the whole key column through ONE task. n/min/max need no order
+    * at all; only max_gap reads the pair relation (1-row broadcast
+    * cross, the q315/q316 scalar pattern). */
   private def q337(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val o = Tables(s, dir)("orders")
-    val w = Window.orderBy("k")
-    val gaps = o.select(col("o_orderkey").as("k"))
-      .withColumn("gap", col("k") - lag(col("k"), 1).over(w))
-    gaps.agg(count(lit(1)).as("n"),
-        min("k").as("min_k"), max("k").as("max_k"),
-        max("gap").as("max_gap"))
+    val keys = o.select(col("o_orderkey").as("k"))
+    val idxd = RowIndexer.stableIndex(keys, Seq(col("k")))
+      .localCheckpoint() // both join legs read the index
+    val prv = idxd.select(col("k").as("pk"), (col("idx") + 1).as("idx"))
+    val maxGap = idxd.join(prv, "idx")
+      .agg(max(col("k") - col("pk")).as("max_gap"))
+    keys.agg(count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .crossJoin(broadcast(maxGap))
       .select(col("n").cast("long").as("n_keys"),
         col("min_k").cast("long").as("min_key"),
         col("max_k").cast("long").as("max_key"),

@@ -22,21 +22,21 @@ object Extras64 extends QueryPack {
     * bucketing argument in one table: sorting collapses the per-batch
     * length spread, so utilization jumps). Batch assignment is
     * floor((rank−1)/B) over a deterministic total order (doc_id for
-    * arrival; (n_toks, doc_id) for sorted). The global row_number here
-    * is the pedagogical form — at 100 TB batch ids come from a
-    * range-partitioned sort + per-partition offset (the zipWithIndex
-    * pattern), and the waste accounting itself stays ONE groupBy per
-    * policy over (batch, len). All-integer math. */
+    * arrival; (n_toks, doc_id) for sorted). Batch ids come from
+    * [[graft.operators.RowIndexer]] — range-partitioned sort +
+    * per-partition offset (batch = idx DIV B), never a single-task
+    * row_number window — and the waste accounting itself stays ONE
+    * groupBy per policy over (batch, len). All-integer math. */
   private def q403(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RowIndexer
     val B = 8
     val lens = Tables(s, dir)("documents")
       .select(col("doc_id"),
         size(SubstringDedup.tokens(col("text"))).as("n_toks"))
       .filter(col("n_toks") >= 1)
     def policy(name: String, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val w = Window.orderBy(order: _*)
-      lens.withColumn("rn", row_number().over(w))
-        .withColumn("batch", floor((col("rn") - 1) / B))
+      RowIndexer.stableIndex(lens, order)
+        .withColumn("batch", expr(s"idx DIV $B"))
         .groupBy("batch")
         .agg(count(lit(1)).as("bsz"), max("n_toks").as("mx"),
           sum("n_toks").as("real"))

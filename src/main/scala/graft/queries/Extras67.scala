@@ -225,20 +225,23 @@ object Extras67 extends QueryPack {
     * each source's decile (ntile over the exact LOGIT — rational
     * arithmetic on counts, so ranks are bit-safe; the sigmoid's exp()
     * is NOT, see [[graft.operators.QualityClassifier.logitExpr]]) maps
-    * to the pooled decile's max logit. The pooled ntile is a global
-    * sort — exact here for the oracle; at 100 TB the pooled reference
-    * comes from the q351 mergeable quantile sketch instead, the
-    * per-source side stays a partitioned window. */
+    * to the pooled decile's max logit. The pooled decile split rides
+    * [[graft.operators.RowIndexer]] (range shuffle + offset stamp +
+    * exact ntile remainder rule) — never a single-task global ntile
+    * window; at 100 TB the pooled reference can also come from the
+    * q351 mergeable quantile sketch. The per-source side stays a
+    * partitioned window. */
   private def q424(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.QualityClassifier
+    import graft.operators.{QualityClassifier, RowIndexer}
     val z = QualityClassifier.logitExpr(
       QualityClassifier.defaultModel(col("text")))
     val d = Tables(s, dir)("documents")
       .select(col("doc_id"), col("source"), z.as("z"))
-      .localCheckpoint() // feeds the per-source and pooled windows
+      .localCheckpoint() // feeds the per-source window and pooled index
     val wSrc = Window.partitionBy("source").orderBy(col("z"), col("doc_id"))
-    val wAll = Window.orderBy(col("z"), col("doc_id"))
-    val ref = d.withColumn("pb", ntile(10).over(wAll))
+    val n = d.count()
+    val ref = RowIndexer.stableIndex(d, Seq(col("z"), col("doc_id")))
+      .withColumn("pb", RowIndexer.ntileBucket("idx", n, 10))
       .groupBy("pb").agg(max("z").as("ref"))
     d.withColumn("bucket", ntile(10).over(wSrc))
       .groupBy("source", "bucket")

@@ -393,6 +393,68 @@ class PlanShapeSpec extends GraftTestBase {
       "a corpus-sized global window escaped the broadcast allocation branch")
   }
 
+  test("BLANKET: no single-task window over an un-aggregated base relation") {
+    // The one plan shape that silently dies at 100 TB: a WindowExec with
+    // an EMPTY partitionSpec whose input is still base-table-sized —
+    // Spark moves every row to ONE task. Bounded inputs are fine (an
+    // aggregate, a limit/top-k, or a WindowGroupLimit upstream caps the
+    // rows reaching the window), so the walk stops at any bounding
+    // operator and flags only windows that can see a raw scan.
+    // Distributed total orders go through RowIndexer.stableIndex
+    // (q313/q317/q148/q455/Curriculum) — this pin keeps it that way.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def rawScan(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
+      case _: WindowGroupLimitExec => false
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => false
+      case _: LocalTableScanExec => false // literal in-memory grids
+      case _: FileSourceScanExec | _: BatchScanExec => true
+      // RowIndexer/localCheckpoint outputs surface as RDD scans; they
+      // are corpus-sized unless something above them bounds the rows
+      case _: RDDScanExec | _: ExternalRDDScanExec[_] => true
+      case other => other.children.exists(rawScan)
+    }
+    // Documented bounded-by-construction sites the walk cannot see
+    // through (bounding happens inside an RDD/checkpoint boundary or by
+    // data semantics, not by a plan operator):
+    val allow = Set(
+      // two-pass exact skyline: the global pass runs over the SURVIVORS
+      // of the partitioned local prune (skyline-sized by construction);
+      // the dedicated q143 test pins the two-pass shape
+      "q143_skyline",
+      // TemperatureMix allocation rungs window over the S-row
+      // per-language count aggregate; the localCheckpoint boundary
+      // hides the bounding groupBy from the plan walk (the dedicated
+      // TemperatureMix test pins the corpus-side partitioning)
+      "q446_temperature_mix")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { n =>
+        try {
+          val df = graft.SparkEntry.queries(n)(spark, sf001)
+          if (df.isStreaming) None
+          else {
+            val p = df.queryExecution.executedPlan match {
+              case a: AdaptiveSparkPlanExec => a.initialPlan
+              case q                        => q
+            }
+            val bad = p.collect {
+              case w: WindowExec
+                  if w.partitionSpec.isEmpty && rawScan(w.child) => w
+            }
+            if (bad.nonEmpty) Some(n) else None
+          }
+        } catch { case _: Throwable => None } // runtime needs are Verify's job
+      }
+    assert(offenders.isEmpty,
+      s"single-task window over a raw base relation in: ${offenders.mkString(", ")}")
+  }
+
   test("round-11 contrastive/overlap queries hold their plan shapes") {
     // q456: SRP-banded negative mining — candidates come from the band
     // equi-join, never a nested-loop/cartesian pair enumeration.
