@@ -32,9 +32,20 @@ object IctPairs {
   /** Output: (id, n_chunks, q_idx, query_md5, query_tokens, ctx_md5,
     * ctx_tokens). Single-chunk documents get an empty context
     * (md5 of "", 0 tokens) rather than dropping — the caller decides
-    * whether pairs without context are usable. */
+    * whether pairs without context are usable.
+    *
+    * `idCol` must be an integral column: the held-out index is
+    * `pmod(id, n_chunks)`, which is only defined (and only
+    * deterministic across engines) on exact integers — a string id
+    * would silently cast. Enforced up front; hash a non-numeric id to
+    * a long (the md5-uniform family) before calling. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"IctPairs.pairs needs an integral id column; $idCol is $idType " +
+        "(hash non-numeric ids to a long first)")
     val ch = Chunker.chunk(docs, idCol, textCol, chunkTokens, overlap = 0)
     ch.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),

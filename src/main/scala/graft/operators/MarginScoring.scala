@@ -43,10 +43,8 @@ object MarginScoring {
     * per (query, neighbor) in `fwd`.
     */
   def scorePairs(fwd: DataFrame, bwd: DataFrame): DataFrame = {
-    val fa = fwd.groupBy(col("query_id"))
-      .agg(avg(col("cos")).as("fwd_avg"))
-    val ba = bwd.groupBy(col("query_id"))
-      .agg(avg(col("cos")).as("bwd_avg"))
+    val fa = nbrAvg(fwd).withColumnRenamed("nbr_avg", "fwd_avg")
+    val ba = nbrAvg(bwd).withColumnRenamed("nbr_avg", "bwd_avg")
       .withColumnRenamed("query_id", "neighbor_id")
     fwd.join(fa, "query_id")
       .join(ba, "neighbor_id")
@@ -55,6 +53,21 @@ object MarginScoring {
               (col("cos") / ((col("fwd_avg") + col("bwd_avg")) / 2.0))
                 .as("margin"))
   }
+
+  /** Per-query neighborhood mean folded in RANK order — a plain
+    * avg(cos) sums k doubles in partition order, so the low bits vary
+    * run-to-run and engine-to-engine; folding the collected k-row
+    * (bounded) neighborhood sorted by rank makes the sum one fixed
+    * IEEE tree, the same sorted-fold discipline as
+    * [[TemperatureMix.allocate]]'s weight total. Oracles mirror it
+    * with `list_sum(list(... ORDER BY rank))`. */
+  private def nbrAvg(rel: DataFrame): DataFrame =
+    rel.groupBy(col("query_id"))
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("rank").as("r"),
+            col("cos").as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c"))
+        / count(lit(1))).as("nbr_avg"))
 
   /** The mined bitext: each src's single best candidate by margin,
     * kept only when the (6-dp rounded) margin clears `minMargin`

@@ -97,9 +97,15 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val sd = seeds.select(col("node")).distinct().cache()
+    // teleport mass 1/|S| over seeds IN THE GRAPH: a seed absent from
+    // the edge-derived node set would be dropped by the tp join below,
+    // silently shrinking total teleport mass under 1 — intersect first
+    // so out-of-graph seeds are ignored rather than diluting
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").cache()
     val nSeeds = sd.count()
-    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    require(nSeeds > 0,
+      "personalized PageRank needs a non-empty in-graph seed set")
     val tp = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0))

@@ -22,7 +22,7 @@ import graft.operators.{Curriculum, Dedup, IctPairs, KmvDistinct, MarginScoring,
   */
 object Extras71 extends QueryPack {
 
-  import OracleVec.{dotSql, normSql, hpList}
+  import OracleVec.{dotSql, normSql}
 
   private val Dim = 64
 
@@ -31,6 +31,15 @@ object Extras71 extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir)("documents")
+
+  /** Neighborhood-mean SQL twin of MarginScoring.nbrAvg: fold the k
+    * cosines in rank order (list(... ORDER BY rank) -> list_sum), so
+    * the sum is the same fixed IEEE tree as the Spark sorted fold —
+    * never a partition-order avg(). */
+  private def nbrAvgSql(rel: String): String =
+    s"SELECT query_id, list_sum(list_transform(" +
+    s"list({'r': rank, 'c': cos} ORDER BY rank), e -> e.c)) / count(*)" +
+    s" AS nbr_avg FROM $rel GROUP BY query_id"
 
   // --------------------------------------------------------------- q456
   /** SEMI-HARD NEGATIVES — for every 25th vector as anchor, the top-5
@@ -53,9 +62,7 @@ object Extras71 extends QueryPack {
     val bands = 4
     val r = bits / bands
     val mask = (1 << r) - 1
-    val sigExpr = (0 until bits)
-      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
-      .mkString(" + ")
+    val sigExpr = OracleVec.sigExprSql(bits)
     s"""WITH sigs AS (
          SELECT vec_id, label, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
        bands AS (
@@ -116,8 +123,8 @@ object Extras71 extends QueryPack {
        s1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
        fwd AS (${knn("s0", "s1")}),
        bwd AS (${knn("s1", "s0")}),
-       fa AS (SELECT query_id, avg(cos) AS fwd_avg FROM fwd GROUP BY query_id),
-       ba AS (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM bwd GROUP BY query_id),
+       fa AS (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvgSql("fwd")})),
+       ba AS (SELECT query_id AS neighbor_id, nbr_avg AS bwd_avg FROM (${nbrAvgSql("bwd")})),
        scored AS (
          SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
            round(fwd.cos, 6) AS cos,
@@ -245,9 +252,7 @@ object Extras71 extends QueryPack {
     val bands = 4
     val r = bits / bands
     val mask = (1 << r) - 1
-    val sigExpr = (0 until bits)
-      .map(b => s"CASE WHEN ${dotSql("embedding", s"(${hpList(b)})")} > 0 THEN ${1 << b} ELSE 0 END")
-      .mkString(" + ")
+    val sigExpr = OracleVec.sigExprSql(bits)
     s"""WITH pos AS (
          SELECT anchor_id, pos_id, pos_cos FROM (
            SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
@@ -461,8 +466,8 @@ object Extras71 extends QueryPack {
        ${bandsCte("s1", 1)},
        fwd AS (${knn("s0", "s1")}),
        bwd AS (${knn("s1", "s0")}),
-       fa AS (SELECT query_id, avg(cos) AS fwd_avg FROM fwd GROUP BY query_id),
-       ba AS (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM bwd GROUP BY query_id),
+       fa AS (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvgSql("fwd")})),
+       ba AS (SELECT query_id AS neighbor_id, nbr_avg AS bwd_avg FROM (${nbrAvgSql("bwd")})),
        scored AS (
          SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
            round(fwd.cos, 6) AS cos,
@@ -607,9 +612,9 @@ object Extras71 extends QueryPack {
                round($fw.cos, 6) AS cos,
                round($fw.cos / ((fa.fwd_avg + ba.bwd_avg) / 2.0), 6) AS margin
              FROM $fw
-             JOIN (SELECT query_id, avg(cos) AS fwd_avg FROM $fw GROUP BY query_id) fa
+             JOIN (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvgSql(fw)})) fa
                ON fa.query_id = $fw.query_id
-             JOIN (SELECT query_id AS neighbor_id, avg(cos) AS bwd_avg FROM $bw GROUP BY query_id) ba
+             JOIN (SELECT query_id AS neighbor_id, nbr_avg AS bwd_avg FROM (${nbrAvgSql(bw)})) ba
                ON ba.neighbor_id = $fw.neighbor_id))
          WHERE rk = 1 AND margin >= 1.0e0"""
     s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),

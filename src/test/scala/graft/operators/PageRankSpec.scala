@@ -47,6 +47,26 @@ class PageRankSpec extends GraftTestBase {
     assert(r2("b") > 0.0)
   }
 
+  test("personalized: out-of-graph seeds are ignored, not mass-diluting") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    // "zz" is not a node: teleport must still be 1/1 over {a}, so the
+    // ranks are identical to the seeds = {a} run and mass stays 1
+    val seeds = Seq("a", "zz").toDF("node")
+    val base = PageRank.personalized(e, Seq("a").toDF("node"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val withGhost = PageRank.personalized(e, seeds, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    base.keySet.foreach { n =>
+      assert(base(n) == withGhost(n), s"node $n diluted by ghost seed")
+    }
+    assert(math.abs(withGhost.values.sum - 1.0) < 1e-9)
+    // an all-ghost seed set is an error, not a silent zero vector
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(e, Seq("zz").toDF("node"), iters = 1)
+    }
+  }
+
   test("weighted run with uniform weights equals the unweighted run") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")

@@ -43,6 +43,24 @@ class StreamingCurationSpec extends GraftTestBase {
     assert(streamed.size.toLong == f("hash_sample"))
   }
 
+  test("funnel equality holds at a non-default maxJaccard (containment gate tuned)") {
+    // the containment gate's jaccard ceiling must thread identically
+    // through both twins — a batch-only (or stream-only) knob would
+    // silently diverge the funnels off-default
+    val table = freshTable("curated_mj")
+    StreamingCuration.curateToTable(spark, sf001, table,
+      domainCap = Cap, maxJaccard = 0.95)
+    val (packed, funnel) = CurationPipeline.run(
+      spark, Tables(spark, sf001)("documents"),
+      domainCap = Cap, maxJaccard = 0.95)
+    val f = funnel.map(r => r.stage -> r.docs).toMap
+    assert(spark.table(table).count() == f("domain_cap"))
+    val streamed = spark.table(table).filter("sampled")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
   test("replaying the drain converges instead of duplicating (MERGE exactly-once)") {
     val table = freshTable("curated_replay")
     StreamingCuration.curateToTable(spark, sf001, table, domainCap = Cap)
