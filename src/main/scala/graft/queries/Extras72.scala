@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Round-12 pack: audit-grade companions for the ANN/bitext mining
+  * surface — the trust numbers a 100 TB pipeline reads before
+  * believing an approximate index.
+  *
+  * q472: recall@k of every registered ANN method vs the brute-force
+  * truth — the number that decides whether q463's production bitext
+  * path (SRP kNN legs) is usable at the configured index size.
+  * q473: CCMatrix-style margin-threshold sweep over the mined bitext —
+  * per release tier, yield × mean cosine (the table that picks the
+  * mining cutoff; Schwenk et al. 2021 sweep the margin exactly so).
+  *
+  * Oracle discipline: every leg is fully replayed relationally — the
+  * brute kNN is plain SQL (q29 shape), SRP legs bake the shared
+  * hyperplane literals ([[OracleVec.sigExprSql]], q30 precedent), IVF
+  * replays the deterministic centroid assignment (q60 shape), and the
+  * recall/tier arithmetic is integer counts with one rounded division.
+  */
+object Extras72 extends QueryPack {
+
+  import OracleVec.{cosSql, dotSql, normSql, sigExprSql}
+
+  private val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir)("embeddings")
+
+  // --------------------------------------------------------------- q472
+  /** ANN RECALL AUDIT — recall@1 and recall@5 of srpTopK,
+    * srpMultiProbeTopK, and ivfTopK against the bruteForceTopK truth
+    * over the deterministic query sample (every 50th vector, the
+    * q29/q30/q367/q60 sample). One row per (method, k): integer hit /
+    * truth counts plus the 6-dp recall ratio.
+    *
+    * Scale shape: the truth relation is k·|queries| rows (bounded —
+    * localCheckpointed once, read by all three method joins); each
+    * method's kNN is its own banded/bucketed equi-join, never
+    * all-pairs; the audit itself is three (query, neighbor)-keyed
+    * joins over k-row-per-query relations plus 1-row scalar crosses.
+    * At 100 TB only the truth leg is expensive — exactly why it runs
+    * over the bounded query SAMPLE, not the corpus. */
+  private def q472(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val centroids = all.filter(col("vec_id") < 16)
+    val exact = Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("ex_rank"))
+      .localCheckpoint() // k·|queries| rows, read by all three audits
+
+    def audit(name: String, approx: DataFrame): DataFrame = {
+      val ap = approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("ap_rank"))
+      val hits = ap.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("ap_rank") <= 1 && col("ex_rank") <= 1, 1L)
+            .otherwise(0L)), lit(0L)).as("h1"),
+          count(lit(1)).as("h5"))
+      val truth = exact.agg(
+        coalesce(sum(when(col("ex_rank") <= 1, 1L).otherwise(0L)), lit(0L))
+          .as("e1"),
+        count(lit(1)).as("e5"))
+      hits.crossJoin(broadcast(truth))
+        .select(explode(array(
+          struct(lit(1).as("k"), col("h1").as("nh"), col("e1").as("ne")),
+          struct(lit(5).as("k"), col("h5").as("nh"), col("e5").as("ne"))))
+          .as("r"))
+        .select(lit(name).as("method"),
+          col("r.k").cast("int").as("k"),
+          col("r.nh").cast("long").as("n_hits"),
+          col("r.ne").cast("long").as("n_truth"),
+          round(col("r.nh").cast("double") / col("r.ne"), 6).as("recall"))
+    }
+
+    audit("ivf",
+        Similarity.ivfTopK(all, queries, "vec_id", "embedding", k = 5,
+          centroids = centroids, centroidIdCol = "vec_id", nprobe = 2))
+      .unionAll(audit("srp",
+        Similarity.srpTopK(all, queries, "vec_id", "embedding",
+          k = 5, dim = Dim)))
+      .unionAll(audit("srp_multiprobe",
+        Similarity.srpMultiProbeTopK(all, queries, "vec_id", "embedding",
+          k = 5, dim = Dim)))
+      .orderBy("method", "k")
+  }
+
+  private val q472Sql: String = {
+    val bits = 16
+    val bands = 4
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    val sigExpr = sigExprSql(bits)
+    val probeList = ("band_key" +: (0 until r).map(j => s"xor(band_key, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    def methodRows(name: String, cte: String) =
+      s"""SELECT '$name' AS method, 1 AS k,
+            COALESCE(sum(CASE WHEN a.rank <= 1 AND e.rank <= 1
+              THEN 1 ELSE 0 END), 0) AS n_hits
+          FROM $cte a JOIN exact e USING (query_id, neighbor_id)
+          UNION ALL
+          SELECT '$name', 5, count(*)
+          FROM $cte a JOIN exact e USING (query_id, neighbor_id)"""
+    s"""WITH exact AS MATERIALIZED (
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${dotSql("q.embedding", "c.embedding")} /
+                 (${normSql("q.embedding")} * ${normSql("c.embedding")}) AS cos
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 50 = 0))
+         WHERE rank <= 5),
+       sigs AS MATERIALIZED (
+         SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
+       bands AS MATERIALIZED (
+         SELECT vec_id, t.b AS band_idx, (sig >> ($r * t.b)) & $mask AS band_key
+         FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+       srp AS MATERIALIZED (
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT query_id, neighbor_id,
+               ${dotSql("eq.embedding", "ec.embedding")} /
+                 (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+             FROM (
+               SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM bands q JOIN bands c
+                 ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+               WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) cand
+             JOIN embeddings eq ON eq.vec_id = query_id
+             JOIN embeddings ec ON ec.vec_id = neighbor_id))
+         WHERE rank <= 5),
+       qprobes AS (
+         SELECT vec_id, band_idx, p.pk AS band_key
+         FROM bands, unnest($probeList) AS p(pk)
+         WHERE vec_id % 50 = 0),
+       mp AS MATERIALIZED (
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT query_id, neighbor_id,
+               ${cosSql("eq.embedding", "ec.embedding")} AS cos
+             FROM (
+               SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM qprobes q JOIN bands c
+                 ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+               WHERE q.vec_id <> c.vec_id) cand
+             JOIN embeddings eq ON eq.vec_id = query_id
+             JOIN embeddings ec ON ec.vec_id = neighbor_id))
+         WHERE rank <= 5),
+       cent AS (
+         SELECT vec_id AS centroid_id, embedding AS centv
+         FROM embeddings WHERE vec_id < 16),
+       arank AS MATERIALIZED (
+         SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY ccos DESC, centroid_id) AS crk
+         FROM (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+             ${cosSql("e.embedding", "c.centv")} AS ccos
+           FROM embeddings e CROSS JOIN cent c)),
+       ivf AS MATERIALIZED (
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT p.query_id, a.neighbor_id,
+               ${cosSql("p.qv", "a.cv")} AS cos
+             FROM (SELECT centroid_id AS bucket, vec_id AS query_id,
+                     embedding AS qv
+                   FROM arank WHERE crk <= 2 AND vec_id % 50 = 0) p
+             JOIN (SELECT centroid_id AS bucket, vec_id AS neighbor_id,
+                     embedding AS cv
+                   FROM arank WHERE crk = 1) a USING (bucket)
+             WHERE p.query_id <> a.neighbor_id))
+         WHERE rank <= 5),
+       truth AS (
+         SELECT sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS e1,
+                count(*) AS e5
+         FROM exact),
+       hits AS (
+         ${methodRows("ivf", "ivf")}
+         UNION ALL
+         ${methodRows("srp", "srp")}
+         UNION ALL
+         ${methodRows("srp_multiprobe", "mp")})
+       SELECT method, k, CAST(n_hits AS BIGINT) AS n_hits,
+         CAST(CASE WHEN k = 1 THEN e1 ELSE e5 END AS BIGINT) AS n_truth,
+         round(CAST(n_hits AS DOUBLE) /
+           (CASE WHEN k = 1 THEN e1 ELSE e5 END), 6) AS recall
+       FROM hits CROSS JOIN truth
+       ORDER BY method, k"""
+  }
+
+  // --------------------------------------------------------------- q473
+  /** MARGIN-TIER RELEASE SWEEP — the CCMatrix-style threshold table
+    * (Schwenk et al. 2021 sweep the mining margin exactly so): every
+    * src's best candidate (NO margin cut — the sweep needs the full
+    * range) bucketed into 4 equi-depth margin tiers via
+    * [[graft.operators.Curriculum.interleave]]'s integer tiering
+    * (tier = (idx·4) div n over the RowIndexer range-sorted index, so
+    * boundaries are exact integer division, never float quantiles).
+    * Per tier: yield, margin bounds, mean cosine (exact integer-micros
+    * sum, order-free), and how many pairs clear the production 1.0
+    * cut — the table that picks the mining cutoff.
+    *
+    * Scale shape: the pair relation is one row per src (bestPairs'
+    * WindowGroupLimit-pruned rank); the tier stamp is the range
+    * shuffle + offset; the report is a 4-row hash-agg. The kNN legs
+    * are brute here (oracle-priced, q457's discipline) — production
+    * swaps in the banded legs unchanged. */
+  private def q473(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curriculum, MarginScoring}
+    val all = emb(s, dir)
+    val src = all.filter(col("label") === 0)
+    val tgt = all.filter(col("label") === 1)
+    val fwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 8)
+    val bwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 8)
+    // -1e9 floor = keep every src's best pair: margins are bounded by
+    // 1/|neighborhood avg| and the audit wants the WHOLE distribution
+    val mined = MarginScoring.bestPairs(fwd, bwd, minMargin = -1e9)
+    Curriculum.interleave(mined, "src_id", "margin", tiers = 4)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("margin"), 6).as("margin_lo"),
+        round(max("margin"), 6).as("margin_hi"),
+        sum(floor(col("cos") * 1e6 + 0.5).cast("long")).as("cs"),
+        sum(when(col("margin") >= 1.0, 1L).otherwise(0L)).as("nr"))
+      .select(col("tier").cast("long").as("tier"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("margin_lo"), col("margin_hi"),
+        round(col("cs").cast("double") / (col("n_pairs") * 1e6), 6)
+          .as("mean_cos"),
+        col("nr").cast("long").as("n_release"))
+      .orderBy("tier")
+  }
+
+  private val q473Sql: String = {
+    def knn(qTab: String, cTab: String) =
+      s"""SELECT query_id, neighbor_id, cos, rank FROM (
+           SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${dotSql("a.embedding", "b.embedding")} /
+                 (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
+             FROM $qTab a, $cTab b WHERE a.vec_id <> b.vec_id))
+         WHERE rank <= 8"""
+    def nbrAvg(rel: String) =
+      s"SELECT query_id, list_sum(list_transform(" +
+      s"list({'r': rank, 'c': cos} ORDER BY rank), e -> e.c)) / count(*)" +
+      s" AS nbr_avg FROM $rel GROUP BY query_id"
+    s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+       s1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+       fwd AS MATERIALIZED (${knn("s0", "s1")}),
+       bwd AS MATERIALIZED (${knn("s1", "s0")}),
+       fa AS (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvg("fwd")})),
+       ba AS (SELECT query_id AS neighbor_id, nbr_avg AS bwd_avg
+              FROM (${nbrAvg("bwd")})),
+       scored AS (
+         SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
+           round(fwd.cos, 6) AS cos,
+           round(fwd.cos / ((fa.fwd_avg + ba.bwd_avg) / 2.0), 6) AS margin
+         FROM fwd JOIN fa ON fa.query_id = fwd.query_id
+                  JOIN ba ON ba.neighbor_id = fwd.neighbor_id),
+       best AS MATERIALIZED (
+         SELECT src_id, tgt_id, cos, margin FROM (
+           SELECT src_id, tgt_id, cos, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS rk
+           FROM scored)
+         WHERE rk = 1),
+       idx AS (
+         SELECT cos, margin,
+           ROW_NUMBER() OVER (ORDER BY margin, src_id) - 1 AS idx,
+           COUNT(*) OVER () AS n
+         FROM best)
+       SELECT CAST((idx * 4) // n AS BIGINT) AS tier,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         round(min(margin), 6) AS margin_lo,
+         round(max(margin), 6) AS margin_hi,
+         round(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e6), 6) AS mean_cos,
+         CAST(sum(CASE WHEN margin >= 1.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_release
+       FROM idx GROUP BY 1 ORDER BY 1"""
+  }
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q472_ann_recall" -> q472 _,
+    "q473_bitext_tiers" -> q473 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q472_ann_recall" -> q472Sql,
+    "q473_bitext_tiers" -> q473Sql)
+}

@@ -79,6 +79,19 @@ class SimilaritySpec extends GraftTestBase {
     assert(multi >= 0.6, s"multi-probe recall=$multi")
   }
 
+  test("q472 registered recall audit: multi-probe >= single-probe at every k") {
+    // the oracle-able twin of the operator-level recall pins above —
+    // the trust table a user runs before believing the banded kNN legs
+    val rows = graft.SparkEntry.queries("q472_ann_recall")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    Seq(1, 5).foreach { k =>
+      assert(rows(("srp_multiprobe", k)) >= rows(("srp", k)),
+        s"multiprobe recall@$k dropped below single-probe")
+    }
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("directed probes: superset of exact keys, fixed fan-out, budget buys recall cheaply") {
     val all = graft.Tables(spark, sf001)("embeddings")
     val src = all.filter($"label" === 0)
