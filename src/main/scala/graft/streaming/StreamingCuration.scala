@@ -130,6 +130,18 @@ object StreamingCuration {
       val benchmark = (id: org.apache.spark.sql.Column) => pmod(id, lit(97)) === 0
 
       // ---- static distillates (one-time index build; all tiny) ----
+      // contrastive-prep distillate: per-source ICT-with-context counts
+      // over the gated corpus — the cross-source negative pool sizes
+      // (one row per source, bounded). triplet_ok below = the doc
+      // yields an ICT (query, context) pair AND the corpus offers at
+      // least one other-source context as a negative — the q470 funnel
+      // stages as per-document columns, batch≡stream by construction.
+      val ictPool = input
+        .filter(size(TextFunctions.tokens(col("text"))) > 32)
+        .groupBy("source").agg(count(lit(1)).as("__ict_n"))
+        .localCheckpoint()
+      val ictTotal: Long = ictPool
+        .agg(coalesce(sum("__ict_n"), lit(0L))).collect()(0).getLong(0)
       val fpMin = input
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min("doc_id").as("min_id"))
@@ -381,15 +393,28 @@ object StreamingCuration {
               .cast("long"), lit(1000))
           val rate = when(col("pred_lang") === "en", 800).otherwise(900)
           admitted
+            .withColumn("__tok", size(TextFunctions.tokens(col("text"))))
+            .join(broadcast(ictPool), Seq("source"), "left")
             .select(col("doc_id"), col("source"), col("lang"),
-              col("pred_lang"), (bucket < rate).as("sampled"))
+              col("pred_lang"), (bucket < rate).as("sampled"),
+              (col("__tok") > 32).as("ict_ctx"),
+              // row-local chunk count at the q459 chunk size (ceil with
+              // the Chunker's 1-chunk floor) — the doc's ICT yield basis
+              (greatest(expr("(__tok - 1) DIV 32"), lit(0)) + 1)
+                .cast("int").as("ict_chunks"),
+              (col("__tok") > 32 &&
+                (lit(ictTotal) - coalesce(col("__ict_n"), lit(0L))) > 0)
+                .as("triplet_ok"))
             .createOrReplaceTempView("curation_updates")
           sess.sql(
             s"""MERGE INTO $resultTable t
                 USING curation_updates s ON t.doc_id = s.doc_id
                 WHEN NOT MATCHED THEN
-                  INSERT (doc_id, source, lang, pred_lang, sampled)
-                  VALUES (s.doc_id, s.source, s.lang, s.pred_lang, s.sampled)""")
+                  INSERT (doc_id, source, lang, pred_lang, sampled,
+                          ict_ctx, ict_chunks, triplet_ok)
+                  VALUES (s.doc_id, s.source, s.lang, s.pred_lang,
+                          s.sampled, s.ict_ctx, s.ict_chunks,
+                          s.triplet_ok)""")
           ()
         }
         .option("checkpointLocation",

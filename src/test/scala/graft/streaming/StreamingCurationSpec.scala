@@ -18,7 +18,8 @@ class StreamingCurationSpec extends GraftTestBase {
     spark.sql(s"DROP TABLE IF EXISTS gcur.db.$name")
     spark.sql(s"""CREATE TABLE gcur.db.$name
                   (doc_id BIGINT, source STRING, lang STRING,
-                   pred_lang STRING, sampled BOOLEAN)""")
+                   pred_lang STRING, sampled BOOLEAN,
+                   ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN)""")
     s"gcur.db.$name"
   }
 
@@ -41,6 +42,45 @@ class StreamingCurationSpec extends GraftTestBase {
     val batch = packed.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch)
     assert(streamed.size.toLong == f("hash_sample"))
+  }
+
+  test("contrastive-prep columns match the batch definitions per document") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val table = freshTable("curated_ict")
+    StreamingCuration.curateToTable(spark, sf001, table, domainCap = Cap)
+    // batch twins of the distillate columns: same corpus, same
+    // expressions (q470's ict predicate, the q459 chunk count, the
+    // cross-source negative pool)
+    val corpus = Tables(spark, sf001)("documents")
+    val tok = size(TextFunctions.tokens(col("text")))
+    val pool = corpus.filter(tok > 32)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val total = pool.agg(coalesce(sum("n"), lit(0L)))
+      .collect()(0).getLong(0)
+    val expect = corpus
+      .withColumn("__tok", tok)
+      .join(pool, Seq("source"), "left")
+      .select(col("doc_id"),
+        (col("__tok") > 32).as("e_ict"),
+        (greatest(expr("(__tok - 1) DIV 32"), lit(0)) + 1)
+          .cast("int").as("e_chunks"),
+        (col("__tok") > 32 &&
+          (lit(total) - coalesce(col("n"), lit(0L))) > 0).as("e_trip"))
+    val mismatches = spark.table(table)
+      .join(expect, "doc_id")
+      .filter(col("ict_ctx") =!= col("e_ict") ||
+        col("ict_chunks") =!= col("e_chunks") ||
+        col("triplet_ok") =!= col("e_trip"))
+      .count()
+    assert(mismatches == 0, s"$mismatches contrastive columns diverged")
+    // and the funnel yields are non-trivial on this corpus: some docs
+    // have context, and with >1 source every ict doc can mine a negative
+    val yields = spark.table(table)
+      .agg(sum(when(col("ict_ctx"), 1L).otherwise(0L)).as("ict"),
+        sum(when(col("triplet_ok"), 1L).otherwise(0L)).as("trip"))
+      .collect()(0)
+    assert(yields.getLong(0) > 0 && yields.getLong(1) > 0)
   }
 
   test("funnel equality holds at a non-default maxJaccard (containment gate tuned)") {
