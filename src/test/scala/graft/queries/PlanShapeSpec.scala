@@ -88,8 +88,9 @@ class PlanShapeSpec extends GraftTestBase {
       "q331_supplier_health", "q332_repeat_revenue", "q333_sq8_error",
       "q334_type_cooccurrence", "q335_cadence_segments",
       "q336_graph_degree",
-      // q338/q339 carry 1-row scalar broadcast cross joins (totals)
-      "q337_keyspace_audit", "q340_acf_table", "q341_name_revenue",
+      // q337/q338/q339 carry 1-row scalar broadcast cross joins
+      // (max_gap over the RowIndexer adjacency / totals)
+      "q340_acf_table", "q341_name_revenue",
       "q342_dow_eta_squared")
     val offenders = lazyQueries.flatMap { n =>
       val bad = plan(n).collect {
