@@ -197,6 +197,9 @@ object Bench {
       } catch { case _: Throwable => false }
     val stamped = args.isEmpty && accepted && refSfMatches
     if (stamped) writeOut("BENCH_FULL.json")
+    else if (args.isEmpty && accepted && !refSfMatches)
+      System.err.println(s"[bench] accepted sweep at $sfDir NOT stamped: " +
+        "BENCH_FULL.json holds a different scale factor (see BENCH_LAST.json)")
 
     // Compact stdout line for the driver: headline queries only (one per
     // major operator family, plus every entry that dominates runtime),

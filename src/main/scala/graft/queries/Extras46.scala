@@ -271,11 +271,15 @@ object Extras46 extends QueryPack {
     val d = Tables(s, dir)("documents")
     val base = d.select(col("doc_id"), col("text"))
     val n = base.count()
+    // both consumers (token mass, first-seen vocab) read the sliced
+    // frame: materialize once so the range shuffle + zipWithIndex
+    // lineage doesn't execute twice (the q313/q337 discipline)
     val sliced = RowIndexer.stableIndex(base, Seq(col("doc_id")))
       .select(col("doc_id"),
         RowIndexer.ntileBucket("idx", n, 10).as("slice"),
         filter(split(lower(col("text")), "[^a-z]+"),
           w => length(w) > 0).as("toks"))
+      .localCheckpoint()
     val tokCount = sliced.groupBy("slice")
       .agg(sum(size(col("toks"))).as("n_tok"))
     val firstSeen = sliced

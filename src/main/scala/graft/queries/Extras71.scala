@@ -22,7 +22,7 @@ import graft.operators.{Curriculum, Dedup, IctPairs, KmvDistinct, MarginScoring,
   */
 object Extras71 extends QueryPack {
 
-  import OracleVec.{dotSql, normSql}
+  import OracleVec.{dotSql, nbrAvgSql, normSql}
 
   private val Dim = 64
 
@@ -31,15 +31,6 @@ object Extras71 extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir)("documents")
-
-  /** Neighborhood-mean SQL twin of MarginScoring.nbrAvg: fold the k
-    * cosines in rank order (list(... ORDER BY rank) -> list_sum), so
-    * the sum is the same fixed IEEE tree as the Spark sorted fold —
-    * never a partition-order avg(). */
-  private def nbrAvgSql(rel: String): String =
-    s"SELECT query_id, list_sum(list_transform(" +
-    s"list({'r': rank, 'c': cos} ORDER BY rank), e -> e.c)) / count(*)" +
-    s" AS nbr_avg FROM $rel GROUP BY query_id"
 
   // --------------------------------------------------------------- q456
   /** SEMI-HARD NEGATIVES — for every 25th vector as anchor, the top-5
@@ -713,7 +704,9 @@ object Extras71 extends QueryPack {
            JOIN supplier ON l_suppkey = s_suppkey),
          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-         sd AS (SELECT n_nationkey AS node FROM nation WHERE n_nationkey % 5 = 0),
+         sd AS (SELECT n_nationkey AS node FROM nation
+                WHERE n_nationkey % 5 = 0
+                  AND n_nationkey IN (SELECT node FROM nodes)),
          ns AS (SELECT count(*)::DOUBLE AS n FROM sd),
          tp AS MATERIALIZED (
            SELECT nodes.node,

@@ -25,7 +25,7 @@ import graft.operators.Similarity
   */
 object Extras72 extends QueryPack {
 
-  import OracleVec.{cosSql, dotSql, normSql, sigExprSql}
+  import OracleVec.{cosSql, dotSql, nbrAvgSql, normSql, sigExprSql}
 
   private val Dim = 64
 
@@ -115,8 +115,7 @@ object Extras72 extends QueryPack {
                ORDER BY cos DESC, neighbor_id) AS rank
            FROM (
              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ${dotSql("q.embedding", "c.embedding")} /
-                 (${normSql("q.embedding")} * ${normSql("c.embedding")}) AS cos
+               ${cosSql("q.embedding", "c.embedding")} AS cos
              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
              WHERE q.vec_id % 50 = 0))
          WHERE rank <= 5),
@@ -132,8 +131,7 @@ object Extras72 extends QueryPack {
                ORDER BY cos DESC, neighbor_id) AS rank
            FROM (
              SELECT query_id, neighbor_id,
-               ${dotSql("eq.embedding", "ec.embedding")} /
-                 (${normSql("eq.embedding")} * ${normSql("ec.embedding")}) AS cos
+               ${cosSql("eq.embedding", "ec.embedding")} AS cos
              FROM (
                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                FROM bands q JOIN bands c
@@ -231,9 +229,10 @@ object Extras72 extends QueryPack {
     val tgt = all.filter(col("label") === 1)
     val fwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 8)
     val bwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 8)
-    // -1e9 floor = keep every src's best pair: margins are bounded by
-    // 1/|neighborhood avg| and the audit wants the WHOLE distribution
-    val mined = MarginScoring.bestPairs(fwd, bwd, minMargin = -1e9)
+    // -inf floor = keep every src's best pair (the audit wants the
+    // WHOLE margin distribution; any finite sentinel could clip it)
+    val mined = MarginScoring.bestPairs(fwd, bwd,
+      minMargin = Double.NegativeInfinity)
     Curriculum.interleave(mined, "src_id", "margin", tiers = 4)
       .groupBy("tier")
       .agg(count(lit(1)).as("n_pairs"),
@@ -262,17 +261,13 @@ object Extras72 extends QueryPack {
                  (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cos
              FROM $qTab a, $cTab b WHERE a.vec_id <> b.vec_id))
          WHERE rank <= 8"""
-    def nbrAvg(rel: String) =
-      s"SELECT query_id, list_sum(list_transform(" +
-      s"list({'r': rank, 'c': cos} ORDER BY rank), e -> e.c)) / count(*)" +
-      s" AS nbr_avg FROM $rel GROUP BY query_id"
     s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
        s1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
        fwd AS MATERIALIZED (${knn("s0", "s1")}),
        bwd AS MATERIALIZED (${knn("s1", "s0")}),
-       fa AS (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvg("fwd")})),
+       fa AS (SELECT query_id, nbr_avg AS fwd_avg FROM (${nbrAvgSql("fwd")})),
        ba AS (SELECT query_id AS neighbor_id, nbr_avg AS bwd_avg
-              FROM (${nbrAvg("bwd")})),
+              FROM (${nbrAvgSql("bwd")})),
        scored AS (
          SELECT fwd.query_id AS src_id, fwd.neighbor_id AS tgt_id,
            round(fwd.cos, 6) AS cos,

@@ -48,4 +48,14 @@ private[queries] object OracleVec {
     (0 until bits)
       .map(b => s"CASE WHEN ${dotSql(vecCol, s"(${hpList(b, dim)})")} > 0 THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
+
+  /** Neighborhood-mean SQL twin of MarginScoring.nbrAvg over a kNN
+    * relation (query_id, neighbor_id, cos, rank): fold the k cosines
+    * in rank order (`list(... ORDER BY rank)` → list_sum), so the sum
+    * is the same fixed IEEE tree as the Spark sorted fold — never a
+    * partition-order avg(). */
+  def nbrAvgSql(rel: String): String =
+    s"SELECT query_id, list_sum(list_transform(" +
+    s"list({'r': rank, 'c': cos} ORDER BY rank), e -> e.c)) / count(*)" +
+    s" AS nbr_avg FROM $rel GROUP BY query_id"
 }

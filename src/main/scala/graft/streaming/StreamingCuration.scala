@@ -95,8 +95,12 @@ object StreamingCuration {
 
   /** Drains the documents stream through the curation gates into
     * `resultTable` (a catalog table with columns (doc_id BIGINT,
-    * source STRING, lang STRING, pred_lang STRING, sampled BOOLEAN) —
-    * pred_lang is the LangId prediction, the per-language slice key).
+    * source STRING, lang STRING, pred_lang STRING, sampled BOOLEAN,
+    * ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN) —
+    * pred_lang is the LangId prediction, the per-language slice key;
+    * the last three are the contrastive-prep yield columns, computed
+    * per admitted document from row-local token counts plus the
+    * per-source negative-pool distillate).
     * Gate state distills from `dir`'s documents table; the stream
     * reads `streamDir` (defaults to `dir` — the replay/convergence
     * case; point it elsewhere to ingest never-seen documents through

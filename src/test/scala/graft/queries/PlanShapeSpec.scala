@@ -418,6 +418,11 @@ class PlanShapeSpec extends GraftTestBase {
       // RowIndexer/localCheckpoint outputs surface as RDD scans; they
       // are corpus-sized unless something above them bounds the rows
       case _: RDDScanExec | _: ExternalRDDScanExec[_] => true
+      // .cache() and exchange reuse also hide corpus-sized inputs
+      // behind childless leaves — treat both as raw so a cached base
+      // table under a global window cannot slip past the pin
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
       case other => other.children.exists(rawScan)
     }
     // Documented bounded-by-construction sites the walk cannot see
