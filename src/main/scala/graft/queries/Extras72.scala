@@ -297,11 +297,107 @@ object Extras72 extends QueryPack {
        FROM idx GROUP BY 1 ORDER BY 1"""
   }
 
+  // --------------------------------------------------------------- q474
+  /** IN-BATCH FALSE-NEGATIVE AUDIT — contrastive training treats every
+    * other in-batch example as a negative, so two near-duplicates
+    * landing in the same batch poison the loss with a false negative
+    * (the denoising concern in RocketQA, Qu et al. 2021). Over the
+    * q465 training slice: near-dup FAMILIES (q26 md5 minhash pairs →
+    * spanning-forest components), the q455 md5-shuffled batch
+    * assignment (B=32 via the RowIndexer stamp), and the audit — how
+    * many same-family pairs cohabit a batch. Collisions per group are
+    * m·(m−1)/2 integer arithmetic on (batch, family) counts: no pair
+    * join at all.
+    *
+    * Scale shape: the pair relation is banded + hot-capped; components
+    * are the O(log) contraction; the batch stamp is one range shuffle;
+    * the audit is two stacked hash-aggs over (batch, family) — every
+    * stage keyed, nothing corpus×corpus. */
+  private def q474(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, Dedup, RowIndexer}
+    val d = Tables(s, dir)("documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pairs = Dedup.minhashDedupMd5(d, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    val fams = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .localCheckpoint() // read by the batch join and the family stats
+    val keyed = d.select(col("doc_id"),
+      md5(concat(lit("shd:"), col("doc_id").cast("string"))).as("skey"))
+    val groups = RowIndexer.stableIndex(keyed, Seq(col("skey"), col("doc_id")))
+      .withColumn("batch", expr("idx DIV 32"))
+      .join(fams, Seq("doc_id"), "left")
+      .select(col("batch"),
+        coalesce(col("component"), col("doc_id")).as("fam"))
+      .groupBy("batch", "fam").agg(count(lit(1)).as("m"))
+    val perBatch = groups.groupBy("batch")
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("coll"), sum("m").as("bsz"))
+    val famStats = fams.groupBy("component").agg(count(lit(1)).as("fs"))
+      .agg(count(lit(1)).as("n_families"), sum("fs").as("docs_in_families"))
+    perBatch
+      .agg(count(lit(1)).as("n_batches"), sum("bsz").as("n_docs"),
+        sum("coll").as("collision_pairs"),
+        sum(when(col("coll") > 0, 1L).otherwise(0L))
+          .as("batches_with_collision"))
+      .crossJoin(broadcast(famStats))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_batches").cast("long").as("n_batches"),
+        col("n_families").cast("long").as("n_families"),
+        col("docs_in_families").cast("long").as("docs_in_families"),
+        col("collision_pairs").cast("long").as("collision_pairs"),
+        col("batches_with_collision").cast("long")
+          .as("batches_with_collision"),
+        round(col("collision_pairs").cast("double") / col("n_batches"), 6)
+          .as("collisions_per_batch"))
+  }
+
+  private val q474Sql: String =
+    s"""WITH RECURSIVE ${OracleSketch.minhashCtes("doc_id % 5 = 0")},
+       edges AS (SELECT id_a, id_b FROM mh_est WHERE e >= 0.2),
+       und AS (SELECT id_a AS a, id_b AS b FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+       cc AS (
+         SELECT a, b FROM und
+         UNION
+         SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
+       fam AS MATERIALIZED (
+         SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM cc GROUP BY a),
+       keyed AS (
+         SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS skey
+         FROM documents WHERE doc_id % 5 = 0),
+       idx AS (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS idx
+         FROM keyed),
+       g AS (
+         SELECT (idx // 32) AS batch,
+                COALESCE(component, i.doc_id) AS fam, count(*) AS m
+         FROM idx i LEFT JOIN fam USING (doc_id)
+         GROUP BY 1, 2),
+       pb AS (
+         SELECT batch, sum(m * (m - 1) // 2) AS coll, sum(m) AS bsz
+         FROM g GROUP BY 1),
+       fs AS (
+         SELECT count(*) AS n_families, sum(fsz) AS docs_in_families
+         FROM (SELECT component, count(*) AS fsz FROM fam GROUP BY 1))
+       SELECT CAST(sum(bsz) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(any_value(n_families) AS BIGINT) AS n_families,
+         CAST(any_value(docs_in_families) AS BIGINT) AS docs_in_families,
+         CAST(sum(coll) AS BIGINT) AS collision_pairs,
+         CAST(sum(CASE WHEN coll > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS batches_with_collision,
+         round(CAST(sum(coll) AS DOUBLE) / count(*), 6)
+           AS collisions_per_batch
+       FROM pb CROSS JOIN fs"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q472_ann_recall" -> q472 _,
-    "q473_bitext_tiers" -> q473 _)
+    "q473_bitext_tiers" -> q473 _,
+    "q474_batch_collisions" -> q474 _)
 
   override val oracles: Map[String, String] = Map(
     "q472_ann_recall" -> q472Sql,
-    "q473_bitext_tiers" -> q473Sql)
+    "q473_bitext_tiers" -> q473Sql,
+    "q474_batch_collisions" -> q474Sql)
 }
