@@ -25,16 +25,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runOnceRaw(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+          e.getStackTrace.take(8).foreach(f =>
+            System.err.println(s"[bench]   at $f"))
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // One retry after a crashed run: a 471-query sweep shares one JVM
+    // for ~30 min, and transient JVM-state errors (a "Recursive
+    // update" ConcurrentHashMap re-entrancy killed q436 once in an
+    // otherwise-clean round-12 sweep, unreproducible in isolation)
+    // must not reject the whole sweep. A PLAN failure fails twice and
+    // still lands as -1; the retry is logged either way.
+    def runOnce(name: String): Double = {
+      val t = runOnceRaw(name)
+      if (t >= 0) t
+      else {
+        Thread.sleep(2000)
+        val r = runOnceRaw(name)
+        System.err.println(s"[bench] $name retry after crash: " +
+          (if (r >= 0) f"recovered ($r%.3f s)" else "failed again"))
+        r
+      }
     }
 
     // warm-up: session init, parquet footer cache, codegen compiler
