@@ -32,6 +32,22 @@ class RowIndexerSpec extends GraftTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("ntileBucket is bit-identical to ntile() for every n/k edge shape") {
+    import spark.implicits._
+    // n < k, n = k, k | n, remainder cases, k = 1
+    for ((n, k) <- Seq((3, 10), (10, 10), (40, 10), (43, 10), (7, 3), (9, 1))) {
+      val df = (0L until n.toLong).toDF("v")
+      val want = df.select(col("v"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("v"))).as("b"))
+        .orderBy("v").collect().map(_.getInt(1)).toSeq
+      val got = RowIndexer.stableIndex(df, Seq(col("v")))
+        .select(col("v"), RowIndexer.ntileBucket("idx", n.toLong, k).as("b"))
+        .orderBy("v").collect().map(_.getInt(1)).toSeq
+      assert(got == want, s"n=$n k=$k: $got != $want")
+    }
+  }
+
   test("plans without a global single-partition Window") {
     val d = graft.Tables(spark, sf001).documents.select(col("doc_id"))
     val indexed = RowIndexer.stableIndex(d, Seq(col("doc_id")))
