@@ -391,13 +391,92 @@ object Extras72 extends QueryPack {
            AS collisions_per_batch
        FROM pb CROSS JOIN fs"""
 
+  // --------------------------------------------------------------- q475
+  /** LANGID ACCURACY AUDIT — per-language precision/recall/F1 of the
+    * [[graft.operators.LangId]] classifier against the corpus's gold
+    * `lang` column, the audit every langid-bucketed pipeline (mC4,
+    * CC-Net) publishes before trusting the buckets. The corpus carries
+    * a language the 4-language model cannot predict (zh), so the table
+    * also prices the out-of-model case: its recall row is the mass the
+    * model misroutes, and n_und counts per-language abstentions.
+    *
+    * All integer counts; F1 = 2·TP/(n_gold + n_pred) so every ratio is
+    * one rounded division of exact integers. Scale shape: one
+    * zero-shuffle classify projection, materialized as the slim
+    * (lang, pred_lang) frame (two tiny hash-aggs read it), then an
+    * L-row join — nothing corpus-sized after the scan. */
+  private def q475(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LangId
+    val scored = LangId.classify(Tables(s, dir)("documents"), "text")
+      .select(col("lang"), col("pred_lang"))
+      .localCheckpoint() // slim 2-column frame, read by both aggs
+    val gold = scored.groupBy("lang").agg(
+      count(lit(1)).as("n_gold"),
+      sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+        .as("n_correct"),
+      sum(when(col("pred_lang") === "und", 1L).otherwise(0L)).as("n_und"))
+    val pred = scored.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    gold.join(pred, Seq("lang"), "left")
+      .select(col("lang"),
+        col("n_gold").cast("long").as("n_gold"),
+        col("n_correct").cast("long").as("n_correct"),
+        coalesce(col("n_pred"), lit(0L)).cast("long").as("n_pred"),
+        col("n_und").cast("long").as("n_und"),
+        round(col("n_correct").cast("double")
+          / greatest(coalesce(col("n_pred"), lit(0L)), lit(1L)), 6)
+          .as("precision"),
+        round(col("n_correct").cast("double") / col("n_gold"), 6)
+          .as("recall"),
+        round(lit(2.0) * col("n_correct")
+          / (col("n_gold") + coalesce(col("n_pred"), lit(0L))), 6)
+          .as("f1"))
+      .orderBy("lang")
+  }
+
+  private val q475Sql: String = {
+    import graft.operators.LangId
+    val langs = LangId.defaultModel.map(_._1)
+    s"""WITH s0 AS (
+         SELECT lang, ${OracleLangId.surfaceSql("text")} AS s
+         FROM documents),
+       sc AS (
+         SELECT lang,
+           ${OracleLangId.scoreListSql()}
+         FROM s0),
+       preds AS MATERIALIZED (
+         SELECT lang, ${OracleLangId.predCaseSql(langs)} AS pred_lang
+         FROM sc),
+       gold AS (
+         SELECT lang, count(*) AS n_gold,
+           sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+           sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS n_und
+         FROM preds GROUP BY 1),
+       pred AS (
+         SELECT pred_lang AS lang, count(*) AS n_pred
+         FROM preds GROUP BY 1)
+       SELECT g.lang,
+         CAST(n_gold AS BIGINT) AS n_gold,
+         CAST(n_correct AS BIGINT) AS n_correct,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(n_und AS BIGINT) AS n_und,
+         round(CAST(n_correct AS DOUBLE)
+           / greatest(COALESCE(n_pred, 0), 1), 6) AS precision,
+         round(CAST(n_correct AS DOUBLE) / n_gold, 6) AS recall,
+         round(2.0 * n_correct / (n_gold + COALESCE(n_pred, 0)), 6) AS f1
+       FROM gold g LEFT JOIN pred p ON p.lang = g.lang
+       ORDER BY g.lang"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q472_ann_recall" -> q472 _,
     "q473_bitext_tiers" -> q473 _,
-    "q474_batch_collisions" -> q474 _)
+    "q474_batch_collisions" -> q474 _,
+    "q475_langid_audit" -> q475 _)
 
   override val oracles: Map[String, String] = Map(
     "q472_ann_recall" -> q472Sql,
     "q473_bitext_tiers" -> q473Sql,
-    "q474_batch_collisions" -> q474Sql)
+    "q474_batch_collisions" -> q474Sql,
+    "q475_langid_audit" -> q475Sql)
 }
