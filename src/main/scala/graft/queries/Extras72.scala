@@ -309,10 +309,12 @@ object Extras72 extends QueryPack {
     * m·(m−1)/2 integer arithmetic on (batch, family) counts: no pair
     * join at all.
     *
-    * Scale shape: the pair relation is banded + hot-capped; components
-    * are the O(log) contraction; the batch stamp is one range shuffle;
-    * the audit is two stacked hash-aggs over (batch, family) — every
-    * stage keyed, nothing corpus×corpus. */
+    * Scale shape: the pair relation is banded (the q26 md5-oracle
+    * pricing — UNcapped here so the SQL twin replays it exactly; the
+    * production swap is the hot-capped q380 path via maxBucket);
+    * components are the O(log) contraction; the batch stamp is one
+    * range shuffle; the audit is two stacked hash-aggs over
+    * (batch, family) — every stage keyed, nothing corpus×corpus. */
   private def q474(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConnectedComponents, Dedup, RowIndexer}
     val d = Tables(s, dir)("documents")
@@ -354,15 +356,7 @@ object Extras72 extends QueryPack {
   private val q474Sql: String =
     s"""WITH RECURSIVE ${OracleSketch.minhashCtes("doc_id % 5 = 0")},
        edges AS (SELECT id_a, id_b FROM mh_est WHERE e >= 0.2),
-       und AS (SELECT id_a AS a, id_b AS b FROM edges
-               UNION SELECT id_b, id_a FROM edges),
-       cc AS (
-         SELECT a, b FROM und
-         UNION
-         SELECT cc.a, u.b FROM cc JOIN und u ON cc.b = u.a),
-       fam AS MATERIALIZED (
-         SELECT a AS doc_id, least(a, min(b)) AS component
-         FROM cc GROUP BY a),
+       ${OracleSketch.componentsCtes("edges")},
        keyed AS (
          SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS skey
          FROM documents WHERE doc_id % 5 = 0),
@@ -372,14 +366,14 @@ object Extras72 extends QueryPack {
        g AS (
          SELECT (idx // 32) AS batch,
                 COALESCE(component, i.doc_id) AS fam, count(*) AS m
-         FROM idx i LEFT JOIN fam USING (doc_id)
+         FROM idx i LEFT JOIN cc_fam USING (doc_id)
          GROUP BY 1, 2),
        pb AS (
          SELECT batch, sum(m * (m - 1) // 2) AS coll, sum(m) AS bsz
          FROM g GROUP BY 1),
        fs AS (
          SELECT count(*) AS n_families, sum(fsz) AS docs_in_families
-         FROM (SELECT component, count(*) AS fsz FROM fam GROUP BY 1))
+         FROM (SELECT component, count(*) AS fsz FROM cc_fam GROUP BY 1))
        SELECT CAST(sum(bsz) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_batches,
          CAST(any_value(n_families) AS BIGINT) AS n_families,

@@ -54,6 +54,24 @@ private[queries] object OracleSketch {
          FROM mh_pairs)"""
   }
 
+  /** Connected-components CTEs over an edge relation `edgesCte`
+    * (id_a, id_b): symmetric closure → recursive transitive closure →
+    * min-reachable-id labeling. Terminal CTE: `cc_fam`
+    * (doc_id, component). The caller's WITH must be RECURSIVE.
+    * One source for the closure fragment q65/q368/q402/q417/q438/q474
+    * replay (the older copies can migrate opportunistically, the
+    * OracleVec discipline). */
+  def componentsCtes(edgesCte: String): String =
+    s"""cc_und AS (SELECT id_a AS a, id_b AS b FROM $edgesCte
+               UNION SELECT id_b, id_a FROM $edgesCte),
+       cc_cl AS (
+         SELECT a, b FROM cc_und
+         UNION
+         SELECT cc_cl.a, u.b FROM cc_cl JOIN cc_und u ON cc_cl.b = u.a),
+       cc_fam AS MATERIALIZED (
+         SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM cc_cl GROUP BY a)"""
+
   /** SimHash candidate CTEs (whitespace tokens, 32-bit md5-family
     * signature, 4×8-bit chunk keys). Terminal CTE: `sh_ham`
     * (id_a, id_b, hamming) — the caller filters `hamming <= h`. */
