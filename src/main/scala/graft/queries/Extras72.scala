@@ -462,15 +462,86 @@ object Extras72 extends QueryPack {
        ORDER BY g.lang"""
   }
 
+  // --------------------------------------------------------------- q476
+  /** EVAL-SIDE DIRTINESS REPORT — the GPT-3 appendix-C audit flipped
+    * from q75's train-side view: for every BENCHMARK document, what
+    * fraction of its distinct word 3-grams also appears in the
+    * training corpus, plus the any-collision dirty flag. q75 answers
+    * "which training docs must I drop"; this answers "which eval
+    * examples were already compromised" — the number a model report
+    * publishes next to its benchmark scores.
+    *
+    * Scale shape: identical to q75 — the benchmark side (1-in-97) is
+    * the broadcast build side, the training corpus streams through it
+    * map-side, and only the distinct (bench_id, gram) hit pairs
+    * shuffle; totals come from the bench side alone. Integer counts,
+    * one rounded division. */
+  private def q476(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sh = Tables(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordShingles(col("toks"), 3))).as("sh"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val totals = bench.groupBy("bench_id").agg(count(lit(1)).as("n_ngrams"))
+    val hits = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(broadcast(bench), "sh")
+      .select(col("bench_id"), col("sh")).distinct()
+      .groupBy("bench_id").agg(count(lit(1)).as("n_dirty"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        coalesce(col("n_dirty"), lit(0L)).cast("long").as("n_dirty"),
+        round(coalesce(col("n_dirty"), lit(0L)).cast("double")
+          / col("n_ngrams"), 6).as("dirty_frac"),
+        (coalesce(col("n_dirty"), lit(0L)) > 0).cast("int").as("is_dirty"))
+      .orderBy("bench_id")
+  }
+
+  private val q476Sql: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH base AS (
+         SELECT doc_id, $toksSql AS toks FROM documents
+         WHERE len($toksSql) >= 3),
+       sh AS MATERIALIZED (
+         SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         FROM base),
+       bench AS MATERIALIZED (
+         SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
+       tot AS (SELECT bench_id, count(*) AS n_ngrams FROM bench GROUP BY 1),
+       hits AS (
+         SELECT bench_id, count(*) AS n_dirty FROM (
+           SELECT DISTINCT b.bench_id, b.sh
+           FROM bench b JOIN sh t ON t.sh = b.sh
+           WHERE t.doc_id % 97 <> 0)
+         GROUP BY 1)
+       SELECT t.bench_id,
+         CAST(n_ngrams AS BIGINT) AS n_ngrams,
+         CAST(COALESCE(n_dirty, 0) AS BIGINT) AS n_dirty,
+         round(CAST(COALESCE(n_dirty, 0) AS DOUBLE) / n_ngrams, 6)
+           AS dirty_frac,
+         CAST(COALESCE(n_dirty, 0) > 0 AS INT) AS is_dirty
+       FROM tot t LEFT JOIN hits h ON h.bench_id = t.bench_id
+       ORDER BY t.bench_id"""
+  }
+
   override val queries: Map[String, QueryFn] = Map(
     "q472_ann_recall" -> q472 _,
     "q473_bitext_tiers" -> q473 _,
     "q474_batch_collisions" -> q474 _,
-    "q475_langid_audit" -> q475 _)
+    "q475_langid_audit" -> q475 _,
+    "q476_eval_dirtiness" -> q476 _)
 
   override val oracles: Map[String, String] = Map(
     "q472_ann_recall" -> q472Sql,
     "q473_bitext_tiers" -> q473Sql,
     "q474_batch_collisions" -> q474Sql,
-    "q475_langid_audit" -> q475Sql)
+    "q475_langid_audit" -> q475Sql,
+    "q476_eval_dirtiness" -> q476Sql)
 }
