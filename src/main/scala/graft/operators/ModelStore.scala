@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persist/load contract for the engine's trained model artifacts —
+  * the "train once, apply many" half of the index lifecycle.
+  *
+  * A 100 TB pipeline does not refit its quantizer or classifier per
+  * run: the IVF coarse centroids, PQ codebooks, and quality-classifier
+  * weights are fit ONCE on a bounded sample ([[IvfPq.fit]],
+  * [[QualityClassifier.fit]]) and then served for months across
+  * thousands of encode/probe/score jobs. This store gives every fitted
+  * artifact a parquet layout plus a (key, value) manifest carrying a
+  * format version and the shape parameters, so an apply job can
+  * validate what it loads before baking the values into literals.
+  *
+  * Exactness: every model value is a Double and parquet round-trips
+  * doubles bit-for-bit, so serve-from-disk output is BIT-IDENTICAL to
+  * serve-from-fit — q480 pins that end-to-end by oracling the
+  * persisted-serve query against q358's committed golden. Load order
+  * is re-imposed from the stored ids (centroid_id / (subspace, code) /
+  * weight pos), never from file row order, so the artifact survives
+  * any writer partitioning.
+  *
+  * Layout under `path/`:
+  *   - manifest.parquet           (key STRING, value STRING)
+  *   - ivfpq:    coarse.parquet   (centroid_id INT, centroid ARRAY<DOUBLE>)
+  *               codebooks.parquet(subspace INT, code INT, centroid ARRAY<DOUBLE>)
+  *   - logistic: weights.parquet  (pos INT, feature STRING, weight DOUBLE)
+  *               — pos 0 is the bias, pos i>=1 aligns with the feature list
+  *   - centroids: centroids.parquet (centroid_id BIGINT, centroid ARRAY<DOUBLE>)
+  *               — the [[Similarity.ivfTopK]]/[[KMeans.fit]] frame shape
+  */
+object ModelStore {
+
+  val FormatVersion = "1"
+
+  private def manifestDf(spark: SparkSession,
+                         kvs: Seq[(String, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(kvs.map(kv => Row(kv._1, kv._2)): _*), schema)
+  }
+
+  private def readManifest(spark: SparkSession,
+                           path: String): Map[String, String] =
+    spark.read.parquet(s"$path/manifest.parquet")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def requireKind(manifest: Map[String, String], kind: String,
+                          path: String): Unit = {
+    require(manifest.get("kind").contains(kind),
+      s"artifact at $path is '${manifest.getOrElse("kind", "?")}', expected '$kind'")
+    require(manifest.get("version").contains(FormatVersion),
+      s"artifact at $path has version ${manifest.getOrElse("version", "?")}, " +
+        s"reader supports $FormatVersion")
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  def saveIvfPq(spark: SparkSession, model: IvfPq.Model,
+                path: String): Unit = {
+    val dim = model.coarse.head.length
+    val vecArr = ArrayType(DoubleType, containsNull = false)
+    val coarseSchema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("centroid", vecArr, nullable = false)))
+    val coarseRows = model.coarse.zipWithIndex.map {
+      case (c, i) => Row(i, c)
+    }
+    val bookSchema = StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", vecArr, nullable = false)))
+    val bookRows = for {
+      (book, s) <- model.pq.codebooks.zipWithIndex
+      (c, k)    <- book.zipWithIndex
+    } yield Row(s, k, c)
+    spark.createDataFrame(java.util.Arrays.asList(coarseRows: _*), coarseSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/coarse.parquet")
+    spark.createDataFrame(java.util.Arrays.asList(bookRows: _*), bookSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks.parquet")
+    manifestDf(spark, Seq(
+      "kind" -> "ivfpq", "version" -> FormatVersion,
+      "dim" -> dim.toString, "coarse_k" -> model.coarse.length.toString,
+      "m" -> model.pq.m.toString, "sub_dim" -> model.pq.subDim.toString,
+      "codes" -> model.pq.codebooks.head.length.toString))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): IvfPq.Model = {
+    val man = readManifest(spark, path)
+    requireKind(man, "ivfpq", path)
+    val coarseK = man("coarse_k").toInt
+    val m = man("m").toInt
+    val codes = man("codes").toInt
+    val coarse = spark.read.parquet(s"$path/coarse.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    require(coarse.length == coarseK,
+      s"coarse table at $path has ${coarse.length} rows, manifest says $coarseK")
+    val books = spark.read.parquet(s"$path/codebooks.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    require(books.length == m && books.forall(_.length == codes),
+      s"codebook table at $path does not match manifest shape m=$m codes=$codes")
+    IvfPq.Model(coarse, ProductQuantizer.Model(m, man("sub_dim").toInt, books))
+  }
+
+  // --------------------------------------------------------- centroids
+
+  /** Persist a (centroid_id, centroid) frame — the [[KMeans.fit]] /
+    * [[Similarity.ivfTopK]] centroid-table shape. The frame is
+    * k rows: coalesce(1) keeps the artifact one file. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit = {
+    val spark = centroids.sparkSession
+    val frame = centroids.select(
+      col("centroid_id").cast("long").as("centroid_id"),
+      col("centroid").cast("array<double>").as("centroid"))
+    val dim = frame.select(size(col("centroid"))).head().getInt(0)
+    frame.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
+    manifestDf(spark, Seq(
+      "kind" -> "centroids", "version" -> FormatVersion,
+      "dim" -> dim.toString))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Load a persisted centroid table, ordered by centroid_id. */
+  def loadCentroids(spark: SparkSession, path: String): DataFrame = {
+    requireKind(readManifest(spark, path), "centroids", path)
+    spark.read.parquet(s"$path/centroids.parquet").orderBy("centroid_id")
+  }
+
+  // ---------------------------------------------------------- logistic
+
+  /** Persist fitted logistic weights: pos 0 = bias, pos i aligns with
+    * `featureNames(i - 1)` — the order [[QualityClassifier.fit]]
+    * returns and [[QualityClassifier.fittedModel]] consumes. */
+  def saveLogistic(spark: SparkSession, featureNames: Seq[String],
+                   weights: Seq[Double], path: String): Unit = {
+    require(weights.length == featureNames.length + 1,
+      s"${weights.length} weights for ${featureNames.length} features (+bias)")
+    val schema = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("weight", DoubleType, nullable = false)))
+    val rows = ("bias" +: featureNames).zip(weights).zipWithIndex.map {
+      case ((name, w), i) => Row(i, name, w)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/weights.parquet")
+    manifestDf(spark, Seq(
+      "kind" -> "logistic", "version" -> FormatVersion,
+      "n_features" -> featureNames.length.toString))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Load persisted logistic weights: (featureNames, bias +: weights),
+    * re-ordered by stored pos. */
+  def loadLogistic(spark: SparkSession,
+                   path: String): (Seq[String], Seq[Double]) = {
+    val man = readManifest(spark, path)
+    requireKind(man, "logistic", path)
+    val rows = spark.read.parquet(s"$path/weights.parquet")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.length == man("n_features").toInt + 1,
+      s"weight table at $path has ${rows.length} rows, manifest says " +
+        s"${man("n_features").toInt + 1}")
+    (rows.drop(1).map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+}

@@ -27,28 +27,49 @@ object QualityClassifier {
   /** (feature expression, weight) pairs + bias. */
   final case class Model(bias: Double, terms: Seq[(Column, Double)])
 
-  /** The library's default feature set over a text column — exact
-    * count ratios, shared with the q22 rule-based profile. */
-  def defaultModel(text: Column): Model = {
+  /** The library's feature set over a text column, NAMED so fitted
+    * weights can persist/load positionally ([[ModelStore.saveLogistic]])
+    * — exact count ratios, shared with the q22 rule-based profile. */
+  def defaultFeatures(text: Column): Seq[(String, Column)] = {
     val toks = TextFunctions.tokens(text)
     val nTok = size(toks).cast("double")
     val nChars = length(text).cast("double")
-    Model(
-      bias = -1.2,
-      terms = Seq(
-        // longer docs are likelier to be prose, saturating via ratio
-        (nTok / (nTok + lit(50.0)), 2.4),
-        // stopword density: the strongest natural-language signal
-        (TextFunctions.stopwordCount(toks,
-          Seq("the", "a", "of", "to", "and")).cast("double") /
-          greatest(nTok, lit(1.0)), 6.0),
-        // punctuation share: prose has some, boilerplate/code has lots
-        (TextFunctions.punctCount(text).cast("double") /
-          greatest(nChars, lit(1.0)), -8.0),
-        // lexical diversity: near-zero for template/repetition spam
-        (size(array_distinct(toks)).cast("double") /
-          greatest(nTok, lit(1.0)), 1.5)))
+    Seq(
+      // longer docs are likelier to be prose, saturating via ratio
+      "len_sat" -> nTok / (nTok + lit(50.0)),
+      // stopword density: the strongest natural-language signal
+      "stopword_ratio" -> (TextFunctions.stopwordCount(toks,
+        Seq("the", "a", "of", "to", "and")).cast("double") /
+        greatest(nTok, lit(1.0))),
+      // punctuation share: prose has some, boilerplate/code has lots
+      "punct_share" -> (TextFunctions.punctCount(text).cast("double") /
+        greatest(nChars, lit(1.0))),
+      // lexical diversity: near-zero for template/repetition spam
+      "ttr" -> (size(array_distinct(toks)).cast("double") /
+        greatest(nTok, lit(1.0))))
   }
+
+  /** Reference literal weights for [[defaultFeatures]] (hand-set; a
+    * deployment replaces them with a [[fit]] result via
+    * [[fittedModel]] — the plan shape is identical either way). */
+  val DefaultWeights: Seq[Double] = Seq(-1.2, 2.4, 6.0, -8.0, 1.5)
+
+  def defaultModel(text: Column): Model =
+    fromWeights(defaultFeatures(text), DefaultWeights)
+
+  /** Assemble a Model from a feature list plus a (bias +: weights)
+    * vector — the [[fit]]/[[ModelStore.loadLogistic]] output shape. */
+  def fromWeights(features: Seq[(String, Column)],
+                  weights: Seq[Double]): Model = {
+    require(weights.length == features.length + 1,
+      s"${weights.length} weights for ${features.length} features (+bias)")
+    Model(weights.head, features.map(_._2).zip(weights.tail))
+  }
+
+  /** [[fromWeights]] over the default feature set — the serve side of
+    * the persisted-classifier contract. */
+  def fittedModel(text: Column, weights: Seq[Double]): Model =
+    fromWeights(defaultFeatures(text), weights)
 
   /** The pre-sigmoid logit z = bias + Σ wᵢ·fᵢ, summed in term order —
     * pure rational arithmetic on exact count ratios, so it is
@@ -71,5 +92,127 @@ object QualityClassifier {
     val score = scoreExpr(model(col(textCol)))
     docs.withColumn("quality_score", score)
       .withColumn("kept", (col("quality_score") >= threshold).cast("int"))
+  }
+
+  /** Fit the classifier's weights IN-ENGINE — fixed-round IRLS
+    * (Newton-Raphson on the logistic log-likelihood: each round solves
+    * (Xᵀ S X + λI) δ = Xᵀ(y − p)) over a BOUNDED deterministic sample,
+    * the same driver-fit class as [[KMeans.fitLocal]] / [[IvfPq.fit]]:
+    * at 100 TB a fastText-style quality filter is trained on O(10³-10⁴)
+    * labeled rows and served everywhere, so the cluster does ONE
+    * bounded top-S job (smallest md5(id) — reproducible under retries,
+    * scale-independent) and the tiny (d+1)² normal-equation solve runs
+    * driver-local in fixed ascending-id accumulation order.
+    *
+    * Determinism: fixed row order, [[StrictMath.exp]] (bit-specified,
+    * unlike Math.exp's 1-ulp license), fixed-pivot Gaussian
+    * elimination, fixed round count, and the returned weights rounded
+    * to 6 dp — so every downstream score/logit literal is
+    * bit-deterministic, which is what lets the q478 golden snapshot
+    * pin the fit across engines and configs.
+    *
+    * `labelExpr` must evaluate to 0.0/1.0 doubles. Returns
+    * (bias +: weights) aligned with `features` — feed to
+    * [[fromWeights]] / [[ModelStore.saveLogistic]].
+    * `sampleSize <= 0` fits on every row (still driver-local). */
+  def fit(docs: DataFrame, idCol: String, labelExpr: Column,
+          features: Seq[(String, Column)],
+          iters: Int = 4, sampleSize: Int = 2000,
+          ridge: Double = 1e-6): Seq[Double] = {
+    require(iters > 0, "iters must be positive")
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      array(features.map(_._2.cast("double")): _*).as("__x"),
+      labelExpr.cast("double").as("__y"))
+    val sampled =
+      if (sampleSize <= 0) base
+      else base.withColumn("__h", md5(col("__id").cast("string")))
+        .orderBy(col("__h"), col("__id")).limit(sampleSize)
+        .select("__id", "__x", "__y")
+    val rows = sampled.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // fixed accumulation order (KMeans.fitLocal discipline)
+    require(rows.nonEmpty, "empty fit sample")
+    fitLocal(rows.map { case (_, x, y) => (x, y) }.toIndexedSeq, iters, ridge)
+  }
+
+  /** The driver-local IRLS core behind [[fit]], exposed so the spec can
+    * pin it to the closed-form MLE on a toy. `rows` must already be in
+    * the caller's fixed order. Returns (bias +: weights), 6-dp. */
+  def fitLocal(rows: IndexedSeq[(Array[Double], Double)], iters: Int,
+               ridge: Double = 1e-6): Seq[Double] = {
+    val d = rows.head._1.length + 1 // bias + features
+    val w = new Array[Double](d)    // start at 0: p = 0.5 everywhere
+    (1 to iters).foreach { _ =>
+      val a = Array.fill(d)(new Array[Double](d))
+      val b = new Array[Double](d)
+      rows.foreach { case (x, y) =>
+        var z = w(0)
+        var j = 0
+        while (j < x.length) { z += w(j + 1) * x(j); j += 1 }
+        // clamped sigmoid: on separable data late rounds push |z| far
+        // out; the clamp keeps S invertible (with the ridge) without
+        // changing converged small-|z| arithmetic
+        val p0 = 1.0 / (1.0 + StrictMath.exp(-z))
+        val p = math.min(1.0 - 1e-12, math.max(1e-12, p0))
+        val s = p * (1.0 - p)
+        val r = y - p
+        var i = 0
+        while (i < d) {
+          val xi = if (i == 0) 1.0 else x(i - 1)
+          b(i) += xi * r
+          var k = i
+          while (k < d) {
+            val xk = if (k == 0) 1.0 else x(k - 1)
+            a(i)(k) += s * xi * xk
+            k += 1
+          }
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < d) { // mirror the upper triangle + ridge
+        a(i)(i) += ridge
+        var k = i + 1
+        while (k < d) { a(k)(i) = a(i)(k); k += 1 }
+        i += 1
+      }
+      val delta = solveFixed(a, b)
+      i = 0
+      while (i < d) { w(i) += delta(i); i += 1 }
+    }
+    w.map(x => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+  }
+
+  /** Gaussian elimination with FIXED pivot order (no row swaps — the
+    * ridge keeps the IRLS normal matrix strictly positive definite, so
+    * every natural pivot is nonzero) — a deterministic expression tree,
+    * bit-stable across JVMs. Mutates its arguments. */
+  private def solveFixed(a: Array[Array[Double]],
+                         b: Array[Double]): Array[Double] = {
+    val d = b.length
+    var i = 0
+    while (i < d) {
+      val piv = a(i)(i)
+      var r = i + 1
+      while (r < d) {
+        val f = a(r)(i) / piv
+        var c = i
+        while (c < d) { a(r)(c) -= f * a(i)(c); c += 1 }
+        b(r) -= f * b(i)
+        r += 1
+      }
+      i += 1
+    }
+    val x = new Array[Double](d)
+    i = d - 1
+    while (i >= 0) {
+      var s = b(i)
+      var c = i + 1
+      while (c < d) { s -= a(i)(c) * x(c); c += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
   }
 }
