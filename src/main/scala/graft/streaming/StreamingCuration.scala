@@ -96,11 +96,17 @@ object StreamingCuration {
   /** Drains the documents stream through the curation gates into
     * `resultTable` (a catalog table with columns (doc_id BIGINT,
     * source STRING, lang STRING, pred_lang STRING, sampled BOOLEAN,
-    * ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN) —
+    * ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN,
+    * batch_contaminated INT) —
     * pred_lang is the LangId prediction, the per-language slice key;
-    * the last three are the contrastive-prep yield columns, computed
-    * per admitted document from row-local token counts plus the
-    * per-source negative-pool distillate).
+    * ict_ctx/ict_chunks/triplet_ok are the contrastive-prep yield
+    * columns, computed per admitted document from row-local token
+    * counts plus the per-source negative-pool distillate;
+    * batch_contaminated is the q476 dirtiness gate at ingestion time —
+    * how many docs of the row's micro-batch collided with the
+    * benchmark shingle set, i.e. "did this incoming shard contaminate
+    * any benchmark", stamped per batch so replays keep the original
+    * batch's answer).
     * Gate state distills from `dir`'s documents table; the stream
     * reads `streamDir` (defaults to `dir` — the replay/convergence
     * case; point it elsewhere to ingest never-seen documents through
@@ -277,7 +283,11 @@ object StreamingCuration {
         }
 
       // ---- per-batch gate: batch semantics inside foreachBatch ----
-      def curateBatch(batch: DataFrame): DataFrame = {
+      // Returns the gated frame PLUS the batch's contaminated-doc count
+      // (the q476 ingestion-time flip: how many docs of THIS shard
+      // collide with the benchmark shingle set — the number an operator
+      // reads before trusting a freshly ingested shard near eval time).
+      def curateBatch(batch: DataFrame): (DataFrame, Long) = {
         // stage 0: language ID + gate, the same map-side projection
         // the distillates above were built behind
         val s0 = langGate(withLang(batch))
@@ -333,7 +343,11 @@ object StreamingCuration {
             count(lit(1))).as("__wfrac"))
           .filter(col("__wfrac") > maxWinnowDupFrac)
           .select("doc_id")
+        // materialized once: the contamination COUNT below and the
+        // funnel tail both read this batch-bounded frame (without it
+        // the whole gate prefix would evaluate twice per micro-batch)
         val s2d = s2c.join(winnowHeavy, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         val contaminated = s2d.filter(!benchmark(col("doc_id")))
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
@@ -341,6 +355,8 @@ object StreamingCuration {
             explode(TextFunctions.wordShingles(col("toks"), 3)).as("sh"))
           .join(broadcast(benchSh), "sh")
           .select("doc_id").distinct()
+          .localCheckpoint() // tiny id list: counted AND anti-joined
+        val nContaminated = contaminated.count()
         val s3 = s2d.filter(!benchmark(col("doc_id")))
           .join(contaminated, Seq("doc_id"), "left_anti")
         val quality = s3
@@ -357,13 +373,14 @@ object StreamingCuration {
               size(grams).cast("double"))
           .filter(col("__dup_frac") <= maxDupGramFrac)
           .drop("ws", "__dup_frac")
-        knModel match {
+        val gated = knModel match {
           case None => repetitionOut
           case Some(m) =>
             val bad = KnLm.score(repetitionOut, "doc_id", "text", m)
               .filter(col("avg_nll") > maxAvgNll).select("doc_id")
             repetitionOut.join(bad, Seq("doc_id"), "left_anti")
         }
+        (gated, nContaminated)
       }
 
       // ---- streaming drain: gate → cap → sample → MERGE ----
@@ -376,7 +393,7 @@ object StreamingCuration {
       val q = incoming.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sess = batch.sparkSession
-          val gated = curateBatch(batch)
+          val (gated, nContaminated) = curateBatch(batch)
           val admitted =
             if (domainCap == Long.MaxValue) gated
             else {
@@ -408,17 +425,23 @@ object StreamingCuration {
                 .cast("int").as("ict_chunks"),
               (col("__tok") > 32 &&
                 (lit(ictTotal) - coalesce(col("__ict_n"), lit(0L))) > 0)
-                .as("triplet_ok"))
+                .as("triplet_ok"),
+              // the q476 ingestion flip: every admitted row carries its
+              // micro-batch's benchmark-collision count, so "did this
+              // shard touch the eval set" is answerable from the
+              // admitted table without re-probing the corpus
+              lit(nContaminated).cast("int").as("batch_contaminated"))
             .createOrReplaceTempView("curation_updates")
           sess.sql(
             s"""MERGE INTO $resultTable t
                 USING curation_updates s ON t.doc_id = s.doc_id
                 WHEN NOT MATCHED THEN
                   INSERT (doc_id, source, lang, pred_lang, sampled,
-                          ict_ctx, ict_chunks, triplet_ok)
+                          ict_ctx, ict_chunks, triplet_ok,
+                          batch_contaminated)
                   VALUES (s.doc_id, s.source, s.lang, s.pred_lang,
                           s.sampled, s.ict_ctx, s.ict_chunks,
-                          s.triplet_ok)""")
+                          s.triplet_ok, s.batch_contaminated)""")
           ()
         }
         .option("checkpointLocation",

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+/** Pins [[QualityClassifier.fit]]'s IRLS to ground truth:
+  *   - on a 1-D binary-feature toy the logistic MLE has a CLOSED FORM
+  *     (bias = logit(P(y|x=0)), weight = logit(P(y|x=1)) − bias) and
+  *     converged IRLS must land on it;
+  *   - on a separable toy the fixed-round fit must reach a perfectly
+  *     separating boundary (weights keep growing round-over-round by
+  *     MLE divergence — the FIXED round count is what bounds them);
+  *   - the DataFrame path must equal the driver core on the same rows
+  *     (the sample/collect plumbing adds nothing);
+  *   - the whole fit is bit-deterministic (StrictMath + fixed orders).
+  */
+class LogisticFitSpec extends GraftTestBase {
+
+  // x=0: 70 rows, 21 positive (p=0.3); x=1: 50 rows, 40 positive (p=0.8)
+  private def binaryToy: IndexedSeq[(Array[Double], Double)] =
+    (IndexedSeq.fill(21)((Array(0.0), 1.0)) ++
+      IndexedSeq.fill(49)((Array(0.0), 0.0)) ++
+      IndexedSeq.fill(40)((Array(1.0), 1.0)) ++
+      IndexedSeq.fill(10)((Array(1.0), 0.0)))
+
+  test("IRLS converges to the closed-form MLE on the binary-feature toy") {
+    val w = QualityClassifier.fitLocal(binaryToy, iters = 25)
+    val bias = math.log(0.3 / 0.7)            // logit(p(y=1|x=0))
+    val slope = math.log(0.8 / 0.2) - bias    // logit(p(y=1|x=1)) − bias
+    assert(math.abs(w(0) - bias) < 1e-4, s"bias ${w(0)} vs $bias")
+    assert(math.abs(w(1) - slope) < 1e-4, s"slope ${w(1)} vs $slope")
+  }
+
+  test("fixed-round fit separates a separable toy perfectly") {
+    val rows = (0 until 40).map { i =>
+      val x = if (i % 2 == 0) 0.0 else 1.0
+      (Array(x), x) // y = x: perfectly separable
+    }.toIndexedSeq
+    val w = QualityClassifier.fitLocal(rows, iters = 4)
+    assert(w(0) < 0.0, s"logit at x=0 must be negative, got ${w(0)}")
+    assert(w(0) + w(1) > 0.0,
+      s"logit at x=1 must be positive, got ${w(0) + w(1)}")
+    // and more rounds push the boundary harder, never flip it
+    val w8 = QualityClassifier.fitLocal(rows, iters = 8)
+    assert(w8(1) > w(1))
+  }
+
+  test("the DataFrame fit equals the driver core on the same rows") {
+    import spark.implicits._
+    val df = binaryToy.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x(0), y) }
+      .toDF("id", "xv", "y")
+    val viaDf = QualityClassifier.fit(df, "id", col("y"),
+      Seq("x" -> col("xv")), iters = 6, sampleSize = 0)
+    // the core consumes rows in the fit()'s fixed ascending-id order,
+    // which here is construction order
+    val viaCore = QualityClassifier.fitLocal(binaryToy, iters = 6)
+    assert(viaDf == viaCore)
+  }
+
+  test("the fit is bit-deterministic across repeated runs") {
+    val a = QualityClassifier.fitLocal(binaryToy, iters = 4)
+    val b = QualityClassifier.fitLocal(binaryToy, iters = 4)
+    assert(a == b)
+    assert(a.forall(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble == x), "weights must be 6-dp rounded")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftTestBase, Tables}
+
+/** The persisted-model contract: fit → save → load must reproduce the
+  * fitted artifact EXACTLY (parquet round-trips doubles bit-for-bit,
+  * load re-orders by stored ids), so every downstream assignment,
+  * encode, probe, and score is identical whether it serves from the
+  * fresh fit or from disk — the "train once, apply many" invariant
+  * q480 additionally pins end-to-end against q358's golden. */
+class ModelStoreSpec extends GraftTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("IVF-PQ model round-trips bit-exactly and serves identical results") {
+    val all = Tables(spark, sf001)("embeddings")
+    val model = IvfPq.fit(all, "vec_id", "embedding",
+      dim = 64, coarseK = 4, m = 4, codes = 8, iters = 2)
+    val path = tmp("ms_ivfpq_")
+    ModelStore.saveIvfPq(spark, model, path)
+    val loaded = ModelStore.loadIvfPq(spark, path)
+    // the artifact itself is value-identical (doubles bit-exact)
+    assert(loaded == model)
+    // and a full encode+probe from the loaded model matches row-for-row
+    val queries = all.filter(col("vec_id") < 5)
+    def serve(m: IvfPq.Model) =
+      IvfPq.topK(IvfPq.encode(all, "vec_id", "embedding", m),
+          queries, "vec_id", "embedding", m, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(serve(loaded) == serve(model))
+  }
+
+  test("centroid table round-trips in centroid_id order") {
+    val all = Tables(spark, sf001)("embeddings")
+    val (cents, _) = KMeans.fit(all, "vec_id", "embedding", k = 4, iters = 2,
+      computeInertia = false)
+    val path = tmp("ms_cent_")
+    ModelStore.saveCentroids(cents, path)
+    val loaded = ModelStore.loadCentroids(spark, path)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val orig = cents.orderBy("centroid_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(loaded == orig)
+  }
+
+  test("logistic weights round-trip with names and positions intact") {
+    val names = Seq("len_sat", "stopword_ratio", "punct_share", "ttr")
+    val w = Seq(-1.25, 2.5, 6.125, -8.0625, 1.5)
+    val path = tmp("ms_logit_")
+    ModelStore.saveLogistic(spark, names, w, path)
+    val (loadedNames, loadedW) = ModelStore.loadLogistic(spark, path)
+    assert(loadedNames == names)
+    assert(loadedW == w)
+  }
+
+  test("loading the wrong artifact kind fails loudly") {
+    val path = tmp("ms_kind_")
+    ModelStore.saveLogistic(spark, Seq("f"), Seq(0.5, 1.5), path)
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.loadIvfPq(spark, path)
+    }
+    assert(e.getMessage.contains("expected 'ivfpq'"))
+  }
+
+  test("weight/feature arity mismatch is rejected at save time") {
+    intercept[IllegalArgumentException] {
+      ModelStore.saveLogistic(spark, Seq("a", "b"), Seq(1.0, 2.0), tmp("ms_ar_"))
+    }
+  }
+}

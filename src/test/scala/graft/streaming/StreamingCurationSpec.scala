@@ -19,7 +19,8 @@ class StreamingCurationSpec extends GraftTestBase {
     spark.sql(s"""CREATE TABLE gcur.db.$name
                   (doc_id BIGINT, source STRING, lang STRING,
                    pred_lang STRING, sampled BOOLEAN,
-                   ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN)""")
+                   ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN,
+                   batch_contaminated INT)""")
     s"gcur.db.$name"
   }
 
@@ -81,6 +82,28 @@ class StreamingCurationSpec extends GraftTestBase {
         sum(when(col("triplet_ok"), 1L).otherwise(0L)).as("trip"))
       .collect()(0)
     assert(yields.getLong(0) > 0 && yields.getLong(1) > 0)
+  }
+
+  test("batch_contaminated equals the batch funnel's decontamination drop (non-benchmark side)") {
+    import org.apache.spark.sql.functions._
+    val table = freshTable("curated_dirt")
+    StreamingCuration.curateToTable(spark, sf001, table, domainCap = Cap)
+    // batch twin: the docs the decontamination stage dropped that are
+    // NOT benchmark docs themselves (the stage also drops the 1-in-97
+    // benchmark slice by construction) — exactly the streaming gate's
+    // contaminated set, read off the disposition table
+    val (_, _, disposition) = CurationPipeline.runWithDisposition(
+      spark, Tables(spark, sf001)("documents"), domainCap = Cap)
+    val expected = disposition
+      .filter(col("dropped_at") === "decontaminate" &&
+        pmod(col("doc_id"), lit(97)) =!= 0)
+      .count()
+    // single-file source drains as ONE batch → the column is uniform
+    val stamped = spark.table(table)
+      .select("batch_contaminated").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(stamped == Seq(expected.toInt),
+      s"stamped $stamped vs batch-funnel $expected")
   }
 
   test("funnel equality holds at a non-default maxJaccard (containment gate tuned)") {
