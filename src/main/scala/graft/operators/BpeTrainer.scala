@@ -95,6 +95,17 @@ object BpeTrainer {
     val learned = train(docs, textCol, merges, localThreshold)
       .orderBy("merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
+    segmentWith(docs, textCol, learned.toSeq)
+  }
+
+  /** Apply an ALREADY-LEARNED merge table (rank order) — the serve
+    * side of the persisted-tokenizer contract ([[ModelStore.saveBpe]]):
+    * a production tokenizer is trained once and applied to every
+    * corpus thereafter, so apply must not re-run the training loop.
+    * Same greedy leftmost fold as [[segment]] (which delegates here),
+    * so fresh-fit and persisted-serve outputs are bit-identical. */
+  def segmentWith(docs: DataFrame, textCol: String,
+                  learned: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(explode(SubstringDedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))

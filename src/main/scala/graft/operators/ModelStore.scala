@@ -137,6 +137,74 @@ object ModelStore {
     spark.read.parquet(s"$path/centroids.parquet").orderBy("centroid_id")
   }
 
+  // --------------------------------------------------------------- BPE
+
+  /** Persist a learned BPE merge table — the [[BpeTrainer.train]]
+    * frame (merge_rank, left_sym, right_sym, pair_count). The
+    * tokenizer is THE canonical train-once artifact: every downstream
+    * corpus is segmented with the same frozen merges. */
+  def saveBpe(merges: DataFrame, path: String): Unit = {
+    val spark = merges.sparkSession
+    val frame = merges.select(
+      col("merge_rank").cast("int").as("merge_rank"),
+      col("left_sym"), col("right_sym"),
+      col("pair_count").cast("long").as("pair_count"))
+    val n = frame.count()
+    frame.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges.parquet")
+    manifestDf(spark, Seq(
+      "kind" -> "bpe", "version" -> FormatVersion,
+      "n_merges" -> n.toString))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Load a persisted BPE merge table in rank order — feed the
+    * (left, right) pairs to [[BpeTrainer.segmentWith]]. */
+  def loadBpe(spark: SparkSession,
+              path: String): Seq[(Int, String, String, Long)] = {
+    val man = readManifest(spark, path)
+    requireKind(man, "bpe", path)
+    val rows = spark.read.parquet(s"$path/merges.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    require(rows.length == man("n_merges").toInt,
+      s"merge table at $path has ${rows.length} rows, manifest says " +
+        man("n_merges"))
+    rows
+  }
+
+  // -------------------------------------------------------------- KN LM
+
+  /** Persist a fitted Kneser-Ney model — [[KnLm.Model]]'s four
+    * vocab-bounded tables, one parquet each. The perplexity gate's
+    * model is fit on a reference corpus once and then scores every
+    * ingested shard ([[graft.streaming.StreamingCuration]]'s knModel
+    * distillate is exactly this state). */
+  def saveKnLm(model: KnLm.Model, path: String): Unit = {
+    val spark = model.bg.sparkSession
+    model.bg.write.mode(SaveMode.Overwrite).parquet(s"$path/bg.parquet")
+    model.c1.write.mode(SaveMode.Overwrite).parquet(s"$path/c1.parquet")
+    model.npre.write.mode(SaveMode.Overwrite).parquet(s"$path/npre.parquet")
+    model.disc.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/disc.parquet")
+    manifestDf(spark, Seq("kind" -> "knlm", "version" -> FormatVersion))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Load a persisted KN model. The tables come back value-identical
+    * (counts are integers, the discount a parquet-exact double), so
+    * [[KnLm.score]] against the loaded model is bit-identical to
+    * scoring against the fresh fit. */
+  def loadKnLm(spark: SparkSession, path: String): KnLm.Model = {
+    requireKind(readManifest(spark, path), "knlm", path)
+    KnLm.Model(
+      spark.read.parquet(s"$path/bg.parquet"),
+      spark.read.parquet(s"$path/c1.parquet"),
+      spark.read.parquet(s"$path/npre.parquet"),
+      spark.read.parquet(s"$path/disc.parquet"))
+  }
+
   // ---------------------------------------------------------- logistic
 
   /** Persist fitted logistic weights: pos 0 = bias, pos i aligns with

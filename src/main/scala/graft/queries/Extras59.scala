@@ -93,7 +93,7 @@ object Extras59 extends QueryPack {
     BpeTrainer.segment(Tables(s, dir)("documents"), "text", merges = Merges)
       .orderBy("word")
 
-  private val q383Sql: String =
+  private[queries] val q383Sql: String =
     chainSql +
       s"""
        SELECT w AS word, CAST(cnt AS BIGINT) AS n_occurrences,

@@ -163,7 +163,7 @@ object Extras68 extends QueryPack {
   }
 
   // CTE chain shared with the q471 perplexity curriculum — OracleKn.
-  private val q437Sql =
+  private[queries] val q437Sql =
     s"""WITH ${OracleKn.perDocCtes}
        SELECT doc_id, source, n_bigrams,
               round(nllsum / n_bigrams, 6) AS avg_nll,

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{BpeTrainer, KnLm, ModelStore}
+
+/** Round-13 pack, part 2: the persisted-artifact contract extended to
+  * the OTHER trained states the engine carries — the tokenizer and the
+  * language model. Same q480 oracle pattern: each query routes an
+  * already-oracled computation through fit → [[ModelStore]] save →
+  * LOAD → serve and is checked against the ORIGINAL query's oracle,
+  * so the driver compare asserts persisted-serve ≡ fresh-serve
+  * bit-for-bit with zero new golden surface.
+  *
+  * Why these two: a production tokenizer (BPE merges) is the single
+  * most frozen artifact in a training stack — vocab changes invalidate
+  * every downstream token count — and the perplexity gate's KN model
+  * is the reference-corpus state an ingestion pipeline scores shards
+  * against for months (CCNet's LM filter is exactly serve-from-
+  * artifact). Refitting either per run, as q383/q437 do by design for
+  * oracle-ability, is the wrong shape at 100 TB; these twins pin the
+  * right one.
+  */
+object Extras74 extends QueryPack {
+
+  // --------------------------------------------------------------- q481
+  /** PERSISTED-TOKENIZER SERVE — q383's segmentation with the merge
+    * table routed through save → load ([[ModelStore.saveBpe]]) and
+    * applied via [[BpeTrainer.segmentWith]], which does NOT re-run the
+    * training loop: the serve cost is one corpus tokenize+count plus
+    * the row-local greedy fold, the train cost is paid once. Oracled
+    * against q383's own SQL (identical fold ⇒ identical rows). */
+  private def q481(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val merges = BpeTrainer.train(d, "text", merges = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q481_bpe_").toString
+    ModelStore.saveBpe(merges, path)
+    val learned = ModelStore.loadBpe(s, path)
+      .map { case (_, l, r, _) => (l, r) }
+    BpeTrainer.segmentWith(d, "text", learned).orderBy("word")
+  }
+
+  // --------------------------------------------------------------- q482
+  /** PERSISTED-LM SERVE — q437's per-doc KN perplexity with the model
+    * routed through save → load ([[ModelStore.saveKnLm]]): the four
+    * vocab-bounded tables round-trip value-identically (integer
+    * counts + one parquet-exact double), and [[KnLm.score]]'s
+    * sorted-order fold is partitioning-invariant, so the scores are
+    * bit-identical to the fresh fit's — which is what lets q437's
+    * fully-relational oracle check the persisted path too. */
+  private def q482(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val model = KnLm.fit(d, "doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q482_knlm_").toString
+    ModelStore.saveKnLm(model, path)
+    val loaded = ModelStore.loadKnLm(s, path)
+    KnLm.score(d, "doc_id", "text", loaded)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        round(col("avg_nll"), 6).as("avg_nll"),
+        round(exp(col("avg_nll")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q481_persisted_bpe" -> q481 _,
+    "q482_persisted_knlm" -> q482 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q481_persisted_bpe" -> Extras59.q383Sql,
+    "q482_persisted_knlm" -> Extras68.q437Sql)
+}

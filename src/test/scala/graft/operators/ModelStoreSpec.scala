@@ -56,6 +56,37 @@ class ModelStoreSpec extends GraftTestBase {
     assert(loadedW == w)
   }
 
+  test("BPE merge table round-trips in rank order and serves identical segmentations") {
+    val d = Tables(spark, sf001)("documents")
+    val merges = BpeTrainer.train(d, "text", merges = 4)
+    val path = tmp("ms_bpe_")
+    ModelStore.saveBpe(merges, path)
+    val loaded = ModelStore.loadBpe(spark, path)
+    val orig = merges.orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(loaded == orig)
+    // persisted-serve ≡ fresh-serve on the segmentation itself
+    val fresh = BpeTrainer.segment(d, "text", merges = 4)
+      .orderBy("word").collect().map(_.toSeq).toSeq
+    val served = BpeTrainer.segmentWith(d, "text",
+        loaded.map { case (_, l, r, _) => (l, r) })
+      .orderBy("word").collect().map(_.toSeq).toSeq
+    assert(served == fresh)
+  }
+
+  test("KN model round-trips and scores bit-identically from the loaded tables") {
+    val d = Tables(spark, sf001)("documents")
+    val model = KnLm.fit(d, "doc_id", "text")
+    val path = tmp("ms_kn_")
+    ModelStore.saveKnLm(model, path)
+    val loaded = ModelStore.loadKnLm(spark, path)
+    def scores(m: KnLm.Model) =
+      KnLm.score(d, "doc_id", "text", m)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(scores(loaded) == scores(model))
+  }
+
   test("loading the wrong artifact kind fails loudly") {
     val path = tmp("ms_kind_")
     ModelStore.saveLogistic(spark, Seq("f"), Seq(0.5, 1.5), path)
