@@ -181,4 +181,48 @@ object IvfPq {
       .orderBy(col("adist").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** ADC candidate generation + EXACT-vector rerank — FAISS's refine
+    * step, the standard answer when the quantizer alone is too lossy
+    * (q477 measures exactly that on incompressible vectors: PQ codes
+    * find the right NEIGHBORHOOD cheaply, their distances are too
+    * distorted to ORDER it). The ADC pass retrieves `kCandidates` per
+    * query from the probed buckets; only those k_c·|queries| rows —
+    * bounded, never the corpus — join back to the true vectors for an
+    * exact cosine, and the final top-k ranks on that.
+    *
+    * Scale shape: stage 1 is [[topK]] unchanged (corpus never
+    * shuffles); stage 2 is one equi-join where the CANDIDATE side
+    * broadcasts against the corpus scan plus a per-query (bounded
+    * partition) rank. Cost = ADC scan + k_c exact distances per query
+    * — the recall lever without ever going brute.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) — rank by exact
+    * cosine desc, ties to the lower neighbor id. */
+  def topKRefined(encoded: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, corpus: DataFrame, model: Model, k: Int,
+                  kCandidates: Int, nprobe: Int): DataFrame = {
+    require(kCandidates >= k, s"kCandidates $kCandidates < k $k")
+    import graft.functions.expressions.DotProduct.vecDot
+    val cand = topK(encoded, queries, idCol, vecCol, model,
+        k = kCandidates, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    // candidate side (with query vectors attached) broadcasts; the
+    // corpus side streams through the equi-join map-side
+    val withQ = cand.join(broadcast(qv), Seq("query_id"))
+    val qn = sqrt(vecDot(col("__qv"), col("__qv")))
+    val cn = sqrt(vecDot(col("__cv"), col("__cv")))
+    val cos = when(qn * cn === 0.0, 0.0)
+      .otherwise(vecDot(col("__qv"), col("__cv")) / (qn * cn))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cv.join(broadcast(withQ), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -29,7 +29,8 @@ object RegenGoldens {
     * sf0.01, bench sf0.1 — TESTDATA.md). */
   val goldenQueries: Seq[String] =
     Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup",
-        "q358_ivfpq_ann", "q477_ivfpq_recall", "q478_classifier_fit")
+        "q358_ivfpq_ann", "q477_ivfpq_recall", "q478_classifier_fit",
+        "q483_ivfpq_rerank")
   val sfs: Seq[String] = Seq("0.001", "0.01", "0.1")
 
   def goldenFile(name: String, sf: String): String =

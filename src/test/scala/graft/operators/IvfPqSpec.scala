@@ -52,6 +52,29 @@ class IvfPqSpec extends GraftTestBase {
     ex.intersect(ap).size.toDouble / ex.size
   }
 
+  test("exact rerank recovers recall the raw ADC ordering loses") {
+    val queries = pts.filter(col("vec_id") < 10)
+    val ex = exactTop10(pts, "vec")
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = pairs(IvfPq.topK(enc, queries, "vec_id", "vec", model,
+      k = 10, nprobe = 4))
+    val ref = pairs(IvfPq.topKRefined(enc, queries, "vec_id", "vec",
+      corpus = pts, model = model, k = 10, kCandidates = 50, nprobe = 4))
+    val rAdc = ex.intersect(adc).size.toDouble / ex.size
+    val rRef = ex.intersect(ref).size.toDouble / ex.size
+    assert(rRef >= rAdc, s"rerank recall $rRef below raw ADC $rAdc")
+    // with 50 candidates over clustered data the reranked set should be
+    // essentially exact within the probed buckets
+    assert(rRef >= 0.9, s"rerank recall $rRef unexpectedly low")
+    // and the refined output ranks by exact cosine: ranks are 1..k dense
+    val ranks = IvfPq.topKRefined(enc, queries, "vec_id", "vec",
+        corpus = pts, model = model, k = 3, kCandidates = 50, nprobe = 4)
+      .groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getSeq[Int](1).sorted)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+
   test("encode emits (bucket, codes) with in-range values, deterministically") {
     val shapes = enc.select(col("bucket"), size(col("codes")).as("m"),
         array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
