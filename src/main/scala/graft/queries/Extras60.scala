@@ -29,23 +29,14 @@ object Extras60 extends QueryPack {
         round(col("quality_score"), 6).as("quality_score"), col("kept"))
       .orderBy("doc_id")
 
+  // feature counts + logit weights from OracleLogit — shared with
+  // q424/q426/q484 so the classifier oracles cannot drift per-query
   private val q386Sql =
     s"""WITH f AS (
-         SELECT doc_id,
-           CAST(len($toksSql) AS DOUBLE) AS n_tok,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter($toksSql,
-             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
-           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
-         FROM documents),
+         ${OracleLogit.featuresSql("doc_id")}),
        z AS (
          SELECT doc_id,
-           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
-                + (n_stop / greatest(n_tok, 1.0)) * 6.0
-                + (n_punct / greatest(n_chars, 1.0)) * -8.0
-                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+           ${OracleLogit.zExprSql} AS z
          FROM f)
        SELECT doc_id,
               round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,

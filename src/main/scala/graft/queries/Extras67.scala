@@ -194,28 +194,15 @@ object Extras67 extends QueryPack {
 
   /** DuckDB twin of QualityClassifier.defaultModel's LOGIT as the
     * shared `f`/`d` CTE prefix (ends at `d(doc_id[, extra], z)`) —
-    * one source of truth for q424/q426, the dbscanChainSql /
-    * pcaFitChainSql discipline. */
-  private def logitChainSql(extraCols: String): String = {
-    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    * feature counts and weights come from [[OracleLogit]], the one
+    * source every classifier oracle (q386/q424/q426/q484) reads. */
+  private def logitChainSql(extraCols: String): String =
     s"""f AS (
-         SELECT doc_id$extraCols,
-           CAST(len($toksSql) AS DOUBLE) AS n_tok,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter($toksSql,
-             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
-           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
-         FROM documents),
+         ${OracleLogit.featuresSql(s"doc_id$extraCols")}),
        d AS MATERIALIZED (
          SELECT doc_id$extraCols,
-           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
-                + (n_stop / greatest(n_tok, 1.0)) * 6.0
-                + (n_punct / greatest(n_chars, 1.0)) * -8.0
-                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+           ${OracleLogit.zExprSql} AS z
          FROM f)"""
-  }
 
   // --------------------------------------------------------------- q424
   /** Cross-source QUANTILE NORMALIZATION of the quality signal — the

@@ -111,23 +111,13 @@ object Extras75 extends QueryPack {
   }
 
   private val q484Sql: String = {
-    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    // feature counts + logit weights from OracleLogit (shared with
+    // q386/q424/q426 — the classifier oracles cannot drift per-query)
     s"""WITH f AS (
-         SELECT n_chars AS raw_chars,
-           CAST(len($toksSql) AS DOUBLE) AS n_tok,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter($toksSql,
-             t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS n_stop,
-           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             AS DOUBLE) AS n_punct,
-           CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_distinct
-         FROM documents),
+         ${OracleLogit.featuresSql("n_chars AS raw_chars")}),
        z AS (
          SELECT raw_chars, n_tok,
-           -1.2 + (n_tok / (n_tok + 50.0)) * 2.4
-                + (n_stop / greatest(n_tok, 1.0)) * 6.0
-                + (n_punct / greatest(n_chars, 1.0)) * -8.0
-                + (n_distinct / greatest(n_tok, 1.0)) * 1.5 AS z
+           ${OracleLogit.zExprSql} AS z
          FROM f),
        sc AS (
          SELECT round(1.0 / (1.0 + exp(-z)), 6) AS s,
