@@ -136,11 +136,87 @@ object Extras75 extends QueryPack {
        FROM b GROUP BY 1 ORDER BY 1"""
   }
 
+  // --------------------------------------------------------------- q485
+  /** SCORE-DRIFT GATE (PSI) — the population-stability index of the
+    * quality-score distribution between the standing corpus (reference,
+    * 4-in-5 of docs) and a candidate shard (1-in-5): per decile, both
+    * counts, both fractions, and the PSI term (p−q)·ln(p/q) with the
+    * standard 1e-6 floor. Σ psi_term < 0.1 is the conventional "shard
+    * looks like the corpus" bar — the gate an ingestion pipeline reads
+    * BEFORE mixing a new crawl dump in, because a drifted score
+    * distribution silently shifts every downstream threshold and
+    * temperature mix (the q424/q426 transfer problem, caught at the
+    * door instead of after the mix).
+    *
+    * Determinism: scores 6-dp rounded before binning (q376 ln/exp
+    * precedent), fractions are divisions of exact integers, the ln
+    * term is rounded per row — and the bin spine is a literal 0-9
+    * range so empty deciles are explicit zero rows, not absent ones.
+    * Scale shape: one zero-shuffle projection + a 10-row hash-agg +
+    * a 10-row spine join against two broadcast scalars. */
+  private def q485(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val score = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val scored = d.select(
+      least(floor(score * 10), lit(9.0)).cast("int").as("bin"),
+      (pmod(col("doc_id"), lit(5)) === 0).as("cand"))
+    val perBin = scored.groupBy("bin").agg(
+      sum(when(!col("cand"), 1L).otherwise(0L)).as("nr"),
+      sum(when(col("cand"), 1L).otherwise(0L)).as("nc"))
+    val totals = perBin.agg(sum("nr").as("nrt"), sum("nc").as("nct"))
+    val spine = s.range(10).select(col("id").cast("int").as("bin"))
+    val p = greatest(col("nr").cast("double") / col("nrt"), lit(1e-6))
+    val q = greatest(col("nc").cast("double") / col("nct"), lit(1e-6))
+    spine.join(perBin, Seq("bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"),
+        col("nr").cast("long").as("n_ref"),
+        col("nc").cast("long").as("n_cand"),
+        round(col("nr").cast("double") / col("nrt"), 6).as("ref_frac"),
+        round(col("nc").cast("double") / col("nct"), 6).as("cand_frac"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  private val q485Sql: String =
+    s"""WITH f AS (
+         ${OracleLogit.featuresSql("doc_id")}),
+       z AS (
+         SELECT doc_id,
+           ${OracleLogit.zExprSql} AS z
+         FROM f),
+       b AS (
+         SELECT CAST(least(floor(round(1.0 / (1.0 + exp(-z)), 6) * 10), 9.0)
+                  AS INT) AS bin,
+           CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS cand
+         FROM z),
+       pb AS (
+         SELECT bin, sum(1 - cand) AS nr, sum(cand) AS nc
+         FROM b GROUP BY 1),
+       tot AS (SELECT sum(nr) AS nrt, sum(nc) AS nct FROM pb),
+       spine AS (SELECT CAST(g AS INT) AS bin
+                 FROM unnest(generate_series(0, 9)) AS t(g)),
+       j AS (
+         SELECT spine.bin,
+           COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc, nrt, nct,
+           greatest(CAST(COALESCE(nr, 0) AS DOUBLE) / nrt, 1e-6) AS p,
+           greatest(CAST(COALESCE(nc, 0) AS DOUBLE) / nct, 1e-6) AS q
+         FROM spine LEFT JOIN pb ON pb.bin = spine.bin CROSS JOIN tot)
+       SELECT bin, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cand,
+         round(CAST(nr AS DOUBLE) / nrt, 6) AS ref_frac,
+         round(CAST(nc AS DOUBLE) / nct, 6) AS cand_frac,
+         round((p - q) * ln(p / q), 6) AS psi_term
+       FROM j ORDER BY bin"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q483_ivfpq_rerank" -> q483 _,
-    "q484_score_calibration" -> q484 _)
+    "q484_score_calibration" -> q484 _,
+    "q485_score_drift" -> q485 _)
 
   override val oracles: Map[String, String] = Map(
     "q483_ivfpq_rerank" -> q483Sql,
-    "q484_score_calibration" -> q484Sql)
+    "q484_score_calibration" -> q484Sql,
+    "q485_score_drift" -> q485Sql)
 }
