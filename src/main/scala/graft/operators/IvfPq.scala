@@ -197,7 +197,7 @@ object IvfPq {
     * partition) rank. Cost = ADC scan + k_c exact distances per query
     * — the recall lever without ever going brute.
     *
-    * Output: (query_id, neighbor_id, rank, cos) — rank by exact
+    * Output: (query_id, neighbor_id, cos, rank) — rank by exact
     * cosine desc, ties to the lower neighbor id. */
   def topKRefined(encoded: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, corpus: DataFrame, model: Model, k: Int,

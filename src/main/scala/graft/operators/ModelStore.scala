@@ -37,6 +37,21 @@ object ModelStore {
 
   val FormatVersion = "1"
 
+  /** Canonical location for a named artifact: `spark.graft.modelRoot`
+    * if set, else `<warehouse>/graft_models` — i.e. storage every
+    * executor AND the driver can reach (on a real cluster the
+    * warehouse is HDFS/S3), unlike a driver-local temp dir. Writers
+    * here use SaveMode.Overwrite, so a fixed name is idempotent under
+    * re-runs — re-fitting a query overwrites its artifact instead of
+    * leaking a directory per invocation (the /tmp-per-run antipattern
+    * this replaces). */
+  def artifactPath(spark: SparkSession, name: String): String = {
+    val root = spark.conf.getOption("spark.graft.modelRoot")
+      .getOrElse(spark.sessionState.conf.warehousePath.stripSuffix("/")
+        + "/graft_models")
+    s"$root/$name"
+  }
+
   private def manifestDf(spark: SparkSession,
                          kvs: Seq[(String, String)]): DataFrame = {
     val schema = StructType(Seq(

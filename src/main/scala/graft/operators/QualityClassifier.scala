@@ -24,6 +24,11 @@ import graft.functions.TextFunctions
   */
 object QualityClassifier {
 
+  /** Hard ceiling on the test-only `sampleSize <= 0` fit path — the
+    * bounded-driver-state contract made explicit (a corpus-sized
+    * collect should fail loudly, not OOM the driver). */
+  val MaxLocalFitRows = 100000
+
   /** (feature expression, weight) pairs + bias. */
   final case class Model(bias: Double, terms: Seq[(Column, Double)])
 
@@ -114,7 +119,10 @@ object QualityClassifier {
     * `labelExpr` must evaluate to 0.0/1.0 doubles. Returns
     * (bias +: weights) aligned with `features` — feed to
     * [[fromWeights]] / [[ModelStore.saveLogistic]].
-    * `sampleSize <= 0` fits on every row (still driver-local). */
+    * `sampleSize <= 0` fits on every row — TEST-ONLY scope: the
+    * collect is still driver-local, so the path hard-fails past
+    * [[MaxLocalFitRows]] rows rather than silently pulling a corpus
+    * to the driver (the engine's bounded-driver-state contract). */
   def fit(docs: DataFrame, idCol: String, labelExpr: Column,
           features: Seq[(String, Column)],
           iters: Int = 4, sampleSize: Int = 2000,
@@ -124,11 +132,16 @@ object QualityClassifier {
       array(features.map(_._2.cast("double")): _*).as("__x"),
       labelExpr.cast("double").as("__y"))
     val sampled =
-      if (sampleSize <= 0) base
+      if (sampleSize <= 0) base.limit(MaxLocalFitRows + 1)
       else base.withColumn("__h", md5(col("__id").cast("string")))
         .orderBy(col("__h"), col("__id")).limit(sampleSize)
         .select("__id", "__x", "__y")
-    val rows = sampled.collect()
+    val collected = sampled.collect()
+    require(collected.length <= MaxLocalFitRows,
+      s"fit with sampleSize <= 0 is test-only and capped at " +
+        s"$MaxLocalFitRows rows; pass a positive sampleSize for the " +
+        s"bounded top-S sample")
+    val rows = collected
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1) // fixed accumulation order (KMeans.fitLocal discipline)
     require(rows.nonEmpty, "empty fit sample")

@@ -33,6 +33,21 @@ object Similarity {
     * broadcast join + argmax aggregate, not a bigger expression tree. */
   val MaxLiteralCentroids = 1024
 
+  /** ABSOLUTELY bounded deterministic sample: the `n` rows with the
+    * smallest md5(id) (ties to the lower id) — the
+    * [[QualityClassifier.fit]] / [[IvfPq.fit]] sampling discipline as
+    * a reusable relation. Plans as TakeOrderedAndProject: per-partition
+    * top-n heaps, n rows to the driver side of the exchange — so the
+    * cost of anything downstream (a brute-force recall truth leg
+    * especially) is n·|corpus|, NEVER a fixed fraction of the corpus.
+    * A modulus sample (`id % 50 = 0`) is 2% of the corpus FOREVER —
+    * its brute truth leg is N²/50; this one's is K·N. Reproducible
+    * under retries and independent of corpus scale; the SQL twin is
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`. */
+  def hashSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(n).drop("__h")
+
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, cosine).
     *

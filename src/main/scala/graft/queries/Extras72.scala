@@ -29,15 +29,35 @@ object Extras72 extends QueryPack {
 
   private val Dim = 64
 
+  /** Query-sample size for the ANN recall audits (q472 here, q477/q483/
+    * q488 in the later packs — ONE constant so the audits stay
+    * comparable row-for-row). 40 = the sf0.1 size of the old 1-in-50
+    * modulus sample, now absolute: the brute truth leg costs K·N at
+    * every corpus size instead of N²/50. */
+  val AuditSampleK = 40
+
+  /** Shared smallest-K md5 query sample — see [[Similarity.hashSample]].
+    * SQL twin: [[auditSampleSql]]. */
+  def auditSample(all: DataFrame): DataFrame =
+    Similarity.hashSample(all, "vec_id", AuditSampleK)
+
+  /** The DuckDB replay of [[auditSample]] as a CTE body. */
+  val auditSampleSql: String =
+    s"""SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AuditSampleK"""
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir)("embeddings")
 
   // --------------------------------------------------------------- q472
   /** ANN RECALL AUDIT — recall@1 and recall@5 of srpTopK,
     * srpMultiProbeTopK, and ivfTopK against the bruteForceTopK truth
-    * over the deterministic query sample (every 50th vector, the
-    * q29/q30/q367/q60 sample). One row per (method, k): integer hit /
-    * truth counts plus the 6-dp recall ratio.
+    * over the ABSOLUTELY bounded query sample
+    * ([[Similarity.hashSample]]: the [[AuditSampleK]] vectors with the
+    * smallest md5(vec_id) — a fixed-K TakeOrderedAndProject, not a
+    * fixed FRACTION; the earlier 1-in-50 modulus made the brute truth
+    * leg N²/50 at scale, this one is K·N). One row per (method, k):
+    * integer hit / truth counts plus the 6-dp recall ratio.
     *
     * Scale shape: the truth relation is k·|queries| rows (bounded —
     * localCheckpointed once, read by all three method joins); each
@@ -45,10 +65,10 @@ object Extras72 extends QueryPack {
     * all-pairs; the audit itself is three (query, neighbor)-keyed
     * joins over k-row-per-query relations plus 1-row scalar crosses.
     * At 100 TB only the truth leg is expensive — exactly why it runs
-    * over the bounded query SAMPLE, not the corpus. */
+    * over the K-row query SAMPLE, not the corpus. */
   private def q472(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
-    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val queries = auditSample(all)
     val centroids = all.filter(col("vec_id") < 16)
     val exact = Similarity
       .bruteForceTopK(all, queries, "vec_id", "embedding", k = 5)
@@ -108,7 +128,8 @@ object Extras72 extends QueryPack {
           UNION ALL
           SELECT '$name', 5, count(*)
           FROM $cte a JOIN exact e USING (query_id, neighbor_id)"""
-    s"""WITH exact AS MATERIALIZED (
+    s"""WITH qs AS MATERIALIZED ($auditSampleSql),
+       exact AS MATERIALIZED (
          SELECT query_id, neighbor_id, rank FROM (
            SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -117,7 +138,7 @@ object Extras72 extends QueryPack {
              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ${cosSql("q.embedding", "c.embedding")} AS cos
              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-             WHERE q.vec_id % 50 = 0))
+             WHERE q.vec_id IN (SELECT vec_id FROM qs)))
          WHERE rank <= 5),
        sigs AS MATERIALIZED (
          SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM embeddings),
@@ -136,14 +157,15 @@ object Extras72 extends QueryPack {
                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                FROM bands q JOIN bands c
                  ON q.band_idx = c.band_idx AND q.band_key = c.band_key
-               WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) cand
+               WHERE q.vec_id IN (SELECT vec_id FROM qs)
+                 AND q.vec_id <> c.vec_id) cand
              JOIN embeddings eq ON eq.vec_id = query_id
              JOIN embeddings ec ON ec.vec_id = neighbor_id))
          WHERE rank <= 5),
        qprobes AS (
          SELECT vec_id, band_idx, p.pk AS band_key
          FROM bands, unnest($probeList) AS p(pk)
-         WHERE vec_id % 50 = 0),
+         WHERE vec_id IN (SELECT vec_id FROM qs)),
        mp AS MATERIALIZED (
          SELECT query_id, neighbor_id, rank FROM (
            SELECT query_id, neighbor_id,
@@ -181,7 +203,9 @@ object Extras72 extends QueryPack {
                ${cosSql("p.qv", "a.cv")} AS cos
              FROM (SELECT centroid_id AS bucket, vec_id AS query_id,
                      embedding AS qv
-                   FROM arank WHERE crk <= 2 AND vec_id % 50 = 0) p
+                   FROM arank
+                   WHERE crk <= 2
+                     AND vec_id IN (SELECT vec_id FROM qs)) p
              JOIN (SELECT centroid_id AS bucket, vec_id AS neighbor_id,
                      embedding AS cv
                    FROM arank WHERE crk = 1) a USING (bucket)

@@ -48,13 +48,14 @@ object Extras73 extends QueryPack {
   /** IVF-PQ RECALL + DISTORTION AUDIT — q472's missing row: recall@1
     * and recall@5 of [[IvfPq.topK]] (the q358 production config:
     * coarseK=8, m=8, codes=16, nprobe=4) against the brute-force truth
-    * over the same deterministic 1-in-50 query sample, PLUS the
+    * over the same ABSOLUTELY bounded query sample
+    * ([[Extras72.auditSample]]: smallest-K md5, K·N truth cost), PLUS the
     * quantization-distortion price no other method pays: the mean
     * |ADC-implied cosine − exact cosine| over the returned pairs
     * (adist ≈ |q − v̂|², so cos_adc = (|q|² + |v|² − adist) / 2|q||v| —
     * the FAISS asymmetric-distance identity read back as a cosine).
     *
-    * Scale shape: the truth leg runs over the bounded query sample
+    * Scale shape: the truth leg runs over the K-row query sample
     * only; the ADC leg is the nprobe-pruned bucket equi-join (corpus
     * never shuffles); the error leg joins the k·|queries| result rows
     * back to the two vector sides — bounded — and the distortion mean
@@ -72,7 +73,7 @@ object Extras73 extends QueryPack {
     * et al.'s IVFADC experiments tabulate. */
   private def q477(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
-    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val queries = Extras72.auditSample(all)
     val model = IvfPq.fit(all, "vec_id", "embedding",
       dim = Dim, coarseK = 8, m = 8, codes = 16, iters = 3)
     val enc = IvfPq.encode(all, "vec_id", "embedding", model)
@@ -108,8 +109,13 @@ object Extras73 extends QueryPack {
     val qn2 = vecDot(col("qv"), col("qv"))
     val nn2 = vecDot(col("nv"), col("nv"))
     val denom = lit(2.0) * sqrt(qn2) * sqrt(nn2)
-    val cosExact = lit(2.0) * vecDot(col("qv"), col("nv")) / denom
-    val cosAdc = (qn2 + nn2 - col("adist")) / denom
+    // zero-norm guard (the topKRefined convention): a zero vector's
+    // cosine is 0, not NaN — NaN micros would cast to null and
+    // silently drop from the integer-micros sum
+    val cosExact = when(denom === 0.0, 0.0)
+      .otherwise(lit(2.0) * vecDot(col("qv"), col("nv")) / denom)
+    val cosAdc = when(denom === 0.0, 0.0)
+      .otherwise((qn2 + nn2 - col("adist")) / denom)
     val micros = floor(abs(cosAdc - cosExact) * 1e6 + 0.5).cast("long")
     val err = pairs.agg(
       coalesce(sum(when(col("rank") <= 1, micros)), lit(0L)).as("s1"),
@@ -168,8 +174,9 @@ object Extras73 extends QueryPack {
 
     val fitted = QualityClassifier.fit(train, "doc_id", y, feats,
       iters = 4, sampleSize = 2000)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q478_clf_").toString
+    // cluster-reachable artifact root (warehouse-relative), overwritten
+    // per run — the query is shaped like the deployment it models
+    val path = ModelStore.artifactPath(s, "q478_classifier")
     ModelStore.saveLogistic(s, feats.map(_._1), fitted, path)
     val (loadedNames, loadedW) = ModelStore.loadLogistic(s, path)
 
@@ -322,8 +329,7 @@ object Extras73 extends QueryPack {
     val all = emb(s, dir)
     val model = IvfPq.fit(all, "vec_id", "embedding",
       dim = Dim, coarseK = 8, m = 8, codes = 16, iters = 3)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q480_ivfpq_").toString
+    val path = ModelStore.artifactPath(s, "q480_ivfpq")
     ModelStore.saveIvfPq(s, model, path)
     val loaded = ModelStore.loadIvfPq(s, path)
     val enc = IvfPq.encode(all, "vec_id", "embedding", loaded)

@@ -35,8 +35,9 @@ object Extras74 extends QueryPack {
   private def q481(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir)("documents")
     val merges = BpeTrainer.train(d, "text", merges = 8)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q481_bpe_").toString
+    // cluster-reachable artifact root (warehouse-relative), overwritten
+    // per run — no per-invocation temp-dir leak
+    val path = ModelStore.artifactPath(s, "q481_bpe")
     ModelStore.saveBpe(merges, path)
     val learned = ModelStore.loadBpe(s, path)
       .map { case (_, l, r, _) => (l, r) }
@@ -54,8 +55,7 @@ object Extras74 extends QueryPack {
   private def q482(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir)("documents")
     val model = KnLm.fit(d, "doc_id", "text")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q482_knlm_").toString
+    val path = ModelStore.artifactPath(s, "q482_knlm")
     ModelStore.saveKnLm(model, path)
     val loaded = ModelStore.loadKnLm(s, path)
     KnLm.score(d, "doc_id", "text", loaded)

@@ -26,7 +26,8 @@ object Extras75 extends QueryPack {
   /** IVF-PQ + EXACT RERANK RECALL — the q477 audit re-run with the
     * refine stage on (kCandidates = 64 ADC candidates per query, then
     * exact cosine ordering): recall@1/@5 vs the same brute truth over
-    * the same 1-in-50 sample, q472's row shape. The residual miss is
+    * the same absolutely bounded smallest-K md5 sample
+    * ([[Extras72.auditSample]]), q472's row shape. The residual miss is
     * bucket pruning alone (a truth neighbor outside every probed
     * bucket is invisible to any rerank) — exactly the decomposition an
     * operator needs to pick nprobe vs kCandidates vs codes.
@@ -37,7 +38,7 @@ object Extras75 extends QueryPack {
     * never brute. Golden-oracled (same fit-dependence as q477). */
   private def q483(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir)("embeddings")
-    val queries = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val queries = Extras72.auditSample(all)
     val model = IvfPq.fit(all, "vec_id", "embedding",
       dim = 64, coarseK = 8, m = 8, codes = 16, iters = 3)
     val enc = IvfPq.encode(all, "vec_id", "embedding", model)
