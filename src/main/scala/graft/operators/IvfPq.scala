@@ -133,8 +133,10 @@ object IvfPq {
           model.pq).as("codes"))
 
   /** Per-query nprobe nearest buckets: sort (score, bucket) structs,
-    * slice, explode. The struct sort breaks score ties on bucket id. */
-  private def probes(qv: Column, model: Model, nprobe: Int): Column = {
+    * slice, explode. The struct sort breaks score ties on bucket id.
+    * Public so audits (q488's scanned-fraction leg) can price exactly
+    * the bucket list the probe join uses. */
+  def probes(qv: Column, model: Model, nprobe: Int): Column = {
     val c = model.coarse
     val scores = array(c.indices.map { i =>
       val cn2 = c(i).map(x => x * x).sum

@@ -224,11 +224,21 @@ object ModelStore {
 
   /** Persist fitted logistic weights: pos 0 = bias, pos i aligns with
     * `featureNames(i - 1)` — the order [[QualityClassifier.fit]]
-    * returns and [[QualityClassifier.fittedModel]] consumes. */
+    * returns and [[QualityClassifier.fittedModel]] consumes.
+    *
+    * `scoreHist` (optional): the 10-decile histogram of the FIT
+    * sample's scores — the training-time score distribution, carried
+    * IN the artifact so a serving pipeline can ask "has the corpus
+    * drifted from what this model was trained on?" (PSI vs the
+    * artifact, q487) without ever re-touching the training corpus.
+    * Ten integers ride the manifest; empty = not recorded. */
   def saveLogistic(spark: SparkSession, featureNames: Seq[String],
-                   weights: Seq[Double], path: String): Unit = {
+                   weights: Seq[Double], path: String,
+                   scoreHist: Seq[Long] = Nil): Unit = {
     require(weights.length == featureNames.length + 1,
       s"${weights.length} weights for ${featureNames.length} features (+bias)")
+    require(scoreHist.isEmpty || scoreHist.length == 10,
+      s"scoreHist must be the 10 decile counts, got ${scoreHist.length}")
     val schema = StructType(Seq(
       StructField("pos", IntegerType, nullable = false),
       StructField("feature", StringType, nullable = false),
@@ -238,10 +248,29 @@ object ModelStore {
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/weights.parquet")
+    val histKv =
+      if (scoreHist.isEmpty) Nil
+      else Seq("score_hist" -> scoreHist.mkString(","))
     manifestDf(spark, Seq(
       "kind" -> "logistic", "version" -> FormatVersion,
-      "n_features" -> featureNames.length.toString))
+      "n_features" -> featureNames.length.toString) ++ histKv)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** The training-time score histogram stored by [[saveLogistic]] —
+    * the 10 decile counts, or empty if the artifact predates the field
+    * (manifest keys are additive within a format version). */
+  def loadLogisticHist(spark: SparkSession, path: String): Seq[Long] = {
+    val man = readManifest(spark, path)
+    requireKind(man, "logistic", path)
+    man.get("score_hist") match {
+      case None => Nil
+      case Some(s) =>
+        val h = s.split(",").map(_.toLong).toSeq
+        require(h.length == 10,
+          s"score_hist at $path has ${h.length} entries, expected 10")
+        h
+    }
   }
 
   /** Load persisted logistic weights: (featureNames, bias +: weights),

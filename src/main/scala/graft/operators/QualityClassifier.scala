@@ -99,6 +99,29 @@ object QualityClassifier {
       .withColumn("kept", (col("quality_score") >= threshold).cast("int"))
   }
 
+  /** PLATT SCALING (Platt 1999; the post-hoc recalibration Guo et al.
+    * 2017 benchmark as the strong baseline): fit sigmoid(a + b·z) to
+    * the label on a held-out calibration set, where z is the existing
+    * classifier's RAW logit — i.e. logistic regression with the logit
+    * as the only feature, riding [[fit]]'s bounded-sample IRLS
+    * unchanged at d=1. Temperature scaling is the b-only special case;
+    * the (a, b) form also repairs a biased intercept, which a hand-set
+    * weight stack (DefaultWeights) typically has. Returns Seq(a, b)
+    * (6-dp) — persist via [[ModelStore.saveLogistic]] with feature
+    * list `Seq("logit")`, serve via [[calibratedScoreExpr]]. */
+  def fitCalibration(docs: DataFrame, idCol: String, labelExpr: Column,
+                     rawLogit: Column, iters: Int = 8,
+                     sampleSize: Int = 2000): Seq[Double] =
+    fit(docs, idCol, labelExpr, Seq("logit" -> rawLogit), iters, sampleSize)
+
+  /** The recalibrated score sigmoid(a + b·z) for `ab` = Seq(a, b) —
+    * one extra fused-multiply-add per row over the raw score's cost;
+    * stays inside whole-stage codegen. */
+  def calibratedScoreExpr(rawLogit: Column, ab: Seq[Double]): Column = {
+    require(ab.length == 2, s"calibration wants (a, b), got ${ab.length}")
+    lit(1.0) / (lit(1.0) + exp(-(lit(ab.head) + lit(ab(1)) * rawLogit)))
+  }
+
   /** Fit the classifier's weights IN-ENGINE — fixed-round IRLS
     * (Newton-Raphson on the logistic log-likelihood: each round solves
     * (Xᵀ S X + λI) δ = Xᵀ(y − p)) over a BOUNDED deterministic sample,

@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{IvfPq, ModelStore, QualityClassifier, Similarity}
+
+/** Round-14 pack: closing the control loops the round-13 audits left
+  * open — q484 measured the calibration gap, q485 measured drift at
+  * the door, q477/q483 priced two points of the ANN tuning surface;
+  * nothing yet CLOSED the gap, remembered the training distribution,
+  * or tabulated the tuning decision. These three do.
+  *
+  * q486: Platt-scaled score recalibration — the 2-parameter post-hoc
+  * fix (Platt 1999; Guo et al. 2017's strong baseline) fit in-engine
+  * on a held-out calibration split, persisted through [[ModelStore]],
+  * and audited with q484's own reliability-table shape for BOTH the
+  * raw and recalibrated score, so the per-decile |gap| shrink is a
+  * committed, driver-checked number.
+  * q487: PSI vs the ARTIFACT — q485 compares live corpus vs candidate
+  * shard; the model's real question is drift vs what it was TRAINED
+  * on. The classifier artifact now carries its fit sample's 10-decile
+  * score histogram ([[ModelStore.saveLogistic]]); this query reads the
+  * histogram back from disk and prices the live corpus against it.
+  * q488: the nprobe/kCandidates decision table — recall@1/@5 and the
+  * scanned corpus fraction per index config (the Jégou et al. 2011
+  * IVFADC experiment table as a relation), over the same absolute
+  * smallest-K query sample as q472/q477/q483.
+  *
+  * Oracle discipline: q487 is FULLY SQL-replayed (the default weights
+  * are literals and the fit-sample histogram is the smallest-2000
+  * md5(doc_id) sample — both relational); q486/q488 depend on
+  * driver-local IRLS/Lloyd fits, so they carry committed goldens (the
+  * q477/q478 scheme, freshness re-asserted by GoldenScaleSpec).
+  */
+object Extras76 extends QueryPack {
+
+  /** The q484 rule-gate label: the teacher the classifier distills. */
+  private def ruleLabel: Column =
+    (col("n_chars") >= 64 && col("n_chars") <= 4096 &&
+      size(TextFunctions.tokens(col("text"))) >= 8).cast("long")
+
+  /** q484's reliability table over a 6-dp score column, with a
+    * variant stamp: per decile, count, mean predicted score (order-free
+    * integer-micros sum), observed positive rate, |gap|. */
+  private def reliability(d: DataFrame, variant: String,
+                          score: Column): DataFrame =
+    d.select(score.as("s"), ruleLabel.as("y"))
+      .select(least(floor(col("s") * 10), lit(9.0)).cast("int").as("bin"),
+        floor(col("s") * 1e6 + 0.5).cast("long").as("sm"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("sm").as("sms"), sum("y").as("np"))
+      .select(lit(variant).as("variant"), col("bin"),
+        col("n").cast("long").as("n_docs"),
+        round(col("sms").cast("double") / (col("n") * 1e6), 6)
+          .as("mean_score"),
+        round(col("np").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("sms").cast("double") / (col("n") * 1e6)
+          - col("np").cast("double") / col("n")), 6).as("abs_gap"))
+
+  // --------------------------------------------------------------- q486
+  /** SCORE RECALIBRATION (Platt scaling) — q484 showed the hand-set
+    * classifier's score is NOT a probability (per-decile gaps up to
+    * the whole bin width); this closes it: fit sigmoid(a + b·z) to the
+    * rule label on a held-out calibration split
+    * ([[QualityClassifier.fitCalibration]] — the bounded-sample IRLS
+    * at d=1), persist (a, b) through the [[ModelStore]] logistic
+    * contract, serve from the LOADED weights, and emit the reliability
+    * table for BOTH variants — q484's exact row shape plus the variant
+    * stamp, so raw-vs-calibrated reads as adjacent rows and the
+    * per-decile |gap| shrink is driver-checked.
+    *
+    * Scale shape: the fit is ONE bounded top-S sample job + a 3×3
+    * driver solve; each table is a zero-shuffle featurize→sigmoid
+    * projection + a 10-row hash-agg; the artifact round-trip is
+    * model-bytes-sized. Golden-oracled (driver IRLS; q478's fence). */
+  private def q486(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val z = QualityClassifier.logitExpr(
+      QualityClassifier.defaultModel(col("text")))
+    // held-out calibration split: the "cal:" md5 1-in-5 bucket (the
+    // q478 "fit:" scheme with its own salt, so the two splits are
+    // independent)
+    val calBucket = pmod(conv(substring(md5(concat(lit("cal:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(5))
+    val ab = QualityClassifier.fitCalibration(
+      d.filter(calBucket === 0), "doc_id", ruleLabel.cast("double"), z,
+      iters = 8, sampleSize = 2000)
+    val path = ModelStore.artifactPath(s, "q486_platt")
+    ModelStore.saveLogistic(s, Seq("logit"), ab, path)
+    val (_, loaded) = ModelStore.loadLogistic(s, path)
+    val raw = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val cal = round(QualityClassifier.calibratedScoreExpr(z, loaded), 6)
+    reliability(d, "calibrated", cal)
+      .unionAll(reliability(d, "raw", raw))
+      .orderBy("variant", "bin")
+  }
+
+  private val q486Sql = GoldenOracle.sql("q486_score_recalibration",
+    "variant, bin, n_docs, mean_score, pos_rate, abs_gap", "variant, bin")
+
+  // --------------------------------------------------------------- q487
+  /** DRIFT VS THE TRAINING DISTRIBUTION — q485's PSI gate compares two
+    * slices of the LIVE corpus; the question a serving pipeline
+    * actually asks is "does today's corpus still look like what the
+    * model was TRAINED on?". The classifier artifact now remembers:
+    * [[ModelStore.saveLogistic]] carries the fit sample's 10-decile
+    * score histogram in the manifest, and this query reads it BACK
+    * from the persisted artifact and prices the live corpus against
+    * it — per decile, artifact count vs live count, both fractions,
+    * and the (p−q)·ln(p/q) PSI term with the standard 1e-6 floor
+    * (train = reference p, live = candidate q; Σ < 0.1 = "no retrain
+    * needed" by the conventional bar).
+    *
+    * The fit sample is the smallest-2000 md5(doc_id) rows (the
+    * [[QualityClassifier.fit]] sampling discipline via
+    * [[Similarity.hashSample]]) scored with the default literal
+    * weights — every leg relational, so unlike q486 this oracle is
+    * FULLY SQL-replayed: DuckDB re-derives the histogram that went
+    * INTO the artifact and the driver compare proves the round-trip
+    * returned it bit-for-bit.
+    *
+    * Scale shape: one bounded top-S sample job → 10-row hash-agg →
+    * 10 integers in the manifest (write once, at fit time); the live
+    * side is one zero-shuffle projection + a 10-row hash-agg + the
+    * literal bin spine against a broadcast scalar — drift-vs-training
+    * is priced without ever re-touching the training corpus. */
+  private def q487(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir)("documents")
+    val score = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val binCol = least(floor(score * 10), lit(9.0)).cast("int")
+    val histMap = Similarity.hashSample(d, "doc_id", 2000)
+      .select(binCol.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hist = (0 until 10).map(b => histMap.getOrElse(b, 0L))
+    val path = ModelStore.artifactPath(s, "q487_clf_hist")
+    ModelStore.saveLogistic(s,
+      QualityClassifier.defaultFeatures(col("text")).map(_._1),
+      QualityClassifier.DefaultWeights, path, hist)
+    // serve side: ONLY the loaded artifact histogram, never `hist`
+    val loaded = ModelStore.loadLogisticHist(s, path)
+    val trainTotal = loaded.sum.toDouble
+    val train = loaded.zipWithIndex
+      .map { case (n, b) => (b, n) }.toDF("bin", "nt")
+    val live = d.select(binCol.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("nl"))
+    val totals = live.agg(sum("nl").as("nlt"))
+    val spine = s.range(10).select(col("id").cast("int").as("bin"))
+    val p = greatest(col("nt").cast("double") / trainTotal, lit(1e-6))
+    val q = greatest(col("nl").cast("double") / col("nlt"), lit(1e-6))
+    spine.join(broadcast(train), Seq("bin"), "left")
+      .join(live, Seq("bin"), "left")
+      .na.fill(0L, Seq("nt", "nl"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"),
+        col("nt").cast("long").as("n_train"),
+        col("nl").cast("long").as("n_live"),
+        round(col("nt").cast("double") / trainTotal, 6).as("train_frac"),
+        round(col("nl").cast("double") / col("nlt"), 6).as("live_frac"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  private val q487Sql: String =
+    s"""WITH f AS (
+         ${OracleLogit.featuresSql("doc_id")}),
+       z AS (
+         SELECT doc_id,
+           ${OracleLogit.zExprSql} AS z
+         FROM f),
+       sc AS MATERIALIZED (
+         SELECT doc_id,
+           CAST(least(floor(round(1.0 / (1.0 + exp(-z)), 6) * 10), 9.0)
+             AS INT) AS bin
+         FROM z),
+       smp AS MATERIALIZED (
+         SELECT doc_id FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 2000),
+       tb AS (SELECT bin, count(*) AS nt
+              FROM sc JOIN smp USING (doc_id) GROUP BY 1),
+       lb AS (SELECT bin, count(*) AS nl FROM sc GROUP BY 1),
+       tot AS (SELECT (SELECT count(*) FROM smp) AS ntt,
+                      (SELECT count(*) FROM sc) AS nlt),
+       spine AS (SELECT CAST(g AS INT) AS bin
+                 FROM unnest(generate_series(0, 9)) AS t(g)),
+       j AS (
+         SELECT spine.bin,
+           COALESCE(nt, 0) AS nt, COALESCE(nl, 0) AS nl, ntt, nlt,
+           greatest(CAST(COALESCE(nt, 0) AS DOUBLE) / ntt, 1e-6) AS p,
+           greatest(CAST(COALESCE(nl, 0) AS DOUBLE) / nlt, 1e-6) AS q
+         FROM spine LEFT JOIN tb ON tb.bin = spine.bin
+                    LEFT JOIN lb ON lb.bin = spine.bin
+                    CROSS JOIN tot)
+       SELECT bin, CAST(nt AS BIGINT) AS n_train,
+         CAST(nl AS BIGINT) AS n_live,
+         round(CAST(nt AS DOUBLE) / ntt, 6) AS train_frac,
+         round(CAST(nl AS DOUBLE) / nlt, 6) AS live_frac,
+         round((p - q) * ln(p / q), 6) AS psi_term
+       FROM j ORDER BY bin"""
+
+  // --------------------------------------------------------------- q488
+  /** IVF-PQ TUNING DECISION TABLE — q477 priced ONE config's recall
+    * and q483 priced one rerank; an operator tuning the index wants
+    * the SWEEP: per (nprobe, kCandidates), recall@1/@5 of the
+    * refined path against the shared brute truth AND the fraction of
+    * the corpus the ADC stage actually scans (the probed buckets'
+    * occupancy — the cost axis recall is traded against; Jégou et al.
+    * 2011 §V tabulate exactly this pair). Four nprobe points at the
+    * production kCandidates plus the kCandidates wings at nprobe=4.
+    *
+    * Scale shape: the model fits once, the corpus encodes once
+    * (localCheckpointed — at 100 TB this is the persisted
+    * partitionBy(bucket) table), the truth leg runs once over the
+    * absolute smallest-K sample; each config adds one nprobe-pruned
+    * ADC scan + one bounded rerank join; the scanned-fraction leg is
+    * the (query × nprobe) probe list joined to the 8-row bucket
+    * occupancy — integer arithmetic, no vector math. Golden-oracled
+    * (driver Lloyd fits). */
+  private def q488(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir)("embeddings")
+    val queries = Extras72.auditSample(all).localCheckpoint()
+    val model = IvfPq.fit(all, "vec_id", "embedding",
+      dim = 64, coarseK = 8, m = 8, codes = 16, iters = 3)
+    val enc = IvfPq.encode(all, "vec_id", "embedding", model)
+      .localCheckpoint() // read by every config's ADC scan
+    val exact = Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("ex_rank"))
+      .localCheckpoint()
+    val truth = exact.agg(
+        coalesce(sum(when(col("ex_rank") <= 1, 1L).otherwise(0L)), lit(0L))
+          .as("e1"),
+        count(lit(1)).as("e5"))
+      .localCheckpoint()
+    val bucketN = enc.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val corpusN = all.count()
+    val nQueries = queries.count()
+
+    def config(nprobe: Int, kCand: Int): DataFrame = {
+      val refined = IvfPq.topKRefined(enc, queries, "vec_id", "embedding",
+          corpus = all, model = model, k = 5, kCandidates = kCand,
+          nprobe = nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("ap_rank"))
+      val hits = refined.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("ap_rank") <= 1 && col("ex_rank") <= 1, 1L)
+            .otherwise(0L)), lit(0L)).as("h1"),
+          count(lit(1)).as("h5"))
+      // scanned rows = Σ over (query, probed bucket) of the bucket's
+      // occupancy; fraction normalizes by |queries|·N
+      val scanned = queries
+        .select(col("vec_id").as("query_id"),
+          explode(IvfPq.probes(col("embedding").cast("array<double>"),
+            model, nprobe)).as("bucket"))
+        .join(broadcast(bucketN), Seq("bucket"))
+        .agg(coalesce(sum("bn"), lit(0L)).as("ns"))
+      hits.crossJoin(broadcast(truth)).crossJoin(broadcast(scanned))
+        .select(explode(array(
+          struct(lit(1).as("k"), col("h1").as("nh"), col("e1").as("ne")),
+          struct(lit(5).as("k"), col("h5").as("nh"), col("e5").as("ne"))))
+          .as("r"), col("ns"))
+        .select(lit(nprobe).as("nprobe"),
+          lit(kCand).as("k_candidates"),
+          col("r.k").cast("int").as("k"),
+          col("r.nh").cast("long").as("n_hits"),
+          col("r.ne").cast("long").as("n_truth"),
+          round(col("r.nh").cast("double") / col("r.ne"), 6).as("recall"),
+          round(col("ns").cast("double") / (nQueries * corpusN), 6)
+            .as("scanned_frac"))
+    }
+
+    Seq((1, 64), (2, 64), (4, 16), (4, 64), (4, 128), (8, 64))
+      .map { case (np, kc) => config(np, kc) }
+      .reduce(_ unionAll _)
+      .orderBy("nprobe", "k_candidates", "k")
+  }
+
+  private val q488Sql = GoldenOracle.sql("q488_ivfpq_tuning",
+    "nprobe, k_candidates, k, n_hits, n_truth, recall, scanned_frac",
+    "nprobe, k_candidates, k")
+
+  override val queries: Map[String, QueryFn] = Map(
+    "q486_score_recalibration" -> q486 _,
+    "q487_artifact_drift" -> q487 _,
+    "q488_ivfpq_tuning" -> q488 _)
+
+  override val oracles: Map[String, String] = Map(
+    "q486_score_recalibration" -> q486Sql,
+    "q487_artifact_drift" -> q487Sql,
+    "q488_ivfpq_tuning" -> q488Sql)
+}

@@ -30,7 +30,8 @@ object RegenGoldens {
   val goldenQueries: Seq[String] =
     Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup",
         "q358_ivfpq_ann", "q477_ivfpq_recall", "q478_classifier_fit",
-        "q483_ivfpq_rerank")
+        "q483_ivfpq_rerank", "q486_score_recalibration",
+        "q488_ivfpq_tuning")
   val sfs: Seq[String] = Seq("0.001", "0.01", "0.1")
 
   def goldenFile(name: String, sf: String): String =

@@ -59,6 +59,52 @@ class LogisticFitSpec extends GraftTestBase {
     assert(viaDf == viaCore)
   }
 
+  test("Platt calibration lands on the closed-form MLE on a two-logit toy") {
+    import spark.implicits._
+    // raw logits z ∈ {−1, +1}: positive rates 0.25 / 0.75. The 1-D
+    // logistic MLE has the closed form a+b·z = logit(rate(z)), i.e.
+    // a = (logit(p+) + logit(p−))/2 and b = (logit(p+) − logit(p−))/2.
+    val rows = (0 until 40).map { i => (i.toLong, -1.0, if (i < 10) 1.0 else 0.0) } ++
+      (40 until 80).map { i => (i.toLong, 1.0, if (i < 70) 1.0 else 0.0) }
+    val df = rows.toDF("id", "z", "y")
+    val ab = QualityClassifier.fitCalibration(df, "id", col("y"), col("z"),
+      iters = 25, sampleSize = 0)
+    val lp = math.log(0.75 / 0.25)
+    val lm = math.log(0.25 / 0.75)
+    assert(math.abs(ab(0) - (lp + lm) / 2) < 1e-4, s"a ${ab(0)}")
+    assert(math.abs(ab(1) - (lp - lm) / 2) < 1e-4, s"b ${ab(1)}")
+  }
+
+  test("calibration shrinks the expected calibration error on a miscalibrated toy") {
+    import spark.implicits._
+    // four logit levels whose observed rates sit far from sigmoid(z)
+    val levels = Seq((0.5, 25, 5), (1.0, 25, 10), (1.5, 25, 15), (2.0, 25, 20))
+    val rows = levels.zipWithIndex.flatMap { case ((z, n, pos), li) =>
+      (0 until n).map(i => ((li * 100 + i).toLong, z,
+        if (i < pos) 1.0 else 0.0))
+    }
+    val df = rows.toDF("id", "z", "y")
+    val ab = QualityClassifier.fitCalibration(df, "id", col("y"), col("z"),
+      iters = 25, sampleSize = 0)
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def ece(score: Double => Double): Double =
+      levels.map { case (z, n, pos) =>
+        n * math.abs(score(z) - pos.toDouble / n)
+      }.sum / levels.map(_._2).sum
+    val rawEce = ece(sig)
+    val calEce = ece(z => sig(ab(0) + ab(1) * z))
+    assert(calEce < rawEce / 2,
+      s"calibration must at least halve ECE: raw $rawEce cal $calEce")
+    // and the serve expression matches the driver arithmetic at 6 dp
+    val served = df.select(
+        round(QualityClassifier.calibratedScoreExpr(col("z"), ab), 6)
+          .as("s"), col("z"))
+      .distinct().collect().map(r => r.getDouble(1) -> r.getDouble(0)).toMap
+    levels.foreach { case (z, _, _) =>
+      assert(math.abs(served(z) - sig(ab(0) + ab(1) * z)) < 1e-6)
+    }
+  }
+
   test("the fit is bit-deterministic across repeated runs") {
     val a = QualityClassifier.fitLocal(binaryToy, iters = 4)
     val b = QualityClassifier.fitLocal(binaryToy, iters = 4)

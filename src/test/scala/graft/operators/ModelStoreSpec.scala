@@ -101,4 +101,23 @@ class ModelStoreSpec extends GraftTestBase {
       ModelStore.saveLogistic(spark, Seq("a", "b"), Seq(1.0, 2.0), tmp("ms_ar_"))
     }
   }
+
+  test("training-time score histogram round-trips through the manifest") {
+    val names = Seq("f1")
+    val w = Seq(0.25, -1.5)
+    val hist = Seq(0L, 3L, 0L, 12L, 7L, 0L, 0L, 950L, 21L, 4L)
+    val path = tmp("ms_hist_")
+    ModelStore.saveLogistic(spark, names, w, path, hist)
+    assert(ModelStore.loadLogisticHist(spark, path) == hist)
+    // weights are untouched by the extra manifest key
+    assert(ModelStore.loadLogistic(spark, path) == ((names, w)))
+    // an artifact without the field reads back as "not recorded"
+    val bare = tmp("ms_nohist_")
+    ModelStore.saveLogistic(spark, names, w, bare)
+    assert(ModelStore.loadLogisticHist(spark, bare).isEmpty)
+    // and a non-decile histogram is rejected at save time
+    intercept[IllegalArgumentException] {
+      ModelStore.saveLogistic(spark, names, w, tmp("ms_badh_"), Seq(1L, 2L))
+    }
+  }
 }
