@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AdaptiveGate, Dedup, KnLm, LangId, SubstringDedup, Winnowing}
+import graft.operators.{AdaptiveGate, Dedup, KnLm, LangId, QualityClassifier, SubstringDedup, Winnowing}
 
 /** Streaming twin of [[graft.pipelines.CurationPipeline]]: the full
   * curation funnel applied at INGESTION time, with the historical
@@ -106,7 +106,14 @@ object StreamingCuration {
     * how many docs of the row's micro-batch collided with the
     * benchmark shingle set, i.e. "did this incoming shard contaminate
     * any benchmark", stamped per batch so replays keep the original
-    * batch's answer).
+    * batch's answer; score_psi DOUBLE is the q485 drift gate at
+    * ingestion time — the population-stability index of the
+    * micro-batch's quality-score decile distribution against the
+    * standing corpus distillate (10 reference fractions, driver
+    * state), stamped per batch so "did this shard's score profile
+    * drift from the corpus" is answerable from the admitted table;
+    * on corpus replay the distributions are identical and the stamp
+    * is exactly 0.0).
     * Gate state distills from `dir`'s documents table; the stream
     * reads `streamDir` (defaults to `dir` — the replay/convergence
     * case; point it elsewhere to ingest never-seen documents through
@@ -138,6 +145,36 @@ object StreamingCuration {
           df.filter(col("pred_lang").isin(ls.toSeq.sorted: _*)))
       val input = langGate(withLang(Tables(spark, dir)("documents")))
       val benchmark = (id: org.apache.spark.sql.Column) => pmod(id, lit(97)) === 0
+
+      // ---- score-drift distillate (the q485 PSI gate at ingestion) ----
+      // the standing corpus' quality-score decile distribution: ten
+      // longs of driver state, built once from the SAME gated corpus
+      // the other distillates derive from. Per batch the twin 10-row
+      // agg runs over the gated micro-batch and the PSI is driver
+      // arithmetic (6-dp term rounding, the q485 determinism; the
+      // 1e-6 floor keeps empty deciles finite). StrictMath.log for
+      // bit-stability across JVMs (the IRLS StrictMath.exp precedent).
+      val scoreBin = least(floor(round(QualityClassifier.scoreExpr(
+        QualityClassifier.defaultModel(col("text"))), 6) * 10), lit(9.0))
+        .cast("int").as("__sbin")
+      def decileCounts(df: DataFrame): Array[Long] = {
+        val m = df.select(scoreBin).groupBy("__sbin")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        Array.tabulate(10)(b => m.getOrElse(b, 0L))
+      }
+      val refHist = decileCounts(input)
+      val refTotal = refHist.sum
+      def psiVsCorpus(cand: Array[Long]): Double = {
+        val candTotal = cand.sum
+        if (candTotal == 0L || refTotal == 0L) 0.0
+        else (0 until 10).map { b =>
+          val p = math.max(refHist(b).toDouble / refTotal, 1e-6)
+          val q = math.max(cand(b).toDouble / candTotal, 1e-6)
+          BigDecimal((p - q) * StrictMath.log(p / q))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.sum
+      }
 
       // ---- static distillates (one-time index build; all tiny) ----
       // contrastive-prep distillate: per-source ICT-with-context counts
@@ -286,11 +323,16 @@ object StreamingCuration {
       // Returns the gated frame PLUS the batch's contaminated-doc count
       // (the q476 ingestion-time flip: how many docs of THIS shard
       // collide with the benchmark shingle set — the number an operator
-      // reads before trusting a freshly ingested shard near eval time).
-      def curateBatch(batch: DataFrame): (DataFrame, Long) = {
+      // reads before trusting a freshly ingested shard near eval time)
+      // PLUS the batch's score-drift PSI vs the corpus distillate (the
+      // q485 flip: has this shard's quality profile drifted).
+      def curateBatch(batch: DataFrame): (DataFrame, Long, Double) = {
         // stage 0: language ID + gate, the same map-side projection
         // the distillates above were built behind
         val s0 = langGate(withLang(batch))
+        // drift is priced on the gated shard vs the gated corpus —
+        // same stage of both funnels, so corpus replay stamps 0.0
+        val scorePsi = psiVsCorpus(decileCounts(s0))
         // left join: a fingerprint ABSENT from the corpus index is a
         // genuinely new document, not a duplicate — admit it (the
         // never-seen ingestion path); a matched fingerprint survives
@@ -380,7 +422,7 @@ object StreamingCuration {
               .filter(col("avg_nll") > maxAvgNll).select("doc_id")
             repetitionOut.join(bad, Seq("doc_id"), "left_anti")
         }
-        (gated, nContaminated)
+        (gated, nContaminated, scorePsi)
       }
 
       // ---- streaming drain: gate → cap → sample → MERGE ----
@@ -393,7 +435,7 @@ object StreamingCuration {
       val q = incoming.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sess = batch.sparkSession
-          val (gated, nContaminated) = curateBatch(batch)
+          val (gated, nContaminated, scorePsi) = curateBatch(batch)
           val admitted =
             if (domainCap == Long.MaxValue) gated
             else {
@@ -430,7 +472,10 @@ object StreamingCuration {
               // micro-batch's benchmark-collision count, so "did this
               // shard touch the eval set" is answerable from the
               // admitted table without re-probing the corpus
-              lit(nContaminated).cast("int").as("batch_contaminated"))
+              lit(nContaminated).cast("int").as("batch_contaminated"),
+              // the q485 flip: the micro-batch's score-drift PSI vs
+              // the standing corpus distillate, same stamp semantics
+              lit(scorePsi).cast("double").as("score_psi"))
             .createOrReplaceTempView("curation_updates")
           sess.sql(
             s"""MERGE INTO $resultTable t
@@ -438,10 +483,11 @@ object StreamingCuration {
                 WHEN NOT MATCHED THEN
                   INSERT (doc_id, source, lang, pred_lang, sampled,
                           ict_ctx, ict_chunks, triplet_ok,
-                          batch_contaminated)
+                          batch_contaminated, score_psi)
                   VALUES (s.doc_id, s.source, s.lang, s.pred_lang,
                           s.sampled, s.ict_ctx, s.ict_chunks,
-                          s.triplet_ok, s.batch_contaminated)""")
+                          s.triplet_ok, s.batch_contaminated,
+                          s.score_psi)""")
           ()
         }
         .option("checkpointLocation",

@@ -20,7 +20,7 @@ class StreamingCurationSpec extends GraftTestBase {
                   (doc_id BIGINT, source STRING, lang STRING,
                    pred_lang STRING, sampled BOOLEAN,
                    ict_ctx BOOLEAN, ict_chunks INT, triplet_ok BOOLEAN,
-                   batch_contaminated INT)""")
+                   batch_contaminated INT, score_psi DOUBLE)""")
     s"gcur.db.$name"
   }
 
@@ -104,6 +104,64 @@ class StreamingCurationSpec extends GraftTestBase {
       .collect().map(_.getInt(0)).toSeq
     assert(stamped == Seq(expected.toInt),
       s"stamped $stamped vs batch-funnel $expected")
+    // and the drift stamp: on corpus replay the micro-batch's score
+    // distribution IS the corpus distillate, so the PSI is exactly 0.0
+    val psi = spark.table(table)
+      .select("score_psi").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(psi == Seq(0.0), s"replay score_psi must be 0.0, got $psi")
+  }
+
+  test("score_psi prices a drifted incoming shard against the corpus distillate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.{LangId, QualityClassifier}
+    val table = freshTable("curated_psi")
+    val corpus = Tables(spark, sf001)("documents")
+    // a shard with a very different quality profile: stopword-free
+    // all-distinct gibberish that still clears the length/token gates
+    // (so rows ARE admitted and carry the stamp) but whose scores pile
+    // into a different decile than the corpus' prose
+    def junk(i: Int) = (0 until 16).map(j => s"zw${i}q${j}xv").mkString(" ")
+    val shard = (0 until 50).map(i =>
+        (900000L + i, junk(i), "en", "srcJ", junk(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("psi_src").toString
+    shard.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stage")
+    val part = new java.io.File(s"$tmp/_stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    StreamingCuration.curateToTable(spark, sf001, table,
+      streamDir = Some(tmp))
+    val stamped = spark.table(table)
+      .select("score_psi").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(stamped.length == 1, s"one batch → one stamp, got $stamped")
+    // driver twin: decile counts of both sides (post the same stage-0
+    // projection), 6-dp-rounded PSI terms, StrictMath.log
+    def hist(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+      val scoreCols = LangId.defaultModel.map { case (l, _) => s"score_$l" }
+      val m = LangId.classify(df, "text").drop(scoreCols: _*)
+        .select(least(floor(round(QualityClassifier.scoreExpr(
+            QualityClassifier.defaultModel(col("text"))), 6) * 10),
+          lit(9.0)).cast("int").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(10)(b => m.getOrElse(b, 0L))
+    }
+    val rh = hist(corpus)
+    val ch = hist(shard)
+    val expect = (0 until 10).map { b =>
+      val p = math.max(rh(b).toDouble / rh.sum, 1e-6)
+      val q = math.max(ch(b).toDouble / ch.sum, 1e-6)
+      BigDecimal((p - q) * StrictMath.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(stamped.head == expect,
+      s"stamped ${stamped.head} vs twin $expect")
+    // and the drift is non-trivial — this shard fails the 0.1 bar
+    assert(stamped.head > 0.1, s"junk shard must read as drifted: $stamped")
   }
 
   test("funnel equality holds at a non-default maxJaccard (containment gate tuned)") {
