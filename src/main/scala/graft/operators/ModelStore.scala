@@ -32,6 +32,9 @@ import org.apache.spark.sql.types._
   *               — pos 0 is the bias, pos i>=1 aligns with the feature list
   *   - centroids: centroids.parquet (centroid_id BIGINT, centroid ARRAY<DOUBLE>)
   *               — the [[Similarity.ivfTopK]]/[[KMeans.fit]] frame shape
+  *   - isotonic: steps.parquet    (bin INT, value DOUBLE) — the 10
+  *               decile values of a [[QualityClassifier.fitIsotonicDeciles]]
+  *               step calibrator
   */
 object ModelStore {
 
@@ -255,6 +258,33 @@ object ModelStore {
       "kind" -> "logistic", "version" -> FormatVersion,
       "n_features" -> featureNames.length.toString) ++ histKv)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Persist an isotonic step-function calibrator — the 10 decile
+    * values of [[QualityClassifier.fitIsotonicDeciles]], one row per
+    * decile so the artifact reads as the reliability repair it is. */
+  def saveIsotonic(spark: SparkSession, steps: Seq[Double],
+                   path: String): Unit = {
+    require(steps.length == 10, s"want 10 step values, got ${steps.length}")
+    val schema = StructType(Seq(
+      StructField("bin", IntegerType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val rows = steps.zipWithIndex.map { case (v, b) => Row(b, v) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/steps.parquet")
+    manifestDf(spark, Seq("kind" -> "isotonic", "version" -> FormatVersion))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest.parquet")
+  }
+
+  /** Load a persisted isotonic calibrator, re-ordered by bin. */
+  def loadIsotonic(spark: SparkSession, path: String): Seq[Double] = {
+    requireKind(readManifest(spark, path), "isotonic", path)
+    val rows = spark.read.parquet(s"$path/steps.parquet")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.length == 10,
+      s"isotonic table at $path has ${rows.length} rows, expected 10")
+    rows.map(_._2).toSeq
   }
 
   /** The training-time score histogram stored by [[saveLogistic]] —

@@ -122,6 +122,69 @@ object QualityClassifier {
     lit(1.0) / (lit(1.0) + exp(-(lit(ab.head) + lit(ab(1)) * rawLogit)))
   }
 
+  /** HISTOGRAM-ISOTONIC CALIBRATION (Zadrozny & Elkan 2002 histogram
+    * binning repaired by the pool-adjacent-violators algorithm — the
+    * non-parametric rung of Guo et al. 2017's calibration ladder,
+    * for when the miscalibration is not sigmoid-shaped): per raw-score
+    * decile, the observed positive rate, PAV-pooled into a
+    * NON-DECREASING step function of 10 values.
+    *
+    * Unlike the IRLS fits this needs no sample: the sufficient
+    * statistic is one 10-row hash-agg over the full corpus (exact
+    * integer (n, positives) per decile — bounded driver state at any
+    * scale), and PAV runs on ≤10 blocks driver-side with violation
+    * tests on cross-multiplied longs (no float comparisons anywhere).
+    * Empty deciles inherit their covering block's value (preceding
+    * block, or the first block when leading), so the serve function is
+    * total. Values are 6-dp rounded.
+    *
+    * Returns the 10 step values for [[isotonicScoreExpr]] /
+    * [[ModelStore.saveIsotonic]]. */
+  def fitIsotonicDeciles(docs: DataFrame, labelExpr: Column,
+                         rawScore: Column): Seq[Double] = {
+    val binned = docs
+      .select(least(floor(rawScore * 10), lit(9.0)).cast("int").as("bin"),
+        labelExpr.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(binned.nonEmpty, "empty isotonic fit input")
+    // stack-based PAV over the non-empty bins, ascending
+    final case class Block(pos: Long, n: Long, upTo: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    (0 until 10).foreach { b =>
+      binned.get(b).foreach { case (n, pos) =>
+        stack += Block(pos, n, b)
+        // pool while the previous block's rate >= this block's rate
+        // (exact: cross-multiplied longs; >= also pools ties)
+        while (stack.length >= 2 &&
+          stack(stack.length - 2).pos * stack.last.n >=
+            stack.last.pos * stack(stack.length - 2).n) {
+          val top = stack.remove(stack.length - 1)
+          val prev = stack.remove(stack.length - 1)
+          stack += Block(prev.pos + top.pos, prev.n + top.n, top.upTo)
+        }
+      }
+    }
+    val values = stack.map(bl => BigDecimal(bl.pos.toDouble / bl.n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // expand blocks back to the 10 deciles; leading empties take the
+    // first block's value, others the last block ending at-or-before
+    (0 until 10).map { b =>
+      val i = stack.indexWhere(_.upTo >= b)
+      values(if (i < 0) stack.length - 1 else i)
+    }
+  }
+
+  /** The isotonic-calibrated score: the step value of the raw score's
+    * decile — one floor + one literal-array lookup per row, inside
+    * whole-stage codegen. */
+  def isotonicScoreExpr(rawScore: Column, steps: Seq[Double]): Column = {
+    require(steps.length == 10, s"want 10 step values, got ${steps.length}")
+    element_at(typedLit(steps),
+      least(floor(rawScore * 10), lit(9.0)).cast("int") + 1)
+  }
+
   /** Fit the classifier's weights IN-ENGINE — fixed-round IRLS
     * (Newton-Raphson on the logistic log-likelihood: each round solves
     * (Xᵀ S X + λI) δ = Xᵀ(y − p)) over a BOUNDED deterministic sample,

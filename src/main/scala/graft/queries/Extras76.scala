@@ -287,13 +287,113 @@ object Extras76 extends QueryPack {
     "nprobe, k_candidates, k, n_hits, n_truth, recall, scanned_frac",
     "nprobe, k_candidates, k")
 
+  // --------------------------------------------------------------- q489
+  /** ISOTONIC RECALIBRATION — the non-parametric rung under q486's
+    * Platt rung (Guo et al. 2017 benchmark both; isotonic wins when
+    * the miscalibration is not sigmoid-shaped): per raw-score decile
+    * the observed rule-label rate, PAV-pooled into a monotone step
+    * function ([[QualityClassifier.fitIsotonicDeciles]] — sufficient
+    * statistic is ONE 10-row hash-agg, no sample needed), persisted
+    * through the [[ModelStore]] isotonic artifact, and SERVED from the
+    * loaded steps. Output: the calibrated score's reliability table in
+    * q486's variant-stamped shape, so q484/q486/q489 stack into the
+    * calibration ladder read-off.
+    *
+    * Scale shape: the fit is one 10-row hash-agg + a ≤10-block driver
+    * PAV on cross-multiplied longs; serve is one floor + one
+    * literal-array lookup per row. Golden-oracled (the PAV pooling is
+    * driver arithmetic DuckDB cannot replay relationally). */
+  private def q489(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val raw = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val steps = QualityClassifier.fitIsotonicDeciles(d, ruleLabel, raw)
+    val path = ModelStore.artifactPath(s, "q489_isotonic")
+    ModelStore.saveIsotonic(s, steps, path)
+    val loaded = ModelStore.loadIsotonic(s, path)
+    val cal = round(QualityClassifier.isotonicScoreExpr(raw, loaded), 6)
+    reliability(d, "isotonic", cal).orderBy("bin")
+  }
+
+  private val q489Sql = GoldenOracle.sql("q489_isotonic_recalibration",
+    "variant, bin, n_docs, mean_score, pos_rate, abs_gap", "bin")
+
+  // --------------------------------------------------------------- q490
+  /** CALIBRATION SCORECARD — the Guo et al. 2017 summary table as a
+    * relation: per variant (raw / platt / isotonic), the expected
+    * calibration error (decile-weighted |gap|), the maximum
+    * calibration error, and the Brier score, over the same corpus and
+    * rule label. This is the one-page read-off that picks the
+    * calibrator; q484/q486/q489 show the per-decile detail behind it.
+    *
+    * Determinism: every metric reduces to order-free integer sums —
+    * ECE = Σ|sms_b − np_b·10⁶| / (N·10⁶) (the n_b factors cancel
+    * exactly), MCE is a max of per-bin rationals, Brier =
+    * Σ(sm − y·10⁶)² / (N·10¹²) with the squares in longs (≤10¹² per
+    * row — no overflow below ~9·10⁶ rows per partition sum at sf0.1's
+    * scale, and Spark sums longs exactly) — one division each at the
+    * end. Scale shape: per variant one zero-shuffle projection + one
+    * 10-row hash-agg + one scalar agg. Golden-oracled (Platt IRLS +
+    * PAV are driver fits). */
+  private def q490(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir)("documents")
+    val z = QualityClassifier.logitExpr(
+      QualityClassifier.defaultModel(col("text")))
+    val raw = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val calBucket = pmod(conv(substring(md5(concat(lit("cal:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(5))
+    val ab = QualityClassifier.fitCalibration(
+      d.filter(calBucket === 0), "doc_id", ruleLabel.cast("double"), z,
+      iters = 8, sampleSize = 2000)
+    val steps = QualityClassifier.fitIsotonicDeciles(d, ruleLabel, raw)
+
+    def scorecard(variant: String, score: Column): DataFrame = {
+      val perBin = d
+        .select(score.as("s"), ruleLabel.as("y"))
+        .select(least(floor(col("s") * 10), lit(9.0)).cast("int").as("bin"),
+          floor(col("s") * 1e6 + 0.5).cast("long").as("sm"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("sm").as("sms"), sum("y").as("np"),
+          sum((col("sm") - col("y") * 1e6.toLong) *
+            (col("sm") - col("y") * 1e6.toLong)).as("sq"))
+      perBin.agg(
+          sum("n").as("nt"),
+          sum(abs(col("sms") - col("np") * 1e6.toLong)).as("gapsum"),
+          max(abs(col("sms") - col("np") * 1e6.toLong).cast("double")
+            / (col("n") * 1e6)).as("mce"),
+          sum("sq").as("sqsum"))
+        .select(lit(variant).as("variant"),
+          col("nt").cast("long").as("n_docs"),
+          round(col("gapsum").cast("double") / (col("nt") * 1e6), 6)
+            .as("ece"),
+          round(col("mce"), 6).as("mce"),
+          round(col("sqsum").cast("double") / (col("nt") * 1e12), 6)
+            .as("brier"))
+    }
+
+    scorecard("isotonic",
+        round(QualityClassifier.isotonicScoreExpr(raw, steps), 6))
+      .unionAll(scorecard("platt",
+        round(QualityClassifier.calibratedScoreExpr(z, ab), 6)))
+      .unionAll(scorecard("raw", raw))
+      .orderBy("variant")
+  }
+
+  private val q490Sql = GoldenOracle.sql("q490_calibration_scorecard",
+    "variant, n_docs, ece, mce, brier", "variant")
+
   override val queries: Map[String, QueryFn] = Map(
     "q486_score_recalibration" -> q486 _,
     "q487_artifact_drift" -> q487 _,
-    "q488_ivfpq_tuning" -> q488 _)
+    "q488_ivfpq_tuning" -> q488 _,
+    "q489_isotonic_recalibration" -> q489 _,
+    "q490_calibration_scorecard" -> q490 _)
 
   override val oracles: Map[String, String] = Map(
     "q486_score_recalibration" -> q486Sql,
     "q487_artifact_drift" -> q487Sql,
-    "q488_ivfpq_tuning" -> q488Sql)
+    "q488_ivfpq_tuning" -> q488Sql,
+    "q489_isotonic_recalibration" -> q489Sql,
+    "q490_calibration_scorecard" -> q490Sql)
 }

@@ -31,7 +31,8 @@ object RegenGoldens {
     Seq("q343_minhash_scale", "q344_simhash_scale", "q346_kmeans_semdedup",
         "q358_ivfpq_ann", "q477_ivfpq_recall", "q478_classifier_fit",
         "q483_ivfpq_rerank", "q486_score_recalibration",
-        "q488_ivfpq_tuning")
+        "q488_ivfpq_tuning", "q489_isotonic_recalibration",
+        "q490_calibration_scorecard")
   val sfs: Seq[String] = Seq("0.001", "0.01", "0.1")
 
   def goldenFile(name: String, sf: String): String =

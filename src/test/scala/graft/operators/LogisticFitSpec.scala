@@ -105,6 +105,35 @@ class LogisticFitSpec extends GraftTestBase {
     }
   }
 
+  test("isotonic decile fit pools adjacent violators to the weighted PAV solution") {
+    import spark.implicits._
+    // deciles with rates [0.1, 0.3, 0.2, 0.6] and weights [10,10,20,10]:
+    // bins 1 (3/10) and 2 (4/20) violate monotonicity → pool to 7/30;
+    // pooled 0.2333 < 0.3? no: 7/30 ≈ 0.2333 vs bin 0's 0.1 — monotone.
+    val rows = Seq((0, 10, 1), (1, 10, 3), (2, 20, 4), (3, 10, 6))
+      .flatMap { case (bin, n, pos) =>
+        (0 until n).map(i => (bin / 10.0 + 0.05, if (i < pos) 1L else 0L))
+      }
+    val df = rows.toDF("s", "y")
+    val steps = QualityClassifier.fitIsotonicDeciles(df, col("y"), col("s"))
+    val pooled = BigDecimal(7.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(steps(0) == 0.1 && steps(1) == pooled && steps(2) == pooled &&
+      steps(3) == 0.6, s"steps $steps")
+    // empty deciles inherit the covering block's value (trailing = last)
+    assert(steps(4) == 0.6 && steps(9) == 0.6, s"steps $steps")
+    // the whole function is non-decreasing
+    assert(steps == steps.sorted, s"not monotone: $steps")
+    // and the serve expression reads the fitted step per decile
+    // (keyed by decile — the raw doubles 0.15/0.35 are not exactly
+    // representable, so a double-keyed map lookup would miss)
+    val served = df.select(floor(col("s") * 10).cast("int").as("b"),
+        QualityClassifier.isotonicScoreExpr(col("s"), steps).as("c"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(served(0) == 0.1 && served(1) == pooled &&
+      served(2) == pooled && served(3) == 0.6)
+  }
+
   test("the fit is bit-deterministic across repeated runs") {
     val a = QualityClassifier.fitLocal(binaryToy, iters = 4)
     val b = QualityClassifier.fitLocal(binaryToy, iters = 4)

@@ -102,6 +102,16 @@ class ModelStoreSpec extends GraftTestBase {
     }
   }
 
+  test("isotonic step calibrator round-trips in bin order") {
+    val steps = Seq(0.05, 0.1, 0.1, 0.25, 0.25, 0.25, 0.5, 0.875, 0.9, 1.0)
+    val path = tmp("ms_iso_")
+    ModelStore.saveIsotonic(spark, steps, path)
+    assert(ModelStore.loadIsotonic(spark, path) == steps)
+    intercept[IllegalArgumentException] {
+      ModelStore.saveIsotonic(spark, Seq(0.1, 0.2), tmp("ms_isobad_"))
+    }
+  }
+
   test("training-time score histogram round-trips through the manifest") {
     val names = Seq("f1")
     val w = Seq(0.25, -1.5)
