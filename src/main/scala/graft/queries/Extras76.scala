@@ -383,17 +383,111 @@ object Extras76 extends QueryPack {
   private val q490Sql = GoldenOracle.sql("q490_calibration_scorecard",
     "variant, n_docs, ece, mce, brier", "variant")
 
+  // --------------------------------------------------------------- q491
+  /** PRECISION-TARGETED THRESHOLD TRANSFER — the operational question
+    * q424/q426/q485 keep circling: an operator does not pick a score
+    * THRESHOLD, they pick a target PRECISION and need the threshold
+    * that delivers it. Per target precision (80/90/95/99%): the LOWEST
+    * raw-score threshold t whose admitted set {s ≥ t} meets the
+    * target (lowest = maximal yield under the constraint), with the
+    * achieved precision, kept/positive counts, and yield fraction; an
+    * unachievable target emits an explicit NULL row. On THIS model the
+    * table also exposes the raw score's top-bin pathology q484 found —
+    * the highest-scored docs are mostly rule-negative, so cumulative
+    * precision first has to climb OUT of the top bin — exactly why the
+    * q486/q489 recalibrators exist.
+    *
+    * Determinism: thresholds are the 6-dp score values present in the
+    * data; cumulative counts are exact long sums over the
+    * DISTINCT-SCORE relation; the precision test is the integer
+    * cross-multiplication cp·100 ≥ pct·cn (no float compare anywhere);
+    * achieved ratios are one rounded division each. Scale shape: one
+    * zero-shuffle projection → one hash-agg to the distinct-score
+    * grain → cumulative window over THAT bounded relation (≤10⁶ rows
+    * by construction of 6-dp scores, thousands in practice — never the
+    * corpus) → a 4-row spine join. Fully SQL-replayed (literal
+    * weights; no fit dependence). */
+  private def q491(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = Tables(s, dir)("documents")
+    val raw = round(QualityClassifier.scoreExpr(
+      QualityClassifier.defaultModel(col("text"))), 6)
+    val grouped = d.select(raw.as("s"), ruleLabel.as("y"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
+    // cumulative-from-top over the distinct-score relation (bounded —
+    // the single-partition window never sees the corpus grain)
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grouped.select(col("s"),
+        sum("n").over(w).as("cn"), sum("p").over(w).as("cp"))
+      .localCheckpoint() // read by all four targets
+    val total = d.count()
+    val targets = Seq(80, 90, 95, 99).toDF("target_pct")
+    val qualifying = targets.join(cum,
+        col("cp") * 100 >= col("target_pct") * col("cn"), "left")
+      .groupBy("target_pct")
+      .agg(min_by(struct(col("s"), col("cn"), col("cp")), col("s"))
+        .as("best"))
+    qualifying.select(col("target_pct"),
+        col("best.s").as("threshold"),
+        col("best.cn").cast("long").as("n_kept"),
+        col("best.cp").cast("long").as("n_pos"),
+        round(col("best.cp").cast("double") / col("best.cn"), 6)
+          .as("precision"),
+        round(col("best.cn").cast("double") / total, 6).as("yield_frac"))
+      .orderBy("target_pct")
+  }
+
+  private val q491Sql: String =
+    s"""WITH f AS (
+         ${OracleLogit.featuresSql("doc_id, n_chars AS raw_chars")}),
+       z AS (
+         SELECT doc_id, raw_chars, n_tok,
+           ${OracleLogit.zExprSql} AS z
+         FROM f),
+       sc AS (
+         SELECT round(1.0 / (1.0 + exp(-z)), 6) AS s,
+           CASE WHEN raw_chars >= 64 AND raw_chars <= 4096
+                     AND n_tok >= 8 THEN 1 ELSE 0 END AS y
+         FROM z),
+       g AS (SELECT s, count(*) AS n, sum(y) AS p FROM sc GROUP BY 1),
+       cum AS MATERIALIZED (
+         SELECT s,
+           sum(n) OVER (ORDER BY s DESC
+             ROWS UNBOUNDED PRECEDING) AS cn,
+           sum(p) OVER (ORDER BY s DESC
+             ROWS UNBOUNDED PRECEDING) AS cp
+         FROM g),
+       tot AS (SELECT count(*) AS nt FROM sc),
+       t AS (SELECT t.tp AS target_pct
+             FROM unnest([80, 90, 95, 99]) AS t(tp)),
+       best AS (
+         SELECT target_pct, min(s) AS threshold
+         FROM t JOIN cum ON cp * 100 >= target_pct * cn
+         GROUP BY 1)
+       SELECT t.target_pct AS target_pct, b.threshold AS threshold,
+         CAST(c.cn AS BIGINT) AS n_kept, CAST(c.cp AS BIGINT) AS n_pos,
+         round(CAST(c.cp AS DOUBLE) / c.cn, 6) AS precision,
+         round(CAST(c.cn AS DOUBLE) / nt, 6) AS yield_frac
+       FROM t LEFT JOIN best b USING (target_pct)
+              LEFT JOIN cum c ON c.s = b.threshold
+              CROSS JOIN tot
+       ORDER BY target_pct"""
+
   override val queries: Map[String, QueryFn] = Map(
     "q486_score_recalibration" -> q486 _,
     "q487_artifact_drift" -> q487 _,
     "q488_ivfpq_tuning" -> q488 _,
     "q489_isotonic_recalibration" -> q489 _,
-    "q490_calibration_scorecard" -> q490 _)
+    "q490_calibration_scorecard" -> q490 _,
+    "q491_threshold_transfer" -> q491 _)
 
   override val oracles: Map[String, String] = Map(
     "q486_score_recalibration" -> q486Sql,
     "q487_artifact_drift" -> q487Sql,
     "q488_ivfpq_tuning" -> q488Sql,
     "q489_isotonic_recalibration" -> q489Sql,
-    "q490_calibration_scorecard" -> q490Sql)
+    "q490_calibration_scorecard" -> q490Sql,
+    "q491_threshold_transfer" -> q491Sql)
 }
