@@ -98,6 +98,36 @@ object Dedup {
         .minhashFromHashes(hx, k).as("sig"))
   }
 
+  /** Per-doc shingle base-hash ARRAYS: (id, hx array<long>) — the
+    * shared upstream of BOTH the signature fold
+    * ([[minhashSignaturesFromHashes]]) and the exploded (id, h) set
+    * relation ([[shingleHashes]] ≡ explode + distinct of this), so a
+    * query that needs both (q447: resemblance edges + containment
+    * gate) pays the text scan and the base hash ONCE instead of once
+    * per leg — at corpus scale the base hash over every shingle is
+    * the dominant compute of the whole sketch family. Input is
+    * [[Spread]]-guarded: this is exactly the expensive fused
+    * projection that serializes on an under-split scan. */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int,
+                        baseHash: Column => Column): DataFrame =
+    Spread.byKey(docs, col(idCol))
+      .filter(length(col(textCol)) >= shingleLen)
+      .select(col(idCol),
+        transform(TextFunctions.charShingles(col(textCol), shingleLen),
+          sh => baseHash(sh)).as("hx"))
+
+  /** Signatures from a pre-computed hash-array frame (the
+    * [[shingleHashArrays]] output): just the fused k-minima fold, no
+    * text scan, no hashing — bit-identical to
+    * [[minhashSignaturesComposed]] on the same base hash because the
+    * affine-permutation minima depend only on the hash multiset. */
+  def minhashSignaturesFromHashes(hashed: DataFrame, idCol: String,
+                                  hxCol: String, k: Int): DataFrame =
+    hashed.select(col(idCol),
+      graft.functions.expressions.MinHashSignature
+        .minhashFromHashes(col(hxCol), k).as("sig"))
+
   /** LSH candidate pairs: docs sharing any band (r consecutive signature
     * slots) are candidates; est_jaccard = fraction of agreeing slots.
     * Only `threshold`-passing pairs survive.
@@ -235,7 +265,10 @@ object Dedup {
     import graft.functions.expressions.ShingleMinHash.shingleMinhash
     // materialize signatures ONCE: minhashCandidates reads them three
     // times (band rows + two scoring re-joins) — without this the text
-    // scan and signature fold would run three times
+    // scan and signature fold would run three times. NOT Spread-guarded:
+    // the fused xxhash64 fold is an order of magnitude cheaper than the
+    // md5 family, and the guard's exchange measured as a net loss here
+    // (q343 bench) where it was a 2-4× win on the md5 paths.
     val sigs = docs
       .filter(length(col(textCol)) >= shingleLen)
       .select(col(idCol), shingleMinhash(col(textCol), shingleLen, k).as("sig"))
@@ -252,12 +285,11 @@ object Dedup {
                       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.2,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val withShingles = docs
-      .filter(length(col(textCol)) >= shingleLen)
-      .select(col(idCol),
-              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
-    // materialized once for the same three-reads reason as minhashDedup
-    val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
+    // materialized once for the same three-reads reason as minhashDedup;
+    // the shingle+md5 projection rides the shared Spread-guarded pass
+    val sigs = minhashSignaturesFromHashes(
+        shingleHashArrays(docs, idCol, textCol, shingleLen, mdBaseHash),
+        idCol, "hx", k)
       .localCheckpoint()
     minhashCandidates(sigs, idCol, k, bands, threshold, hashBandKeys = false,
                       maxBucket = maxBucket)
@@ -269,11 +301,9 @@ object Dedup {
   def minhashBandRowsMd5(docs: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 5, k: Int = 16,
                          bands: Int = 4): DataFrame = {
-    val withShingles = docs
-      .filter(length(col(textCol)) >= shingleLen)
-      .select(col(idCol),
-              TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
-    val sigs = minhashSignaturesComposed(withShingles, idCol, "__sh", k, mdBaseHash)
+    val sigs = minhashSignaturesFromHashes(
+      shingleHashArrays(docs, idCol, textCol, shingleLen, mdBaseHash),
+      idCol, "hx", k)
     bandRows(sigs, idCol, k, bands, hashBandKeys = false)
   }
 
@@ -329,11 +359,16 @@ object Dedup {
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int,
                     baseHash: Column => Column): DataFrame =
-    docs.filter(length(col(textCol)) >= shingleLen)
-      .select(col(idCol),
-        explode(TextFunctions.charShingles(col(textCol), shingleLen)).as("__sg"))
-      .select(col(idCol), baseHash(col("__sg")).as("h"))
-      .distinct()
+    hashesFromArrays(
+      shingleHashArrays(docs, idCol, textCol, shingleLen, baseHash), idCol)
+
+  /** The exploded DISTINCT (id, h) relation from a
+    * [[shingleHashArrays]] frame — hash-then-explode ≡ the original
+    * explode-then-hash (the base hash is per-element), so callers that
+    * already hold the array pass (q447) derive this without touching
+    * the text again. */
+  def hashesFromArrays(hashed: DataFrame, idCol: String): DataFrame =
+    hashed.select(col(idCol), explode(col("hx")).as("h")).distinct()
 
   /** Bottom-k CONTAINMENT scores — the asymmetric companion to
     * [[minhashCandidates]]'s symmetric resemblance banding, which
@@ -380,6 +415,18 @@ object Dedup {
     // filter, the exact-count side, and both exact-verify joins
     val g = shingleHashes(docs, idCol, textCol, shingleLen, baseHash)
       .localCheckpoint()
+    containmentScoresFromHashes(g, idCol, k, hotCap)
+  }
+
+  /** [[containmentScores]] from a pre-materialized DISTINCT (idCol, h)
+    * relation — the entry point for queries that already paid the
+    * shingle-hash pass for another leg (q447 shares ONE base-hash pass
+    * between the resemblance and containment edges). `g` must be
+    * materialized by the caller (localCheckpoint): it is read by the
+    * cold filter, the exact-count side, and both exact-verify joins. */
+  def containmentScoresFromHashes(g: DataFrame, idCol: String,
+                                  k: Int = 16, hotCap: Int = 200)
+      : DataFrame = {
     val gCold = dropHotBuckets(g, Seq("h"), hotCap).localCheckpoint()
     val w = Window.partitionBy(idCol).orderBy("h")
     val bottoms = gCold.withColumn("rk", row_number().over(w))

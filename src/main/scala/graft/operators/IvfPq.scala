@@ -147,21 +147,28 @@ object IvfPq {
               s => s.getField("b"))
   }
 
-  /** ADC top-k over probed buckets only. Output:
-    * (query_id, neighbor_id, rank, adist) — adist is the approximate
-    * L2² of (q − centroid_bucket) against the neighbor's residual
-    * codes, i.e. the FAISS IVF-PQ asymmetric distance. */
-  def topK(encoded: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
+  /** The raw ADC scan over the probed buckets, with the PROBE RANK
+    * carried: (query_id, neighbor_id, probe_rank, adist). [[topK]] is
+    * this plus the per-query k-limit window; audits that sweep nprobe
+    * (q488) derive EVERY smaller-nprobe config from ONE maximal scan
+    * by filtering `probe_rank < nprobe` — [[probes]] returns buckets
+    * in ascending (distance, bucket) order, so the first n entries ARE
+    * the nprobe = n probe set, and the expensive ADC distance is
+    * evaluated once per (query, candidate) instead of once per config. */
+  def adcScan(encoded: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, model: Model, nprobe: Int): DataFrame = {
     val m = model.pq.m
     val subDim = model.pq.subDim
     val probe = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", explode(probes(col("qv"), model, nprobe)))
+      .select(col("query_id"), col("qv"),
+        posexplode(probes(col("qv"), model, nprobe)))
+      .withColumnRenamed("pos", "probe_rank")
+      .withColumnRenamed("col", "bucket")
       .withColumn("qr",
         residualExpr(col("qv"), col("bucket"), model.coarse))
-      .select("query_id", "bucket", "qr")
+      .select("query_id", "probe_rank", "bucket", "qr")
     // corpus side never shuffles: the probe list (queries × nprobe) is
     // the broadcast side of a bucket equi-join
     val dist = expr(
@@ -174,11 +181,21 @@ object IvfPq {
                        slice(qr, p.s * $subDim + 1, $subDim),
                        (a, b) -> (a - b) * (a - b)),
               0.0D, (a2, d) -> a2 + d))""")
-    val scored = encoded.join(broadcast(probe), Seq("bucket"))
+    encoded.join(broadcast(probe), Seq("bucket"))
       .filter(col("query_id") =!= col("vid"))
       .withColumn("__cb", typedLit(model.pq.codebooks))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-              dist.as("adist"))
+              col("probe_rank"), dist.as("adist"))
+  }
+
+  /** ADC top-k over probed buckets only. Output:
+    * (query_id, neighbor_id, rank, adist) — adist is the approximate
+    * L2² of (q − centroid_bucket) against the neighbor's residual
+    * codes, i.e. the FAISS IVF-PQ asymmetric distance. */
+  def topK(encoded: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
+    val scored = adcScan(encoded, queries, idCol, vecCol, model, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -34,7 +34,8 @@ object KnLm {
   /** Per-doc bigram counts (doc_id, source-ish passthrough omitted):
     * (idCol, w1, w2, n) over the shared lowercase-letters tokenizer. */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), SubstringDedup.tokens(col(textCol)).as("__t"))
+    Spread.byKey(docs, col(idCol))
+      .select(col(idCol), SubstringDedup.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("__t")) - 2),
@@ -46,8 +47,14 @@ object KnLm {
   /** Fit the KN model from a corpus. Ney's discount n1/(n1+2n2) with
     * the 0.75 fallback for a fully-templated corpus (no singleton or
     * doubleton bigram types). */
-  def fit(docs: DataFrame, idCol: String, textCol: String): Model = {
-    val bg = docBigrams(docs, idCol, textCol)
+  def fit(docs: DataFrame, idCol: String, textCol: String): Model =
+    fitFromBigrams(docBigrams(docs, idCol, textCol))
+
+  /** [[fit]] from a pre-computed [[docBigrams]] relation — the entry
+    * point for queries that fit AND score the same corpus (q437/q482):
+    * the tokenize + bigram-explode pass runs once and feeds both. */
+  def fitFromBigrams(db: DataFrame): Model = {
+    val bg = db
       .groupBy("w1", "w2").agg(sum("n").as("c2"))
       .localCheckpoint()
     val c1 = bg.groupBy("w1")
@@ -73,8 +80,15 @@ object KnLm {
     * no evidence). The per-doc sum folds in sorted (w1, w2) order so
     * the number is partitioning-invariant and oracle-replayable. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: Model): DataFrame = {
-    val db = docBigrams(docs, idCol, textCol)
+            model: Model): DataFrame =
+    scoreFromBigrams(docBigrams(docs, idCol, textCol), idCol, model)
+
+  /** [[score]] from a pre-computed [[docBigrams]] relation — pairs
+    * with [[fitFromBigrams]] so fit-and-score-same-corpus queries pay
+    * the tokenize pass once. Bit-identical: both entry points fold
+    * the same terms in the same sorted (w1, w2) order. */
+  def scoreFromBigrams(db: DataFrame, idCol: String,
+                       model: Model): DataFrame = {
     val pcont =
       greatest(coalesce(col("npre"), lit(0L)), lit(1L)).cast("double") /
         col("tt")

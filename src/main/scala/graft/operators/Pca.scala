@@ -47,9 +47,11 @@ object Pca {
     * downstream consumer (product join twice, raw means, rounded
     * means) reads the materialized copy, never the corpus again. */
   private def exploded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("rid"),
-        posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("rid"), col("i"), col("xi").cast("double").as("xi"))
+    Spread.byKey(
+      df.select(col(idCol).as("rid"),
+          posexplode(col(vecCol)).as(Seq("i", "xi")))
+        .select(col("rid"), col("i"), col("xi").cast("double").as("xi")),
+      col("rid"))
       .localCheckpoint()
 
   private def covFromX(x: DataFrame): DataFrame = {

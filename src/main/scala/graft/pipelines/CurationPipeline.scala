@@ -308,8 +308,11 @@ object CurationPipeline {
     val perpGated = count("perplexity_gate",
       if (maxAvgNll == Double.PositiveInfinity) repGated
       else {
-        val m = graft.operators.KnLm.fit(repGated, "doc_id", "text")
-        val bad = graft.operators.KnLm.score(repGated, "doc_id", "text", m)
+        // ONE tokenize + bigram-explode pass feeds fit AND score
+        val db = graft.operators.KnLm.docBigrams(repGated, "doc_id", "text")
+          .localCheckpoint()
+        val m = graft.operators.KnLm.fitFromBigrams(db)
+        val bad = graft.operators.KnLm.scoreFromBigrams(db, "doc_id", m)
           .filter(col("avg_nll") > maxAvgNll).select("doc_id")
         repGated.join(bad, Seq("doc_id"), "left_anti")
       })

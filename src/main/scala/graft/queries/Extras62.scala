@@ -35,7 +35,11 @@ object Extras62 extends QueryPack {
     * the rightmost-min tie-break rides the h·2³¹+(2³¹−i) packing so
     * one array_min per window does hash-then-position comparison. */
   private def q396(s: SparkSession, dir: String): DataFrame =
-    Winnowing.profile(docs(s, dir), "doc_id", "text", k = 4, w = 4)
+    // Spread-guarded input: the winnowing gram-hash + window-min math
+    // is the expensive projection that serializes on an under-split
+    // scan (guide §2.5); the operator itself stays zero-shuffle
+    Winnowing.profile(graft.operators.Spread.byKey(docs(s, dir),
+        col("doc_id")), "doc_id", "text", k = 4, w = 4)
       .orderBy("doc_id")
 
   private val q396Sql = {
@@ -312,9 +316,16 @@ object Extras62 extends QueryPack {
     * Denominators use the UNCAPPED per-doc counts (the cap prunes the
     * join, not the truth). Top-50 under a total order. */
   private def q407(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Dedup
-    val fps = Winnowing.fingerprints(docs(s, dir), "doc_id", "text",
-      k = 4, w = 4)
+    import graft.operators.{Dedup, Spread}
+    // materialized ONCE: the fingerprint relation feeds the per-doc
+    // counts, the hot-bucket rollup, the anti-join, and BOTH sides of
+    // the pair self-join — without the checkpoint the whole winnowing
+    // gram-hash + window-min computation re-ran for each of those five
+    // plan appearances. Spread-guarded for the same §2.5 reason as q396.
+    val fps = Winnowing.fingerprints(
+        Spread.byKey(docs(s, dir), col("doc_id")), "doc_id", "text",
+        k = 4, w = 4)
+      .localCheckpoint()
     val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val capped = Dedup.dropHotBuckets(fps, Seq("fp"), maxBucket = 50)
     val a = capped.select(col("doc_id").as("id_a"), col("fp"))

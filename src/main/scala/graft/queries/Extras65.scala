@@ -130,21 +130,31 @@ object Extras65 extends QueryPack {
     * what the symmetric candidate set does contain. */
   private def q409(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Spread}
     val d = Tables(s, dir)("documents")
+    // ONE shingling pass (Spread-guarded): the per-doc shingle arrays
+    // feed BOTH the md5 signature leg and the exact gram relation —
+    // previously each leg re-shingled the corpus from the raw text
+    val withSh = Spread.byKey(d, col("doc_id"))
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        TextFunctions.charShingles(col("text"), 5).as("__sh"))
+      .localCheckpoint()
     // materialized once: the whole LSH candidate pipeline feeds both
     // the intersection join and the scored left-join spine
-    val cand = Dedup.minhashDedupMd5(d, "doc_id", "text",
-        threshold = 0.0, maxBucket = 10)
+    val sigs = Dedup.minhashSignaturesComposed(withSh, "doc_id", "__sh",
+        16, Dedup.mdBaseHash)
+      .localCheckpoint()
+    val cand = Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 4,
+        threshold = 0.0, hashBandKeys = false, maxBucket = 10)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     // materialized once: the exploded shingle relation feeds both
     // intersection sides AND the per-doc counts (the SetSimilarityJoin
     // input-caching discipline — without this the tokenize+explode
     // subtree runs three times)
-    val g = d.filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        explode(TextFunctions.charShingles(col("text"), 5)).as("g"))
+    val g = withSh
+      .select(col("doc_id"), explode(col("__sh")).as("g"))
       .localCheckpoint()
     val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand

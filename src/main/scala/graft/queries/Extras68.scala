@@ -153,8 +153,11 @@ object Extras68 extends QueryPack {
     // inner-join oracle below.
     import graft.operators.KnLm
     val d = Tables(s, dir)("documents")
-    val model = KnLm.fit(d, "doc_id", "text")
-    KnLm.score(d, "doc_id", "text", model)
+    // ONE tokenize + bigram-explode pass feeds fit AND score (the
+    // same-corpus fit/score shape pays the corpus scan once)
+    val db = KnLm.docBigrams(d, "doc_id", "text").localCheckpoint()
+    val model = KnLm.fitFromBigrams(db)
+    KnLm.scoreFromBigrams(db, "doc_id", model)
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         round(col("avg_nll"), 6).as("avg_nll"),

@@ -369,10 +369,22 @@ object Extras69 extends QueryPack {
   private def q447(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConnectedComponents, Dedup}
     val d = Tables(s, dir)("documents")
-    val res = Dedup.minhashDedupMd5(d, "doc_id", "text", threshold = 0.5)
+    // ONE shingle+md5 pass feeds BOTH edge relations: the resemblance
+    // leg folds signatures from the hash arrays, the containment leg
+    // explodes the same arrays into its (id, h) set relation — the
+    // base hash over every shingle (the dominant compute of both
+    // sketches) runs once instead of once per leg
+    val hx = Dedup.shingleHashArrays(d, "doc_id", "text",
+        shingleLen = 5, baseHash = Dedup.mdBaseHash)
+      .localCheckpoint()
+    val sigs = Dedup.minhashSignaturesFromHashes(hx, "doc_id", "hx", 16)
+      .localCheckpoint()
+    val res = Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 4,
+        threshold = 0.5, hashBandKeys = false)
       .select(col("id_a"), col("id_b"))
-    val gate = Dedup.containmentScores(d, "doc_id", "text",
-        shingleLen = 5, k = 16, hotCap = 200, baseHash = Dedup.mdBaseHash)
+    val g = Dedup.hashesFromArrays(hx, "doc_id").localCheckpoint()
+    val gate = Dedup.containmentScoresFromHashes(g, "doc_id",
+        k = 16, hotCap = 200)
       .filter(col("containment") >= 0.8 && col("jaccard") < 0.5)
       .select(col("qid").as("contained"), col("did").as("container"))
       .localCheckpoint() // feeds the edge union AND the root/flag sides

@@ -864,8 +864,11 @@ object Extras71 extends QueryPack {
   private def q471(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KnLm
     val d = docs(s, dir)
-    val model = KnLm.fit(d, "doc_id", "text")
-    val diff = KnLm.score(d, "doc_id", "text", model)
+    // ONE tokenize + bigram-explode pass feeds fit AND score (q437's
+    // same-corpus sharing)
+    val db = KnLm.docBigrams(d, "doc_id", "text").localCheckpoint()
+    val model = KnLm.fitFromBigrams(db)
+    val diff = KnLm.scoreFromBigrams(db, "doc_id", model)
       .select(col("doc_id"), round(col("avg_nll"), 6).as("diff"))
     Curriculum.interleave(diff, "doc_id", "diff", tiers = 4)
       .select(col("doc_id"), col("diff"), col("tier"), col("pos"), col("ord"))

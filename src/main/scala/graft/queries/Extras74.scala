@@ -54,11 +54,14 @@ object Extras74 extends QueryPack {
     * fully-relational oracle check the persisted path too. */
   private def q482(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir)("documents")
-    val model = KnLm.fit(d, "doc_id", "text")
+    // ONE tokenize + bigram-explode pass feeds fit AND the persisted
+    // serve leg (the q437 sharing; the model still round-trips disk)
+    val db = KnLm.docBigrams(d, "doc_id", "text").localCheckpoint()
+    val model = KnLm.fitFromBigrams(db)
     val path = ModelStore.artifactPath(s, "q482_knlm")
     ModelStore.saveKnLm(model, path)
     val loaded = ModelStore.loadKnLm(s, path)
-    KnLm.score(d, "doc_id", "text", loaded)
+    KnLm.scoreFromBigrams(db, "doc_id", loaded)
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         round(col("avg_nll"), 6).as("avg_nll"),

@@ -223,12 +223,14 @@ object Extras76 extends QueryPack {
     * occupancy — integer arithmetic, no vector math. Golden-oracled
     * (driver Lloyd fits). */
   private def q488(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.DotProduct.vecDot
     val all = Tables(s, dir)("embeddings")
     val queries = Extras72.auditSample(all).localCheckpoint()
     val model = IvfPq.fit(all, "vec_id", "embedding",
       dim = 64, coarseK = 8, m = 8, codes = 16, iters = 3)
     val enc = IvfPq.encode(all, "vec_id", "embedding", model)
-      .localCheckpoint() // read by every config's ADC scan
+      .localCheckpoint() // read by the shared ADC scan + occupancy
     val exact = Similarity
       .bruteForceTopK(all, queries, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"),
@@ -243,10 +245,65 @@ object Extras76 extends QueryPack {
     val corpusN = all.count()
     val nQueries = queries.count()
 
+    // The sweep shares ONE maximal ADC scan instead of one per config:
+    // probes() lists buckets in ascending (distance, bucket) order, so
+    // probe_rank < n reproduces the nprobe = n probe set exactly, and
+    // every config's candidate stage is a filter + bounded window over
+    // the SAME checkpointed (query, neighbor, probe_rank, adist) rows.
+    // Before: 6 configs × (nprobe/8 of the corpus) ADC evaluations
+    // (23/8 of a full scan, plus 6 rerank corpus joins); after: one
+    // 8/8 scan, one rerank join over the union of candidate sets.
+    val configs = Seq((1, 64), (2, 64), (4, 16), (4, 64), (4, 128), (8, 64))
+    val maxNp = configs.map(_._1).max
+    val scoredAll = IvfPq.adcScan(enc, queries, "vec_id", "embedding",
+        model, maxNp)
+      .localCheckpoint()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    def candidates(nprobe: Int, kCand: Int): DataFrame =
+      scoredAll.filter(col("probe_rank") < nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("adist"))
+        .withColumn("__rk", row_number().over(wAdc))
+        .filter(col("__rk") <= kCand)
+        .select(col("query_id"), col("neighbor_id"))
+
+    // ONE exact-cosine rerank join over the UNION of every config's
+    // candidates (cos per pair is config-independent; each config then
+    // re-ranks its own subset — bit-identical to a per-config rerank)
+    val candAll = configs.map { case (np, kc) => candidates(np, kc) }
+      .reduce(_ unionAll _).distinct().localCheckpoint()
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val cv = all.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val qn = sqrt(vecDot(col("__qv"), col("__qv")))
+    val cn = sqrt(vecDot(col("__cv"), col("__cv")))
+    val cosc = when(qn * cn === 0.0, 0.0)
+      .otherwise(vecDot(col("__qv"), col("__cv")) / (qn * cn))
+    val cosAll = cv
+      .join(broadcast(candAll.join(broadcast(qv), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosc.as("cos"))
+      .localCheckpoint()
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+
+    // scanned-fraction leg, shared: probe-ranked bucket occupancy once
+    val probeOcc = queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(IvfPq.probes(col("embedding").cast("array<double>"),
+          model, maxNp)))
+      .withColumnRenamed("pos", "probe_rank")
+      .withColumnRenamed("col", "bucket")
+      .join(broadcast(bucketN), Seq("bucket"))
+      .select(col("probe_rank"), col("bn"))
+      .localCheckpoint()
+
     def config(nprobe: Int, kCand: Int): DataFrame = {
-      val refined = IvfPq.topKRefined(enc, queries, "vec_id", "embedding",
-          corpus = all, model = model, k = 5, kCandidates = kCand,
-          nprobe = nprobe)
+      val refined = candidates(nprobe, kCand)
+        .join(cosAll, Seq("query_id", "neighbor_id"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("ap_rank"))
       val hits = refined.join(exact, Seq("query_id", "neighbor_id"))
@@ -256,11 +313,7 @@ object Extras76 extends QueryPack {
           count(lit(1)).as("h5"))
       // scanned rows = Σ over (query, probed bucket) of the bucket's
       // occupancy; fraction normalizes by |queries|·N
-      val scanned = queries
-        .select(col("vec_id").as("query_id"),
-          explode(IvfPq.probes(col("embedding").cast("array<double>"),
-            model, nprobe)).as("bucket"))
-        .join(broadcast(bucketN), Seq("bucket"))
+      val scanned = probeOcc.filter(col("probe_rank") < nprobe)
         .agg(coalesce(sum("bn"), lit(0L)).as("ns"))
       hits.crossJoin(broadcast(truth)).crossJoin(broadcast(scanned))
         .select(explode(array(
@@ -277,7 +330,7 @@ object Extras76 extends QueryPack {
             .as("scanned_frac"))
     }
 
-    Seq((1, 64), (2, 64), (4, 16), (4, 64), (4, 128), (8, 64))
+    configs
       .map { case (np, kc) => config(np, kc) }
       .reduce(_ unionAll _)
       .orderBy("nprobe", "k_candidates", "k")

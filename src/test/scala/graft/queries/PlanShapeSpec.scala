@@ -199,10 +199,12 @@ class PlanShapeSpec extends GraftTestBase {
   }
 
   test("round-8 additions hold their exchange ceilings and broadcasts") {
-    // q379: band-bucket agg + per-band rollup + output sort = 3; the
-    // report must stay two stacked aggregates, never a self-join.
+    // q379: band-bucket agg + per-band rollup + output sort = 3, plus
+    // the Spread input guard (no-op on well-split input; fires on the
+    // single-row-group test files) = 4; the report must stay two
+    // stacked aggregates, never a self-join.
     val p379 = plan("q379_lsh_bucket_cap")
-    assert(shuffles(p379) <= 3, s"q379 saw ${shuffles(p379)}")
+    assert(shuffles(p379) <= 4, s"q379 saw ${shuffles(p379)}")
     // q380: capped md5 candidate pipeline — the hot-bucket anti-join
     // must not plan a nested-loop, and the whole pipeline stays
     // equi-keyed (no cartesian anywhere).
@@ -228,8 +230,10 @@ class PlanShapeSpec extends GraftTestBase {
 
   test("round-8 final-wave queries hold their plan shapes") {
     // q396: winnowing is ZERO-shuffle map-side array math — only the
-    // output sort's exchange may appear.
-    assert(shuffles(plan("q396_winnowing")) <= 1,
+    // output sort's exchange plus the query-level Spread input guard
+    // (a no-op on well-split input; fires on the single-row-group
+    // test files) may appear.
+    assert(shuffles(plan("q396_winnowing")) <= 2,
       s"q396 saw ${shuffles(plan("q396_winnowing"))}")
     // q400: the 20-anchor side must STAY broadcast against the corpus;
     // the scored join is the only corpus-sized relation.
