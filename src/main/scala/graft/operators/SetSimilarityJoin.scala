@@ -41,7 +41,7 @@ object SetSimilarityJoin {
     // without this the corpus re-tokenizes per subtree unless
     // ReuseExchange happens to collapse every copy (same discipline as
     // minhashDedup's signature checkpoint / KMeans input caching)
-    val sh = docs
+    val sh = Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("id"),
         SubstringDedup.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)

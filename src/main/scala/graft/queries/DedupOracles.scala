@@ -38,8 +38,10 @@ object DedupOracles extends QueryPack {
     * same-source pairs of the doc_id%10 subsample. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val P = graft.functions.expressions.MinHashSignature.P
-    val base = Tables(s, dir)("documents")
-      .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5)
+    val base = graft.operators.Spread.byKey(
+        Tables(s, dir)("documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 0 && length(col("text")) >= 5),
+        col("doc_id"))
       .select(col("doc_id"), col("source"),
               transform(TextFunctions.charShingles(col("text"), 5),
                         sh => pmod(mdHash("", sh), lit(P))).as("hx"))
@@ -47,7 +49,10 @@ object DedupOracles extends QueryPack {
       val (a, b) = graft.functions.expressions.MinHashSignature.coef(i)
       array_min(transform(col("hx"), x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
+    // materialized once: BOTH self-join sides read the signatures —
+    // without this the shingle+md5 subtree evaluates twice
     val sigs = base.select(col("doc_id"), col("source"), sig.as("sig"))
+      .localCheckpoint()
     val est = (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
                            b => b)).cast("double") / K).as("est")
     sigs.as("a")

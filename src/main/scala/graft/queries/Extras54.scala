@@ -157,7 +157,13 @@ object Extras54 extends QueryPack {
   private val sampleK = 1024
 
   private def q351(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir)("lineitem")
+    // Spread-guarded, projected first (guide §2.3/§2.5): the sample
+    // heaps, the exact-percentile buffer, and the 5× rank cross all
+    // otherwise run in ONE task on a single-row-group scan
+    val li = graft.operators.Spread.byKey(
+      Tables(s, dir)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      col("l_orderkey"))
     val sample = HashSampleQuantiles.bottomKSample(li,
       col("l_extendedprice"),
       concat_ws("-", col("l_orderkey"), col("l_linenumber")), sampleK)

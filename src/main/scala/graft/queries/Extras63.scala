@@ -105,8 +105,15 @@ object Extras63 extends QueryPack {
   private def bitextBest(s: SparkSession, dir: String): DataFrame = {
     val K = 4
     val emb = Tables(s, dir)("embeddings")
-    val src = emb.filter(col("label") === 0)
-      .select(col("vec_id").as("src_id"), col("embedding").as("sv"))
+    // Spread-guarded (guide §2.5): the S×T cosine matrix streams the
+    // src side through a nested-loop join — on a single-row-group scan
+    // that is ONE task computing every cosine; a no-op on well-split
+    // input. Results are partitioning-invariant (ranked windows with
+    // full tie-breaks).
+    val src = graft.operators.Spread.byKey(
+        emb.filter(col("label") === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+        col("src_id"))
     val tgt = emb.filter(col("label") === 1)
       .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
     val cos = src.join(tgt)

@@ -25,7 +25,13 @@ object Relational3 extends QueryPack {
     * own copy of every group's values (4× buffer + 4× sort; measured
     * 9 s vs ~1 s at sf0.1). */
   private def q47(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // Spread-guarded (guide §2.5): the exact-percentile partial
+    // aggregate buffers every value in ONE task on a single-row-group
+    // scan; project to the two needed columns first so the guard's
+    // exchange (when it fires) moves 2 columns, not the row
+    graft.operators.Spread.byKey(
+        t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        col("l_extendedprice")) // high-cardinality key → even 32-way spread
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
         .as("ps"))
