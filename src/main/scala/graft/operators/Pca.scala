@@ -47,11 +47,9 @@ object Pca {
     * downstream consumer (product join twice, raw means, rounded
     * means) reads the materialized copy, never the corpus again. */
   private def exploded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    Spread.byKey(
-      df.select(col(idCol).as("rid"),
-          posexplode(col(vecCol)).as(Seq("i", "xi")))
-        .select(col("rid"), col("i"), col("xi").cast("double").as("xi")),
-      col("rid"))
+    df.select(col(idCol).as("rid"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("rid"), col("i"), col("xi").cast("double").as("xi"))
       .localCheckpoint()
 
   private def covFromX(x: DataFrame): DataFrame = {

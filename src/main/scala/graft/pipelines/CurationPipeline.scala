@@ -170,12 +170,6 @@ object CurationPipeline {
     // The materialized stage frames also feed [[disposition]]'s
     // per-doc drop attribution for free.
     val stageFrames = Seq.newBuilder[(String, DataFrame)]
-    // Input-layout guard (guide §2.5): the langid stage is one fused
-    // char-ngram-scoring projection over the raw corpus — on a
-    // single-row-group input it serializes on one core; a no-op on
-    // well-split layouts. Funnel results are partitioning-invariant
-    // (the batch ≡ stream equality spec's contract).
-    val docsIn = graft.operators.Spread.byKey(docs, col("doc_id"))
     def count(stage: String, df: DataFrame): DataFrame = {
       val mat = df.localCheckpoint()
       // one hash-aggregate instead of a bare count: the per-language
@@ -190,7 +184,7 @@ object CurationPipeline {
 
     // 0. language ID (one codegen projection; pred_lang is the
     // funnel's language signal from here on) + optional gate
-    val classified = LangId.classify(docsIn, "text")
+    val classified = LangId.classify(docs, "text")
       .drop(LangId.defaultModel.map { case (l, _) => s"score_$l" }: _*)
     val input = count("input", classified)
     val langGated = count("language_gate",

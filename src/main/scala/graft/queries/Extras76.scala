@@ -271,7 +271,7 @@ object Extras76 extends QueryPack {
     // candidates (cos per pair is config-independent; each config then
     // re-ranks its own subset — bit-identical to a per-config rerank)
     val candAll = configs.map { case (np, kc) => candidates(np, kc) }
-      .reduce(_ unionAll _).distinct().localCheckpoint()
+      .reduce(_ unionAll _).distinct() // single consumer (the cos join)
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("__qv"))
     val cv = all.select(col("vec_id").as("neighbor_id"),
